@@ -1,0 +1,46 @@
+"""Run configuration for the dedup pipeline.
+
+One frozen config per run; its hash is stamped into every checkpoint
+manifest and sketch header region so that a resume with a changed
+config fails fast — the engine-level analog of the reference's
+seed-hash enforcement at merge time (``theta/sketch.rs:699-703``,
+``theta/intersection.rs:81-87``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # hashing
+    seed: int = 9001  # DataSketches default update seed (hash/mod.rs:61)
+    # shingling (BASELINE.json north_star: 5-gram shingles)
+    shingle_k: int = 5  # words per shingle
+    # MinHash (north_star: 128 permutations)
+    num_perms: int = 128
+    # LSH banding: num_perms = bands * rows; threshold ~ (1/b)^(1/r)
+    bands: int = 32
+    rows: int = 4
+    # near-dup decision threshold on exact shingle-set Jaccard
+    threshold: float = 0.8
+    # hot-band handling: groups larger than this are salted/capped
+    max_band_group: int = 256
+    # theta sketches used for per-doc set summaries in the verify path
+    theta_lg_k: int = 12
+    # batch sizing
+    batch_size: int = 4096
+
+    def __post_init__(self):
+        if self.bands * self.rows != self.num_perms:
+            raise ValueError(
+                f"bands*rows must equal num_perms: {self.bands}*{self.rows} != {self.num_perms}"
+            )
+
+    def config_hash(self) -> str:
+        """Stable fingerprint of every recall-affecting knob."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]

@@ -1,0 +1,220 @@
+"""Theta (KMV) sketch: vectorized batch build, union, intersection.
+
+Reimplements the reference's theta sketch semantics
+(``/root/reference/datasketches/src/theta/``) as NumPy set algebra over
+sorted 63-bit hash arrays instead of an incremental open-addressing
+table — the batch-rebuild rule is the same math the reference applies
+at rebuild time (``theta/hash_table.rs:249-277``: select the k-th
+smallest retained entry as the new theta, keep the k lesser entries):
+
+- update hash: ``h = murmur3_128(value, seed).h1 >> 1`` (Java-compatible
+  63-bit hash, ``theta/hash_table.rs:123-128``); retained iff
+  ``0 < h < theta`` (``theta/hash_table.rs:176-208``).
+- estimate = num_retained / (theta / MAX_THETA)
+  (``theta/sketch.rs:371-383``).
+- intersection: theta = min(thetas), keep hashes present in both,
+  empty propagates (``theta/intersection.rs:64-196``).
+- union (absent from the Rust port, spec'd from the rebuild rule and
+  Java semantics): concat, filter ``< min(theta)``, dedupe, and if over
+  k rebuild exactly like ``theta/hash_table.rs:249-277``.
+
+The sketch is associatively and commutatively mergeable, so per-block
+partials built inside ``map_batches`` combine in any order in a tree
+reduce (the reference's distributed pattern, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import codec
+from .hashing import DEFAULT_SEED, compute_seed_hash, hash_strings, hash_u64_column
+
+U64 = np.uint64
+MAX_THETA = (1 << 63) - 1  # i64::MAX, Java compat (theta/mod.rs:55)
+MIN_LG_K, MAX_LG_K, DEFAULT_LG_K = 5, 26, 12  # theta/mod.rs:57-61
+
+_Z = {1: 1.0, 2: 2.0, 3: 3.0}
+
+
+def hashes_for_strings(column, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """63-bit theta update hashes for a string/binary column."""
+    h1, _ = hash_strings(column, seed=seed)
+    return h1 >> U64(1)
+
+
+def hashes_for_ints(values, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """63-bit theta update hashes for an int64 column (8 LE bytes)."""
+    h1, _ = hash_u64_column(np.asarray(values), seed=seed)
+    return h1 >> U64(1)
+
+
+@dataclass
+class ThetaSketch:
+    """Compact theta sketch: sorted unique 63-bit entries below theta."""
+
+    lg_k: int
+    theta: int  # exclusive upper bound, in [1, MAX_THETA]
+    entries: np.ndarray  # sorted uint64, unique, all in (0, theta)
+    seed_hash: int
+    empty: bool
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def new_empty(cls, lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED, p: float = 1.0) -> "ThetaSketch":
+        theta = MAX_THETA if p >= 1.0 else int(MAX_THETA * p)
+        return cls(lg_k, theta, np.empty(0, dtype=U64), compute_seed_hash(seed), True)
+
+    @classmethod
+    def from_hashes(
+        cls,
+        hashes: np.ndarray,
+        lg_k: int = DEFAULT_LG_K,
+        seed: int = DEFAULT_SEED,
+        p: float = 1.0,
+    ) -> "ThetaSketch":
+        """Build from precomputed 63-bit update hashes (one batch pass).
+
+        Equivalent to feeding every value through ``update()`` then
+        ``trim()+compact(true)`` in the reference: screen by theta,
+        dedupe, and if more than k survive keep the k smallest with
+        theta = (k+1)-th smallest (``theta/hash_table.rs:249-277``).
+        """
+        if not MIN_LG_K <= lg_k <= MAX_LG_K:
+            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}], got {lg_k}")
+        theta = MAX_THETA if p >= 1.0 else int(MAX_THETA * p)
+        h = np.asarray(hashes, dtype=U64)
+        h = h[(h > U64(0)) & (h < U64(theta))]
+        empty = len(hashes) == 0 and p >= 1.0
+        entries, theta = _rebuild(np.unique(h), theta, lg_k)
+        return cls(lg_k, theta, entries, compute_seed_hash(seed), empty)
+
+    # -- queries -----------------------------------------------------------
+
+    @property
+    def num_retained(self) -> int:
+        return len(self.entries)
+
+    @property
+    def is_estimation_mode(self) -> bool:
+        return self.theta < MAX_THETA and not self.empty
+
+    def estimate(self) -> float:
+        """num_retained / theta_fraction (theta/sketch.rs:371-383)."""
+        if self.empty:
+            return 0.0
+        if self.theta == MAX_THETA:
+            return float(self.num_retained)
+        return self.num_retained / (self.theta / MAX_THETA)
+
+    def _bounds(self, num_std_dev: int, upper: bool) -> float:
+        # Normal approximation to the reference's binomial bounds
+        # (common/binomial_bounds.rs:288-360); accurate for retained >~ 16.
+        if self.empty:
+            return 0.0
+        if not self.is_estimation_mode:
+            return float(self.num_retained)
+        z = _Z[num_std_dev]
+        f = self.theta / MAX_THETA
+        n = self.num_retained
+        var = n * (1.0 - f) / (f * f)
+        delta = z * np.sqrt(var)
+        est = n / f
+        return max(float(n), est + delta) if upper else max(0.0, est - delta)
+
+    def upper_bound(self, num_std_dev: int = 2) -> float:
+        return self._bounds(num_std_dev, True)
+
+    def lower_bound(self, num_std_dev: int = 2) -> float:
+        return self._bounds(num_std_dev, False)
+
+    # -- set algebra -------------------------------------------------------
+
+    def union(self, *others: "ThetaSketch") -> "ThetaSketch":
+        return theta_union([self, *others])
+
+    def intersect(self, other: "ThetaSketch") -> "ThetaSketch":
+        return theta_intersect(self, other)
+
+    # -- serde -------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        flags = codec.FLAG_ORDERED | (codec.FLAG_EMPTY if self.empty else 0)
+        head = codec.pack_header(codec.FAMILY_THETA, self.lg_k, flags, self.seed_hash)
+        return head + np.uint64(self.theta).tobytes() + np.ascontiguousarray(self.entries).tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, expect_seed_hash: int | None = None) -> "ThetaSketch":
+        lg_k, flags, seed_hash = codec.unpack_header(buf, codec.FAMILY_THETA, expect_seed_hash)
+        theta = int(np.frombuffer(buf, dtype=U64, count=1, offset=codec.HEADER_SIZE)[0])
+        entries = np.frombuffer(buf, dtype=U64, offset=codec.HEADER_SIZE + 8).copy()
+        return cls(lg_k, theta, entries, seed_hash, bool(flags & codec.FLAG_EMPTY))
+
+
+def _rebuild(entries: np.ndarray, theta: int, lg_k: int) -> tuple[np.ndarray, int]:
+    """Apply the k-th-smallest rebuild rule; returns (sorted entries, theta)."""
+    k = 1 << lg_k
+    if len(entries) > k:
+        part = np.partition(entries, k)
+        theta = int(part[k])
+        entries = np.sort(part[:k])
+    else:
+        entries = np.sort(entries)
+    return entries, theta
+
+
+def theta_union(sketches: list[ThetaSketch]) -> ThetaSketch:
+    """Theta union — concat, screen by min theta, dedupe, rebuild.
+
+    Not present in the Rust reference (only intersection is,
+    ``theta/mod.rs:42-52``); semantics follow the rebuild rule
+    ``theta/hash_table.rs:249-277`` and the Java union. Associative and
+    commutative, so usable as a tree-reduce combiner.
+    """
+    if not sketches:
+        raise ValueError("theta_union needs at least one sketch")
+    seed_hash = sketches[0].seed_hash
+    lg_k = min(s.lg_k for s in sketches)
+    for s in sketches:
+        if s.seed_hash != seed_hash and not s.empty:
+            raise codec.CodecError(
+                f"incompatible seed hash: expected {seed_hash}, got {s.seed_hash}"
+            )
+    theta = min(s.theta for s in sketches)
+    merged = np.concatenate([s.entries for s in sketches])
+    merged = np.unique(merged[merged < U64(theta)])
+    entries, theta = _rebuild(merged, theta, lg_k)
+    return ThetaSketch(lg_k, theta, entries, seed_hash, all(s.empty for s in sketches))
+
+
+def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """Theta intersection (theta/intersection.rs:64-196).
+
+    theta = min(theta_a, theta_b); retain hashes present in both,
+    screened below theta; empty if either input is empty.
+    """
+    if not a.empty and not b.empty and a.seed_hash != b.seed_hash:
+        raise codec.CodecError(
+            f"incompatible seed hash: expected {a.seed_hash}, got {b.seed_hash}"
+        )
+    theta = min(a.theta, b.theta)
+    common = np.intersect1d(a.entries, b.entries, assume_unique=True)
+    common = common[common < U64(theta)]
+    empty = a.empty or b.empty
+    return ThetaSketch(min(a.lg_k, b.lg_k), theta, common, a.seed_hash, empty)
+
+
+def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
+    """Estimated Jaccard similarity |A∩B| / |A∪B| from two theta sketches.
+
+    The verification-stage primitive of the dedup pipeline (SURVEY.md §2
+    ThetaIntersection mapping): both estimates are taken at the union's
+    theta so the ratio is consistent.
+    """
+    u = theta_union([a, b])
+    i = theta_intersect(a, b)
+    ue = u.estimate()
+    return 0.0 if ue == 0.0 else i.estimate() / ue

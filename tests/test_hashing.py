@@ -1,0 +1,159 @@
+"""Hash-kernel conformance: known-answer vectors from the reference.
+
+Murmur vectors: /root/reference/datasketches/src/hash/murmurhash.rs:189-231
+XxHash vectors: /root/reference/datasketches/src/hash/xxhash.rs (test mod)
+"""
+
+import numpy as np
+import pytest
+
+from raydedup.sketches.hashing import (
+    canonicalize_floats,
+    compute_seed_hash,
+    fmix64,
+    hash_strings,
+    hash_u64_column,
+    murmur3_128_fixed,
+    xxhash64_u64,
+)
+
+MURMUR_VECTORS = [
+    (b"The quick brown fox jumps over the lazy dog", 0xE34BBC7BBC071B6C, 0x7A433CA9C49A9347),
+    (b"The quick brown fox jumps over the lazy eog", 0x362108102C62D1C9, 0x3285CD100292B305),
+    (b"The quick brown fox jumps over the lazy dogdogdog", 0x9C8205300E612FC4, 0xCBC0AF6136AA3DF9),
+    (b"The quick brown fox jumps over the lazy1", 0xE3301A827E5CDFE3, 0xBDBF05F8DA0F0392),
+    (b"The quick brown fox jumps over t", 0xDF6AF91BB29BDACF, 0x91A341C58DF1F3A6),
+    (
+        b"The quick brown fox jumps over the laz"[:38]
+        + bytes([0x79, 0x20, 0x64, 0x6F, 0x67, 0xFF, 0x64, 0x6F, 0x67, 0x00]),
+        0xE88ABDA785929C9E,
+        0x96B98587CACC83D6,
+    ),
+]
+
+
+def test_murmur3_known_vectors():
+    keys = [k for k, _, _ in MURMUR_VECTORS]
+    h1, h2 = hash_strings(keys, seed=0)
+    for i, (_, e1, e2) in enumerate(MURMUR_VECTORS):
+        assert int(h1[i]) == e1
+        assert int(h2[i]) == e2
+
+
+def test_murmur3_empty_and_tiny():
+    # every tail length 0..32 agrees with a scalar reference implementation
+    def scalar_murmur(key: bytes, seed: int):
+        lens = np.array([len(key)], dtype=np.int64)
+        offs = np.array([0, len(key)], dtype=np.int64)
+        data = np.frombuffer(key, dtype=np.uint8)
+        from raydedup.sketches.hashing import murmur3_128_strings
+
+        a, b = murmur3_128_strings(data, offs, seed=seed)
+        return int(a[0]), int(b[0])
+
+    keys = [bytes(range(n)) for n in range(0, 40)]
+    h1, h2 = hash_strings(keys, seed=9001)
+    for i, k in enumerate(keys):
+        s1, s2 = scalar_murmur(k, 9001)
+        assert (int(h1[i]), int(h2[i])) == (s1, s2), f"len={len(k)}"
+
+
+def test_murmur3_arrow_column_matches_python_list():
+    import pyarrow as pa
+
+    vals = ["", "a", "value_123", "x" * 100, "日本語テキスト"]
+    h1a, h2a = hash_strings(pa.array(vals))
+    h1b, h2b = hash_strings(vals)
+    np.testing.assert_array_equal(h1a, h1b)
+    np.testing.assert_array_equal(h2a, h2b)
+
+
+def test_murmur3_sliced_arrow_column():
+    import pyarrow as pa
+
+    vals = ["aaa", "bbb", "ccc", "ddd"]
+    arr = pa.array(vals).slice(1, 2)
+    h1a, _ = hash_strings(arr)
+    h1b, _ = hash_strings(["bbb", "ccc"])
+    np.testing.assert_array_equal(h1a, h1b)
+
+
+def test_fixed_width_matches_string_path():
+    rng = np.random.default_rng(42)
+    w = rng.integers(0, 2**63, size=(16, 5), dtype=np.int64).view(np.uint64)
+    words = np.zeros((16, 6), dtype=np.uint64)
+    words[:, :5] = w
+    f1, f2 = murmur3_128_fixed(words, 40, seed=9001)
+    s1, s2 = hash_strings([row.tobytes() for row in w], seed=9001)
+    np.testing.assert_array_equal(f1, s1)
+    np.testing.assert_array_equal(f2, s2)
+
+
+def test_hash_u64_column_matches_le_bytes():
+    vals = np.array([0, 1, -1, 2**62, 123456789], dtype=np.int64)
+    h1a, _ = hash_u64_column(vals)
+    h1b, _ = hash_strings([int(v).to_bytes(8, "little", signed=True) for v in vals])
+    np.testing.assert_array_equal(h1a, h1b)
+
+
+def test_seed_hash():
+    # non-zero 16-bit, deterministic, distinct for distinct seeds
+    sh = compute_seed_hash(9001)
+    assert 0 < sh < 65536
+    assert compute_seed_hash(9001) == sh
+    assert compute_seed_hash(12345) != sh
+
+
+def test_xxhash64_u64_reference_identity():
+    # XxHash64::hash_u64 equals the streaming path for 8-byte input
+    # (xxhash.rs test_long_check); we check our closed form against a
+    # direct transcription of the reference's streaming small-input path.
+    P1, P2, P3, P4, P5 = (
+        0x9E3779B185EBCA87,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x85EBCA77C2B2AE63,
+        0x27D4EB2F165667C5,
+    )
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def ref_hash_u64(v, seed):
+        h = (seed + P5 + 8) & M
+        k1 = (v * P2) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * P1) & M
+        h ^= k1
+        h = (rotl(h, 27) * P1 + P4) & M
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        return h ^ (h >> 32)
+
+    vals = np.array([0, 1, 123, 2**63, (1 << 64) - 1], dtype=np.uint64)
+    out = xxhash64_u64(vals, 0)
+    for i, v in enumerate(vals):
+        assert int(out[i]) == ref_hash_u64(int(v), 0)
+    # per-row seeds (the Bloom h1 = xxhash(item, h0) pattern)
+    out2 = xxhash64_u64(vals, out)
+    for i, v in enumerate(vals):
+        assert int(out2[i]) == ref_hash_u64(int(v), int(out[i]))
+
+
+def test_canonical_floats():
+    bits = canonicalize_floats(np.array([0.0, -0.0, np.nan, -np.nan, 3.5]))
+    assert bits[0] == bits[1]  # +-0 collapse
+    assert bits[2] == bits[3] == np.uint64(0x7FF8000000000000)  # canonical NaN
+    # f32 widened equals f64 for representable values (hash_value/mod.rs:24-36)
+    f32 = canonicalize_floats(np.array([3.5, -1.25], dtype=np.float32))
+    f64 = canonicalize_floats(np.array([3.5, -1.25], dtype=np.float64))
+    np.testing.assert_array_equal(f32, f64)
+
+
+def test_fmix64_zero_and_avalanche():
+    assert int(fmix64(np.array([0], dtype=np.uint64))[0]) == 0
+    a = fmix64(np.arange(1000, dtype=np.uint64))
+    assert len(np.unique(a)) == 1000

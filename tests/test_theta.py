@@ -1,0 +1,153 @@
+"""Theta sketch semantics vs the reference's tested tolerances.
+
+Anchors: theta_sketch_test.rs:179-218 (2% accuracy at lg_k=12 n=1e4),
+theta_intersection_test.rs, theta/hash_table.rs:249-277 (rebuild rule).
+"""
+
+import numpy as np
+import pytest
+
+from raydedup.sketches.codec import CodecError
+from raydedup.sketches.theta import (
+    MAX_THETA,
+    ThetaSketch,
+    hashes_for_ints,
+    hashes_for_strings,
+    jaccard_estimate,
+    theta_intersect,
+    theta_union,
+)
+
+
+def sketch_of_range(lo, hi, lg_k=12, seed=9001):
+    vals = [f"value_{i}" for i in range(lo, hi)]
+    return ThetaSketch.from_hashes(hashes_for_strings(vals, seed=seed), lg_k=lg_k, seed=seed)
+
+
+def test_empty():
+    s = ThetaSketch.from_hashes(np.empty(0, dtype=np.uint64))
+    assert s.empty and s.estimate() == 0.0
+    assert s.lower_bound() == 0.0 and s.upper_bound() == 0.0
+
+
+def test_exact_mode_below_k():
+    s = sketch_of_range(0, 1000)
+    assert not s.is_estimation_mode
+    assert s.estimate() == 1000.0
+    assert s.lower_bound() == s.upper_bound() == 1000.0
+
+
+def test_duplicates_counted_once():
+    vals = ["same_value"] * 100
+    s = ThetaSketch.from_hashes(hashes_for_strings(vals))
+    assert s.estimate() == 1.0
+
+
+def test_estimation_accuracy_2pct():
+    # theta_sketch_test.rs:197-203: lg_k=12, n=10^4, within 2%
+    n = 10_000
+    s = sketch_of_range(0, n)
+    assert s.is_estimation_mode
+    assert abs(s.estimate() - n) / n < 0.02
+    assert s.lower_bound(1) <= s.estimate() <= s.upper_bound(1)
+    assert s.lower_bound(3) <= s.lower_bound(2) <= s.lower_bound(1)
+    assert s.upper_bound(1) <= s.upper_bound(2) <= s.upper_bound(3)
+    assert s.lower_bound(2) <= n <= s.upper_bound(2)
+
+
+def test_rebuild_rule_kth_smallest():
+    # after rebuild: exactly k entries retained, theta == (k+1)-th smallest
+    lg_k = 5
+    k = 1 << lg_k
+    h = np.unique(np.random.default_rng(1).integers(1, MAX_THETA, size=500, dtype=np.int64)).view(np.uint64)
+    s = ThetaSketch.from_hashes(h, lg_k=lg_k)
+    assert s.num_retained == k
+    srt = np.sort(h)
+    assert s.theta == int(srt[k])
+    np.testing.assert_array_equal(s.entries, srt[:k])
+    assert (s.entries < np.uint64(s.theta)).all()
+
+
+def test_union_matches_single_pass():
+    # merge of disjoint shard partials ~ single-pass sketch (SURVEY §3.2)
+    n, shards = 20_000, 8
+    parts = [sketch_of_range(i * n // shards, (i + 1) * n // shards) for i in range(shards)]
+    merged = theta_union(parts)
+    single = sketch_of_range(0, n)
+    assert abs(merged.estimate() - n) / n < 0.03
+    # commutativity: any merge order gives identical results
+    rev = theta_union(list(reversed(parts)))
+    assert rev.theta == merged.theta
+    np.testing.assert_array_equal(rev.entries, merged.entries)
+    # associativity: tree merge == flat merge
+    tree = theta_union([theta_union(parts[:4]), theta_union(parts[4:])])
+    assert tree.theta == merged.theta
+    np.testing.assert_array_equal(tree.entries, merged.entries)
+    assert abs(single.estimate() - merged.estimate()) / n < 0.04
+
+
+def test_union_overlapping():
+    a = sketch_of_range(0, 6000)
+    b = sketch_of_range(3000, 9000)
+    u = theta_union([a, b])
+    assert abs(u.estimate() - 9000) / 9000 < 0.05
+
+
+def test_intersection_exact_mode():
+    a = sketch_of_range(0, 1000, lg_k=14)
+    b = sketch_of_range(500, 1500, lg_k=14)
+    i = theta_intersect(a, b)
+    assert i.estimate() == 500.0
+
+
+def test_intersection_estimation_mode():
+    a = sketch_of_range(0, 20_000)
+    b = sketch_of_range(10_000, 30_000)
+    i = theta_intersect(a, b)
+    assert abs(i.estimate() - 10_000) / 10_000 < 0.15
+
+
+def test_intersection_with_empty_is_empty():
+    a = sketch_of_range(0, 100)
+    e = ThetaSketch.new_empty()
+    i = theta_intersect(a, e)
+    assert i.empty and i.estimate() == 0.0
+
+
+def test_jaccard_estimate():
+    a = sketch_of_range(0, 10_000)
+    b = sketch_of_range(2_000, 12_000)
+    # true J = 8000/12000 = 2/3
+    assert abs(jaccard_estimate(a, b) - 2 / 3) < 0.08
+    assert jaccard_estimate(a, a) == 1.0
+
+
+def test_serde_roundtrip_byte_stable():
+    s = sketch_of_range(0, 10_000)
+    buf = s.to_bytes()
+    s2 = ThetaSketch.from_bytes(buf)
+    assert s2.theta == s.theta and s2.lg_k == s.lg_k and s2.empty == s.empty
+    np.testing.assert_array_equal(s2.entries, s.entries)
+    assert s2.to_bytes() == buf  # byte-stable round trip
+
+
+def test_seed_hash_mismatch_rejected():
+    a = sketch_of_range(0, 100, seed=9001)
+    b = sketch_of_range(0, 100, seed=12345)
+    with pytest.raises(CodecError):
+        theta_union([a, b])
+    with pytest.raises(CodecError):
+        ThetaSketch.from_bytes(b.to_bytes(), expect_seed_hash=a.seed_hash)
+
+
+def test_int_hashing_distinct():
+    s = ThetaSketch.from_hashes(hashes_for_ints(np.arange(5000)), lg_k=14)
+    assert abs(s.estimate() - 5000) / 5000 < 0.02
+
+
+def test_sampling_probability():
+    # sampling p<1 puts the sketch in estimation mode immediately
+    h = hashes_for_ints(np.arange(1000))
+    s = ThetaSketch.from_hashes(h, lg_k=12, p=0.5)
+    assert s.is_estimation_mode
+    assert abs(s.estimate() - 1000) / 1000 < 0.15
