@@ -1,16 +1,10 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship near-dup pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented
+operator (SURVEY.md §2) with DuckDB-checkable SQL where expressible.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +12,182 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _documents_as_pages(sf_dir: str):
+    """documents table → pages shape (url, text) for the dedup pipeline."""
+    import ray.data as rd
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://synth.local/doc/",
+            pc.cast(batch["doc_id"], pa.string()),
+            "",
+        )
+        return pa.table({"url": urls, "text": batch["text"], "doc_id": batch["doc_id"]})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-dup detection + clustering on sf0.001 documents."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+
+    pages = _documents_as_pages("/root/testdata/sf0.001")
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    return res.assignments
+
+
+# ---------------------------------------------------------------------------
+# queries / oracles
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.exact import exact_dedup_representatives
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_representatives(ds, "doc_id").sort("doc_id")
+
+
+def _q_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: token_stats(b, "doc_id"), batch_format="pyarrow").sort("doc_id")
+
+
+def _q_distinct_orderkeys(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.exact import distinct_texts_theta
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+
+    def as_text(batch: pa.Table) -> pa.Table:
+        return pa.table({"text": pc.cast(batch["l_orderkey"], pa.string())})
+
+    sk = distinct_texts_theta(ds.map_batches(as_text, batch_format="pyarrow"), lg_k=20)
+    return pa.table({"n_distinct": pa.array([int(round(sk.estimate()))], pa.int64())})
+
+
+def _q_docs_per_source(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+    return out.sort("source")
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary (general aggregate parity)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            batch = batch.set_column(
+                batch.column_names.index(c), c, pc.round(batch[c], ndigits=2)
+            )
+        return batch
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import fingerprint
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: fingerprint(b, "doc_id"), batch_format="pyarrow").sort("doc_id")
+
+
+def _q_dedup_assignments(sf_dir: str):
+    """Full near-dup pipeline over documents (non-SQL-expressible)."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+
+    pages = _documents_as_pages(sf_dir)
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    return res.assignments.sort("url")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "distinct_orderkeys_theta": _q_distinct_orderkeys,
+        "docs_per_source": _q_docs_per_source,
+        "pricing_summary": _q_pricing_summary,
+        "fingerprints": _q_fingerprints,
+        "dedup_assignments": _q_dedup_assignments,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "distinct_orderkeys_theta": """
+            SELECT count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
+        """,
+        "docs_per_source": """
+            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        # fingerprints / dedup_assignments: murmur3-based, not SQL-expressible
+    }

@@ -1,0 +1,230 @@
+"""LSH band-row generation and candidate-pair emission with skew control.
+
+The candidate generator is the pipeline's one unavoidable all-to-all
+shuffle. Rather than ``groupby(band, band_hash)`` — millions of size-1
+groups with per-group Python overhead — band rows are shuffled on a
+*coarse bucket* of the band key (``n_buckets`` groups, sized to the
+cluster's task count) and each bucket is processed as one vectorized
+NumPy kernel: sort, detect equal-key runs, emit pairs per run with
+all-pairs/chain semantics. Per-row Python never runs.
+
+Skew control (SURVEY.md §7.6 hot-band trap — boilerplate shared by
+millions of pages lands on ONE band key):
+
+1. **In-group capping**: a run of size g <= ``max_band_group`` emits
+   all g(g-1)/2 pairs; a larger run emits a *sorted-neighbor chain*
+   (g-1 pairs after sorting by signature fingerprint), which keeps
+   identical/near-identical signatures adjacent — exact dups inside a
+   boilerplate band still pair — while bounding output linearly. True
+   near-dup pairs lose nothing measurable: at J >= 0.8 with 32 bands of
+   4 rows a pair collides in ~13 bands, so it still meets in a non-hot
+   band w.h.p.
+2. **Bucket salting** (scale path): the coarse bucket key is
+   ``murmur(band, band_hash) % n_buckets``, so hot *keys* still land in
+   one bucket but hot *buckets* only bound one task's input; raising
+   ``n_buckets`` spreads load. An optional Misra-Gries hot-key pre-pass
+   (``raydedup.sketches.frequencies``) can additionally sub-salt runs
+   hotter than the cap by ``sig_fp % n_salts`` — see
+   ``run.py::dedup_pipeline``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raydedup.config import DedupConfig
+from raydedup.pipeline.extract import segmented_unique, text_to_shingle_sets
+from raydedup.pipeline.minhash import band_keys, minhash_signatures
+from raydedup.sketches.hashing import fmix64, murmur3_128_fixed
+from raydedup.sketches.theta import MAX_THETA
+
+U64 = np.uint64
+
+
+def _col(batch: pa.Table, name: str) -> np.ndarray:
+    c = batch[name]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.to_numpy(zero_copy_only=False)
+
+
+class SignatureStage:
+    """Actor-pool stage: pages batch → per-doc signature record.
+
+    Holds the permutation salts/config (built once per actor in
+    ``__init__``) and emits one row per doc:
+    ``url, n_shingles, shingles (list<u64> sorted unique, KMV-trimmed),
+    theta (u64), sig (fixed_size_list<u64, num_perms>),
+    band_hash (fixed_size_list<u64, bands>), sig_fp (u64)``.
+
+    The shingle set doubles as a theta sketch of the doc's shingle
+    universe: below ``shingle_cap`` it is exact (theta = MAX_THETA),
+    above it keeps the cap smallest hashes with theta = (cap+1)-th
+    smallest — the reference's rebuild rule
+    (``theta/hash_table.rs:249-277``) applied per document.
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None, shingle_cap: int = 4096, text_column: str = "text"):
+        self.cfg = cfg or DedupConfig()
+        self.cap = shingle_cap
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh, off, _ = text_to_shingle_sets(text, k=cfg.shingle_k, seed=cfg.seed)
+        sig = minhash_signatures(sh, off, num_perms=cfg.num_perms, seed=cfg.seed)
+        bands = band_keys(sig, cfg.bands, cfg.rows, seed=cfg.seed)
+
+        uvals, uoff = segmented_unique(sh, off)
+        counts = np.diff(uoff)
+        theta = np.full(len(counts), U64(MAX_THETA))
+        if (counts > self.cap).any():
+            # KMV-trim oversized docs (rare; per-doc partition is fine here)
+            keep_vals, new_off = [], [0]
+            for d in range(len(counts)):
+                seg = uvals[uoff[d] : uoff[d + 1]]
+                if len(seg) > self.cap:
+                    part = np.partition(seg, self.cap)
+                    theta[d] = part[self.cap]
+                    seg = np.sort(part[: self.cap])
+                keep_vals.append(seg)
+                new_off.append(new_off[-1] + len(seg))
+            uvals = np.concatenate(keep_vals)
+            uoff = np.array(new_off, dtype=np.int64)
+            counts = np.diff(uoff)
+
+        pad = ((cfg.num_perms * 8 + 15) // 16) * 2
+        mat = np.zeros((sig.shape[0], pad), dtype=U64)
+        mat[:, : cfg.num_perms] = sig
+        sig_fp, _ = murmur3_128_fixed(mat, cfg.num_perms * 8, seed=cfg.seed)
+
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_shingles": pa.array(counts, pa.int64()),
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(uoff, pa.int64()), pa.array(uvals, pa.uint64())
+                ),
+                "theta": pa.array(theta, pa.uint64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
+                ),
+                "band_hash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(bands.reshape(-1), pa.uint64()), cfg.bands
+                ),
+                "sig_fp": pa.array(sig_fp, pa.uint64()),
+            }
+        )
+
+
+def explode_bands(batch: pa.Table, bands: int, n_buckets: int) -> pa.Table:
+    """signatures batch → band rows (bucket, band, band_hash, sig_fp, url).
+
+    Docs with zero shingles are excluded (their sentinel signatures
+    would all collide with each other). ``bucket`` is a coarse shuffle
+    key: fmix of (band, band_hash) mod n_buckets.
+    """
+    nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
+    n = len(nonempty)
+    bh = np.asarray(
+        nonempty["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False), dtype=U64
+    ).reshape(n, bands)
+    urls = _col(nonempty, "url")
+    band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+    flat_bh = bh.reshape(-1)
+    bucket = (fmix64(flat_bh ^ fmix64(band_ids.astype(U64))) % U64(n_buckets)).astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket),
+            "band": pa.array(band_ids.astype(np.int32)),
+            "band_hash": pa.array(flat_bh, pa.uint64()),
+            "sig_fp": pa.array(np.repeat(_col(nonempty, "sig_fp"), bands), pa.uint64()),
+            "url": pa.array(np.repeat(urls, bands)),
+        }
+    )
+
+
+def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
+    """Vectorized pair emission for one bucket of band rows.
+
+    Sorts by (band, band_hash, sig_fp, url), finds equal-(band,
+    band_hash) runs, and emits all-pairs for runs <= cap, sorted-
+    neighbor chains for larger runs. Loops only over distinct run
+    *sizes* (all runs of one size emit in a single vectorized shot).
+    """
+    band = df["band"].to_numpy()
+    bh = df["band_hash"].to_numpy().astype(U64)
+    fp = df["sig_fp"].to_numpy().astype(U64)
+    url = df["url"].to_numpy()
+    order = np.lexsort((url, fp, bh, band))
+    band, bh, url = band[order], bh[order], url[order]
+
+    new_run = np.ones(len(df), dtype=bool)
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    run_start = np.zeros(len(run_len), dtype=np.int64)
+    np.cumsum(run_len[:-1], out=run_start[1:])
+
+    out_a, out_b = [], []
+    small = (run_len >= 2) & (run_len <= max_band_group)
+    for s in np.unique(run_len[small]):
+        starts = run_start[small & (run_len == s)]
+        # (m, s) member index matrix for every run of size s
+        members = starts[:, None] + np.arange(s)[None, :]
+        ia, ib = np.triu_indices(int(s), k=1)
+        out_a.append(url[members[:, ia].reshape(-1)])
+        out_b.append(url[members[:, ib].reshape(-1)])
+    big = run_len > max_band_group
+    for start, length in zip(run_start[big], run_len[big]):
+        seg = url[start : start + length]  # sorted by sig_fp: chain pairs
+        out_a.append(seg[:-1])
+        out_b.append(seg[1:])
+
+    if not out_a:
+        return pd.DataFrame({"url_a": pd.Series([], dtype=object), "url_b": pd.Series([], dtype=object)})
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    return pd.DataFrame({"url_a": lo[keep], "url_b": hi[keep]}).drop_duplicates()
+
+
+def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256):
+    """signatures Dataset → Dataset of distinct candidate pairs.
+
+    Two shuffles: band rows on the coarse bucket (the big one, rows are
+    ~60 bytes), then pair-dedup on a pair bucket (small — pairs only).
+    """
+    band_rows = signatures.map_batches(
+        lambda b: explode_bands(b, cfg.bands, n_buckets), batch_format="pyarrow"
+    )
+    pairs = band_rows.groupby("bucket").map_groups(
+        lambda df: emit_pairs_bucket(df, cfg.max_band_group), batch_format="pandas"
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("pbucket", pa.array([], pa.int64()))
+        from raydedup.sketches.hashing import hash_strings
+
+        ha, _ = hash_strings(batch["url_a"])
+        hb, _ = hash_strings(batch["url_b"])
+        pb = ((ha ^ fmix64(hb)) % U64(n_buckets)).astype(np.int64)
+        return batch.append_column("pbucket", pa.array(pb))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(["url_a", "url_b"])[["url_a", "url_b"]],
+            batch_format="pandas",
+        )
+    )

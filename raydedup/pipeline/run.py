@@ -1,0 +1,85 @@
+"""End-to-end near-duplicate detection pipeline (the flagship).
+
+Stages (each a streaming Dataset transform; BASELINE.json north_star):
+
+1. **signatures** — ``map_batches(SignatureStage)`` actor pool: text →
+   5-gram shingle sets (KMV-trimmed), 128-perm MinHash signature, 32
+   LSH band hashes. The html column is pruned at the read
+   (``columns=["url","text"]``) so wide binary never enters the object
+   store.
+2. **candidates** — band-row explode + coarse-bucket shuffle +
+   vectorized run detection → distinct candidate pairs (lsh.py).
+3. **verified** — semi-filtered hash join of signatures onto pairs →
+   signature agreement, exact/KMV Jaccard, containment (verify.py).
+4. **clusters** — union-find over dup edges, broadcast assignment back
+   over the corpus (cluster.py).
+
+``run_dedup`` wires them together and optionally checkpoints each
+stage boundary as partitioned parquet with a manifest
+(checkpoint.py) for resume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from raydedup.config import DedupConfig
+from raydedup.pipeline.cluster import cluster_assignments
+from raydedup.pipeline.lsh import SignatureStage, candidate_pairs
+from raydedup.pipeline.verify import confirm_substrings, verify_pairs
+
+
+@dataclass
+class DedupResult:
+    signatures: "rd.Dataset"
+    candidates: "rd.Dataset"
+    verified: "rd.Dataset"
+    dup_pairs: "rd.Dataset"
+    assignments: "rd.Dataset"
+    substring_pairs: "rd.Dataset | None" = None
+
+
+def build_signatures(pages, cfg: DedupConfig, concurrency=(1, 8)):
+    return pages.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency,
+    )
+
+
+def run_dedup(
+    pages,
+    cfg: DedupConfig | None = None,
+    n_buckets: int = 256,
+    num_join_partitions: int = 32,
+    with_substring_confirm: bool = False,
+    concurrency=(1, 8),
+) -> DedupResult:
+    """pages Dataset (url, text[, html...]) → DedupResult of lazy Datasets.
+
+    Consumers drive execution: ``result.assignments.write_parquet(...)``
+    or ``.to_pandas()`` on the small outputs.
+    """
+    cfg = cfg or DedupConfig()
+    pages_slim = pages.select_columns(
+        ["url", "text"] if "text" in pages.schema().names else ["url", "html"]
+    )
+    sigs = build_signatures(pages_slim, cfg, concurrency=concurrency)
+    # signatures feed two consumers (banding and the verify attach) —
+    # materialize once so the actor stage runs a single time.
+    sigs = sigs.materialize()
+    cands = candidate_pairs(sigs, cfg, n_buckets=n_buckets).materialize()
+    verified = verify_pairs(cands, sigs, cfg, num_partitions=num_join_partitions).materialize()
+    dup_pairs = verified.filter(expr="is_dup")
+    assignments = cluster_assignments(dup_pairs, pages_slim)
+    substr = None
+    if with_substring_confirm:
+        flagged = verified.filter(expr="substring_candidate")
+        substr = confirm_substrings(flagged, pages, num_partitions=num_join_partitions)
+    return DedupResult(sigs, cands, verified, dup_pairs, assignments, substr)

@@ -1,0 +1,133 @@
+"""End-to-end dedup pipeline: recall >= 0.99 vs golden pairs (BASELINE.json).
+
+The golden oracle is brute-force exact 5-gram-shingle Jaccard within
+planted clusters (FIXTURES.md §1): golden pairs are intra-cluster pairs
+with J >= threshold; the 0.7 tier must mostly NOT cluster directly.
+"""
+
+import collections
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from raydedup.config import DedupConfig
+from raydedup.pipeline.extract import segmented_unique, text_to_shingle_sets
+from raydedup.pipeline.run import run_dedup
+from raydedup.synth import generate_pages
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages(N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def golden_oracle(corpus):
+    pages_tbl, golden = corpus
+    cfg = DedupConfig()
+    sh, off, _ = text_to_shingle_sets(pages_tbl["text"].combine_chunks())
+    us, uo = segmented_unique(sh, off)
+    urls = pages_tbl["url"].to_pylist()
+    cid = golden["cluster_id"].to_pylist()
+    clusters = collections.defaultdict(list)
+    for i, c in enumerate(cid):
+        if c >= 0:
+            clusters[c].append(i)
+
+    def jac(i, j):
+        a, b = us[uo[i] : uo[i + 1]], us[uo[j] : uo[j + 1]]
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        den = len(a) + len(b) - inter
+        return inter / den if den else 0.0
+
+    golden_pairs, direct_below = set(), set()
+    for c, mem in clusters.items():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                i, j = mem[x], mem[y]
+                p = (min(urls[i], urls[j]), max(urls[i], urls[j]))
+                (golden_pairs if jac(i, j) >= cfg.threshold else direct_below).add(p)
+    return golden_pairs, direct_below
+
+
+@pytest.fixture(scope="module")
+def result(ray_session, corpus):
+    pages_tbl, _ = corpus
+    res = run_dedup(
+        rd.from_arrow(pages_tbl), DedupConfig(), n_buckets=32, with_substring_confirm=True
+    )
+    return {
+        "verified": res.verified.to_pandas(),
+        "assignments": res.assignments.to_pandas(),
+        "substring": res.substring_pairs.to_pandas(),
+    }
+
+
+def test_recall_golden_pairs(result, golden_oracle):
+    golden_pairs, _ = golden_oracle
+    asg = result["assignments"]
+    asg_map = dict(zip(asg.url, asg.cluster_id))
+    found = sum(1 for a, b in golden_pairs if asg_map[a] == asg_map[b])
+    recall = found / len(golden_pairs)
+    assert len(golden_pairs) > 200
+    assert recall >= 0.99, f"recall {recall:.4f} below target"
+
+
+def test_verified_dups_meet_threshold(result):
+    ver = result["verified"]
+    dups = ver[ver.is_dup]
+    assert (dups.exact_jaccard >= DedupConfig().threshold).all()
+    # signature estimate tracks exact jaccard on verified pairs
+    err = (dups.jaccard_sig_est - dups.exact_jaccard).abs()
+    assert err.mean() < 0.05
+
+
+def test_no_cross_cluster_merges(result, corpus):
+    # docs from different planted clusters (and true singletons) must not merge
+    _, golden = corpus
+    asg = result["assignments"]
+    cid = dict(zip(golden["url"].to_pylist(), golden["cluster_id"].to_pylist()))
+    by_cluster = collections.defaultdict(set)
+    for url, c in zip(asg.url, asg.cluster_id):
+        by_cluster[c].add(url)
+    for c, members in by_cluster.items():
+        if len(members) < 2:
+            continue
+        planted = {cid[u] for u in members}
+        # a merged cluster may span only one planted cluster id
+        assert len(planted) == 1 and -1 not in planted, (c, planted)
+
+
+def test_070_tier_mostly_unclustered(result, golden_oracle):
+    # direct below-threshold pairs may only co-cluster transitively;
+    # assert the pipeline never *verifies* them as dups
+    _, direct_below = golden_oracle
+    ver = result["verified"]
+    dup_set = {(a, b) for a, b in ver[ver.is_dup][["url_a", "url_b"]].itertuples(index=False)}
+    bad = sum(1 for p in direct_below if p in dup_set)
+    assert bad == 0
+
+
+def test_assignments_cover_corpus(result, corpus):
+    pages_tbl, _ = corpus
+    assert len(result["assignments"]) == pages_tbl.num_rows
+    assert result["assignments"].url.is_unique
+
+
+def test_substring_pairs_confirmed(result):
+    sub = result["substring"]
+    if len(sub):
+        assert sub.substring.mean() > 0.9
+
+
+def test_deterministic_cluster_ids(result):
+    # cluster id == lexicographically smallest member url
+    asg = result["assignments"]
+    by_cluster = asg.groupby("cluster_id").url.min()
+    multi = asg.groupby("cluster_id").size()
+    for c in multi[multi > 1].index:
+        assert by_cluster[c] == c
