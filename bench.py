@@ -1,0 +1,162 @@
+"""Benchmark harness: headline dedup pipeline + operator queries.
+
+Runs over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line:
+
+    {"metric": "dedup_e2e_sec", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ...}
+
+``--scaling`` runs the same job twice in fresh processes at 8 and 32
+CPUs on the same input and reports throughput at both plus scaling
+efficiency (the sandbox protocol for the N→4N-nodes criterion).
+
+The dedup corpus is the deterministic synthetic pages table
+(raydedup.synth, seed 42) sized to the scale factor, cached as
+partitioned parquet under /tmp so every run measures compute + shuffle,
+not generation; one untimed read warms the page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(sf: float, seed: int = 42) -> str:
+    n = max(2000, int(600_000 * sf))
+    out = f"/tmp/raydedup_bench/pages_n{n}_s{seed}"
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        from raydedup.synth import write_corpus
+
+        write_corpus(out, n, seed=seed, n_files=16)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+
+    sf = _sf_from_dir(sf_dir)
+    corpus_dir = ensure_corpus(sf)
+    cfg = DedupConfig()
+
+    import glob
+
+    page_files = sorted(glob.glob(f"{corpus_dir}/pages_*.parquet"))
+    queries: dict[str, float] = {}
+    n_docs = rd.read_parquet(page_files).count()  # warm + count
+
+    # headline: end-to-end near-dup detection + clustering
+    t0 = time.time()
+    pages = rd.read_parquet(page_files, columns=["url", "text"])
+    res = run_dedup(
+        pages,
+        cfg,
+        n_buckets=8 * num_cpus,
+        concurrency=(1, num_cpus),
+    )
+    n_assigned = res.assignments.count()
+    headline = time.time() - t0
+    queries["dedup_e2e"] = round(headline, 3)
+    assert n_assigned == n_docs, (n_assigned, n_docs)
+
+    # signature stage alone (the per-doc kernel throughput)
+    from raydedup.pipeline.run import build_signatures
+
+    t0 = time.time()
+    sigs = build_signatures(
+        rd.read_parquet(page_files, columns=["url", "text"]),
+        cfg,
+        concurrency=(1, num_cpus),
+    )
+    sigs.count()
+    queries["signatures"] = round(time.time() - t0, 3)
+
+    # operator queries over the driver-provided tables
+    import __ray_entry__ as entrymod
+
+    for name in ("exact_dedup", "pricing_summary", "distinct_orderkeys_theta"):
+        fn = entrymod.queries()[name]
+        t0 = time.time()
+        out = fn(sf_dir)
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "dedup_e2e_sec",
+        "value": queries["dedup_e2e"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes; report efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[8]["value"], results[32]["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "sf": results[32]["sf"],
+        "n_docs": results[32]["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

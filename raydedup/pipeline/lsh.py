@@ -68,9 +68,19 @@ class SignatureStage:
     """
 
     def __init__(self, cfg: DedupConfig | None = None, shingle_cap: int = 4096, text_column: str = "text"):
+        from raydedup.pipeline.minhash import MinHashWorkspace
+
         self.cfg = cfg or DedupConfig()
         self.cap = shingle_cap
         self.text_column = text_column
+        # permutation buffers page-fault once per actor, reused per batch;
+        # a mini batch through __call__ warms every allocation pool while
+        # actors are still spawning in parallel
+        self.workspace = MinHashWorkspace(self.cfg.num_perms, self.cfg.seed)
+        self.workspace.buf.fill(0)
+        self.workspace.tmp.fill(0)
+        warm = pa.table({"url": pa.array(["w"]), self.text_column: pa.array(["warm up text one two three four five"])})
+        self(warm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -78,7 +88,9 @@ class SignatureStage:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         sh, off, _ = text_to_shingle_sets(text, k=cfg.shingle_k, seed=cfg.seed)
-        sig = minhash_signatures(sh, off, num_perms=cfg.num_perms, seed=cfg.seed)
+        sig = minhash_signatures(
+            sh, off, num_perms=cfg.num_perms, seed=cfg.seed, workspace=self.workspace
+        )
         bands = band_keys(sig, cfg.bands, cfg.rows, seed=cfg.seed)
 
         uvals, uoff = segmented_unique(sh, off)

@@ -1,13 +1,14 @@
 """MinHash signatures and LSH band keys, vectorized.
 
 The signature scheme (BASELINE.json north_star: 128 permutations over
-5-gram shingles): permutation ``p`` of a shingle hash ``s`` is
-``fmix64(s XOR salt_p)`` with 128 deterministic salts derived from the
-run seed — the same hash-once/fan-out economics as the reference's HLL
-coupons (``hll/mod.rs:169-174``): the expensive string hashing happened
-in the shingle stage; each permutation is 5 integer ops.
+5-gram shingles): permutation ``p`` of a shingle hash ``s`` is the u64
+bijection ``v = a_p*s + b_p; v ^= v>>31; v *= C`` with 128
+deterministic (a, b) pairs derived from the run seed — the same
+hash-once/fan-out economics as the reference's HLL coupons
+(``hll/mod.rs:169-174``): the expensive string hashing happened in the
+shingle stage; each permutation is 4 in-place vector ops.
 
-``sig[d][p] = min over shingles s of doc d of fmix64(s ^ salt_p)``.
+``sig[d][p] = min over shingles s of doc d of perm_p(s)``.
 
 By min-wise hashing, P(sig_a[p] == sig_b[p]) ≈ Jaccard(A, B), so the
 expected fraction of agreeing signature slots estimates Jaccard with
@@ -33,12 +34,79 @@ U64 = np.uint64
 EMPTY_SLOT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 _SALT_STRIDE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio increment
+_MIX_C = np.uint64(0xC4CEB9FE1A85EC53)  # murmur fmix constant
 
 
-def perm_salts(num_perms: int, seed: int) -> np.ndarray:
-    """Deterministic per-permutation salts from the run seed."""
+def perm_salts(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic per-permutation (multiplier, addend) pairs.
+
+    The permutation family is ``v = (a_p * s + b_p); v ^= v >> 31;
+    v *= C`` — a bijection on u64 (odd multipliers), 4 vector ops per
+    permutation vs 6 alloc-heavy ones for full fmix64. Shingle hashes
+    are already murmur3-uniform, so this family's minima behave
+    min-wise (validated against exact Jaccard in the e2e tests).
+    """
     idx = np.arange(1, num_perms + 1, dtype=U64)
-    return fmix64(idx * _SALT_STRIDE + U64(seed))
+    a = fmix64(idx * _SALT_STRIDE + U64(seed)) | U64(1)
+    b = fmix64(a ^ U64(seed) ^ _MIX_C)
+    return a, b
+
+
+class MinHashWorkspace:
+    """Reusable permutation buffers (page-fault once per actor, not per
+    batch). ``slab`` bounds the flat-shingle working set: batches larger
+    than the slab are processed in doc-aligned slices so peak memory is
+    ~2 * perm_chunk * slab * 8 bytes regardless of batch size."""
+
+    def __init__(self, num_perms: int = 128, seed: int = 9001, perm_chunk: int = 8, slab: int = 1 << 18):
+        self.num_perms = num_perms
+        self.seed = seed
+        self.perm_chunk = perm_chunk
+        self.slab = slab
+        self.a, self.b = perm_salts(num_perms, seed)
+        self.buf = np.empty((perm_chunk, slab), dtype=U64)
+        self.tmp = np.empty_like(self.buf)
+
+    def _permute_min(self, shingles: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """(len(starts), num_perms) minima for one slab of flat shingles."""
+        n = len(shingles)
+        out = np.empty((len(starts), self.num_perms), dtype=U64)
+        big = n > self.slab  # single giant doc: one-off buffers
+        for c0 in range(0, self.num_perms, self.perm_chunk):
+            m = min(self.perm_chunk, self.num_perms - c0)
+            if big:
+                v = shingles[None, :] * self.a[c0 : c0 + m, None]
+                v += self.b[c0 : c0 + m, None]
+                v ^= v >> U64(31)
+            else:
+                v, t = self.buf[:m, :n], self.tmp[:m, :n]
+                np.multiply(shingles[None, :], self.a[c0 : c0 + m, None], out=v)
+                v += self.b[c0 : c0 + m, None]
+                np.right_shift(v, U64(31), out=t)
+                v ^= t
+            v *= _MIX_C
+            out[:, c0 : c0 + m] = np.minimum.reduceat(v, starts, axis=1).T
+        return out
+
+    def signatures(self, shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        n_docs = len(offsets) - 1
+        sig = np.full((n_docs, self.num_perms), EMPTY_SLOT, dtype=U64)
+        if len(shingles) == 0 or n_docs == 0:
+            return sig
+        nonempty = np.diff(offsets) > 0
+        ne_idx = np.nonzero(nonempty)[0]
+        # walk doc-aligned slabs: [lo, hi) docs whose shingles fit the slab
+        lo = 0
+        while lo < len(ne_idx):
+            base = offsets[ne_idx[lo]]
+            hi = lo + 1
+            while hi < len(ne_idx) and offsets[ne_idx[hi] + 1] - base <= self.slab:
+                hi += 1
+            end = offsets[ne_idx[hi - 1] + 1]
+            starts = offsets[:-1][ne_idx[lo:hi]] - base
+            sig[ne_idx[lo:hi]] = self._permute_min(shingles[base:end], starts)
+            lo = hi
+        return sig
 
 
 def minhash_signatures(
@@ -46,29 +114,19 @@ def minhash_signatures(
     offsets: np.ndarray,
     num_perms: int = 128,
     seed: int = 9001,
-    perm_chunk: int = 16,
+    perm_chunk: int = 8,
+    workspace: MinHashWorkspace | None = None,
 ) -> np.ndarray:
     """(n_docs, num_perms) uint64 signature matrix from ragged shingles.
 
-    Permutations are evaluated ``perm_chunk`` at a time so the working
-    set stays ~perm_chunk * n_shingles * 8 bytes; per-doc minima use
-    ``np.minimum.reduceat`` on the flat axis (no Python per-row loop).
+    Permutations are evaluated ``perm_chunk`` at a time into
+    preallocated slab buffers (no per-op allocations; buffers persist
+    across batches when a ``workspace`` is passed — the actor-pool
+    pattern); per-doc minima use ``np.minimum.reduceat``. No per-row
+    Python loop anywhere.
     """
-    n_docs = len(offsets) - 1
-    sig = np.full((n_docs, num_perms), EMPTY_SLOT, dtype=U64)
-    if len(shingles) == 0 or n_docs == 0:
-        return sig
-    salts = perm_salts(num_perms, seed)
-    counts = np.diff(offsets)
-    nonempty = counts > 0
-    starts = offsets[:-1][nonempty]
-    for c0 in range(0, num_perms, perm_chunk):
-        chunk = salts[c0 : c0 + perm_chunk]
-        # (chunk, n_shingles): permuted values
-        vals = fmix64(shingles[None, :] ^ chunk[:, None])
-        mins = np.minimum.reduceat(vals, starts, axis=1)
-        sig[nonempty, c0 : c0 + len(chunk)] = mins.T
-    return sig
+    ws = workspace or MinHashWorkspace(num_perms, seed, perm_chunk)
+    return ws.signatures(shingles, offsets)
 
 
 def band_keys(sig: np.ndarray, bands: int, rows: int, seed: int = 9001) -> np.ndarray:

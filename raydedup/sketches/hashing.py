@@ -163,49 +163,61 @@ def murmur3_128_fixed(words: np.ndarray, nbytes: int, seed: int = DEFAULT_SEED) 
 
     ``words`` is an (n, w) uint64 matrix holding each record's bytes
     little-endian; ``nbytes`` is the true record length (w*8 >= nbytes,
-    excess must be zero). Fully vectorized — used for hashing shingles
-    represented as concatenated word-hash tuples (fixed 8*k bytes).
+    excess must be zero). Fully vectorized with preallocated in-place
+    temporaries — used for hashing shingles represented as concatenated
+    word-hash tuples (fixed 8*k bytes) and for LSH band records.
     """
     n = words.shape[0]
     h1 = np.full(n, U64(seed))
     h2 = np.full(n, U64(seed))
+    k = np.empty(n, U64)
+    t = np.empty(n, U64)
+
+    def rotl_ip(x, r):
+        np.right_shift(x, U64(64 - r), out=t)
+        np.left_shift(x, U64(r), out=x)
+        x |= t
+
+    def mix_k(col, c_in, c_out, rot, h):
+        np.multiply(words[:, col], c_in, out=k)
+        rotl_ip(k, rot)
+        np.multiply(k, c_out, out=k)
+        h ^= k
+
     nblocks = nbytes // 16
     for j in range(nblocks):
-        k1 = words[:, 2 * j].copy()
-        k2 = words[:, 2 * j + 1].copy()
-        k1 *= _C1
-        k1 = _rotl(k1, 31)
-        k1 *= _C2
-        h1 ^= k1
-        h1 = _rotl(h1, 27)
+        mix_k(2 * j, _C1, _C2, 31, h1)
+        rotl_ip(h1, 27)
         h1 += h2
-        h1 = h1 * _M5 + _A1
-        k2 *= _C2
-        k2 = _rotl(k2, 33)
-        k2 *= _C1
-        h2 ^= k2
-        h2 = _rotl(h2, 31)
+        h1 *= _M5
+        h1 += _A1
+        mix_k(2 * j + 1, _C2, _C1, 33, h2)
+        rotl_ip(h2, 31)
         h2 += h1
-        h2 = h2 * _M5 + _A2
+        h2 *= _M5
+        h2 += _A2
     tail = nbytes % 16
     if tail > 8:
-        k2 = words[:, 2 * nblocks + 1].copy()
-        k2 *= _C2
-        k2 = _rotl(k2, 33)
-        k2 *= _C1
-        h2 ^= k2
+        mix_k(2 * nblocks + 1, _C2, _C1, 33, h2)
     if tail > 0:
-        k1 = words[:, 2 * nblocks].copy()
-        k1 *= _C1
-        k1 = _rotl(k1, 31)
-        k1 *= _C2
-        h1 ^= k1
+        mix_k(2 * nblocks, _C1, _C2, 31, h1)
     h1 ^= U64(nbytes)
     h2 ^= U64(nbytes)
     h1 += h2
     h2 += h1
-    h1 = fmix64(h1)
-    h2 = fmix64(h2)
+
+    def fmix_ip(x):
+        np.right_shift(x, U64(33), out=t)
+        x ^= t
+        x *= _F1
+        np.right_shift(x, U64(33), out=t)
+        x ^= t
+        x *= _F2
+        np.right_shift(x, U64(33), out=t)
+        x ^= t
+
+    fmix_ip(h1)
+    fmix_ip(h2)
     h1 += h2
     h2 += h1
     return h1, h2
