@@ -148,6 +148,107 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_group_distinct_orders(sf_dir: str):
+    """Per-group theta distinct (exact mode at lg_k=16) via AggregateFnV2."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import ThetaDistinct
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"])
+    out = ds.groupby("l_returnflag").aggregate(
+        ThetaDistinct("l_orderkey", lg_k=16, alias_name="n_orders")
+    )
+    return out.sort("l_returnflag")
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("total_value")
+        return batch.set_column(i, "total_value", pc.round(batch["total_value"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort("event_type")
+
+
+def _q_top_users(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return out.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+def _q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer hash join → revenue per market segment."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("revenue")
+        return batch.set_column(i, "revenue", pc.round(batch["revenue"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort("c_mktsegment")
+
+
+def _q_top_parts_by_price(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(20)
+
+
+def _q_quantity_quantiles(sf_dir: str):
+    """t-digest quantiles of l_quantity (approximate; rows-only check)."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import tdigest_of
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    td = tdigest_of(ds, "l_quantity")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([td.quantile(q) for q in qs], pa.float64()),
+        }
+    )
+
+
+def _q_heavy_hitter_sources(sf_dir: str):
+    """Misra-Gries heavy hitters over documents.source (exact below map cap)."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import frequent_items_of
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+    sk = frequent_items_of(ds, "source", max_map_size=1024)
+    rows = sk.frequent_items(threshold=0)
+    rows.sort(key=lambda r: (str(r[0])))
+    return pa.table(
+        {
+            "source": pa.array([str(r[0]) for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -157,6 +258,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "fingerprints": _q_fingerprints,
         "dedup_assignments": _q_dedup_assignments,
+        "group_distinct_orders": _q_group_distinct_orders,
+        "events_by_type": _q_events_by_type,
+        "top_users": _q_top_users,
+        "segment_revenue": _q_segment_revenue,
+        "top_parts_by_price": _q_top_parts_by_price,
+        "quantity_quantiles": _q_quantity_quantiles,
+        "heavy_hitter_sources": _q_heavy_hitter_sources,
     }
 
 
@@ -189,5 +297,35 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
-        # fingerprints / dedup_assignments: murmur3-based, not SQL-expressible
+        "group_distinct_orders": """
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "top_parts_by_price": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+        """,
+        "heavy_hitter_sources": """
+            SELECT source, count(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        # fingerprints / dedup_assignments / quantity_quantiles:
+        # murmur3- or sketch-based, not SQL-reproducible bit-for-bit
     }

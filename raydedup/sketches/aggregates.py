@@ -1,0 +1,215 @@
+"""Ray Data aggregation layer for the mergeable-sketch core.
+
+Two harnesses (the reference's distributed pattern, SURVEY.md §3.2:
+build per shard → serialize → merge → finalize):
+
+- **whole-dataset reduce**: ``*_of(ds, column)`` helpers run one
+  ``map_batches`` pass emitting one serialized-sketch row per block,
+  then fold the partials on the driver (block count is small — the
+  data was reduced inside the blocks). Sketch images are the exact
+  bytes a checkpoint would hold.
+- **grouped aggregation**: ``AggregateFnV2`` subclasses usable in
+  ``ds.groupby(key).aggregate(ThetaDistinct("col"), ...)`` — partial
+  per block per group, combine = sketch merge, finalize = estimate.
+
+All merges are associative + commutative (asserted in the kernel
+tests), so Ray may combine partials in any order — the property the
+reference documents as the point of its sketch algebra
+(``hll/mod.rs:62-63``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import AggregateFnV2
+
+from raydedup.sketches.bloom import BloomFilter
+from raydedup.sketches.countmin import CountMinSketch
+from raydedup.sketches.frequencies import FrequentItemsSketch
+from raydedup.sketches.hashing import DEFAULT_SEED, hash_strings, hash_u64_column
+from raydedup.sketches.hll import HllSketch, hll_union
+from raydedup.sketches.tdigest import TDigest, tdigest_merge
+from raydedup.sketches.theta import ThetaSketch, theta_union
+
+U64 = np.uint64
+
+
+def _column_hashes(col, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarray]:
+    """murmur3-128 of any column: strings hash raw bytes, ints hash 8 LE
+    bytes, floats canonicalize then hash (hash_value policies)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        return hash_strings(col, seed=seed)
+    if pa.types.is_floating(t):
+        from raydedup.sketches.hashing import canonicalize_floats
+
+        bits = canonicalize_floats(col.to_numpy(zero_copy_only=False))
+        return hash_u64_column(bits.view(np.int64), seed=seed)
+    return hash_u64_column(col.cast(pa.int64()).to_numpy(zero_copy_only=False), seed=seed)
+
+
+# ---------------------------------------------------------------------------
+# whole-dataset reduces
+# ---------------------------------------------------------------------------
+
+
+def _reduce_sketches(ds, column, partial, merge):
+    parts = ds.select_columns([column]).map_batches(
+        lambda b: pa.table({"sketch": pa.array([partial(b[column])] if len(b) else [], pa.binary())}),
+        batch_format="pyarrow",
+    )
+    acc = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["sketch"].to_pylist():
+            acc = blob if acc is None else merge(acc, blob)
+    return acc
+
+
+def theta_distinct(ds, column: str, lg_k: int = 12, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    def partial(col):
+        h1, _ = _column_hashes(col, seed)
+        return ThetaSketch.from_hashes(h1 >> U64(1), lg_k=lg_k, seed=seed).to_bytes()
+
+    blob = _reduce_sketches(ds, column, partial, lambda a, b: theta_union(
+        [ThetaSketch.from_bytes(a), ThetaSketch.from_bytes(b)]
+    ).to_bytes())
+    return ThetaSketch.from_bytes(blob) if blob else ThetaSketch.new_empty(lg_k, seed)
+
+
+def hll_distinct(ds, column: str, lg_k: int = 12, seed: int = DEFAULT_SEED) -> HllSketch:
+    from raydedup.sketches.hll import coupons_from_hashes
+
+    def partial(col):
+        slot, value = coupons_from_hashes(*_column_hashes(col, seed))
+        return HllSketch(lg_k).update_coupons(slot, value).to_bytes()
+
+    blob = _reduce_sketches(ds, column, partial, lambda a, b: hll_union(
+        [HllSketch.from_bytes(a), HllSketch.from_bytes(b)]
+    ).to_bytes())
+    return HllSketch.from_bytes(blob) if blob else HllSketch(lg_k)
+
+
+def tdigest_of(ds, column: str, k: int = 200) -> TDigest:
+    def partial(col):
+        return TDigest.from_values(col.to_numpy(zero_copy_only=False), k=k).to_bytes()
+
+    blob = _reduce_sketches(ds, column, partial, lambda a, b: tdigest_merge(
+        [TDigest.from_bytes(a), TDigest.from_bytes(b)]
+    ).to_bytes())
+    return TDigest.from_bytes(blob) if blob else TDigest(k)
+
+
+def countmin_of(ds, column: str, num_hashes: int = 5, num_buckets: int = 2048, seed: int = DEFAULT_SEED) -> CountMinSketch:
+    def partial(col):
+        sk = CountMinSketch(num_hashes, num_buckets, seed)
+        vals = col.cast(pa.string()).to_pylist()
+        return sk.update(vals).to_bytes()
+
+    blob = _reduce_sketches(
+        ds,
+        column,
+        partial,
+        lambda a, b: CountMinSketch.from_bytes(a, seed).merge(CountMinSketch.from_bytes(b, seed)).to_bytes(),
+    )
+    return CountMinSketch.from_bytes(blob, seed) if blob else CountMinSketch(num_hashes, num_buckets, seed)
+
+
+def frequent_items_of(ds, column: str, max_map_size: int = 256) -> FrequentItemsSketch:
+    def partial(col):
+        sk = FrequentItemsSketch(max_map_size)
+        return sk.update_batch(col.to_numpy(zero_copy_only=False)).to_bytes()
+
+    blob = _reduce_sketches(
+        ds,
+        column,
+        partial,
+        lambda a, b: FrequentItemsSketch.from_bytes(a).merge(FrequentItemsSketch.from_bytes(b)).to_bytes(),
+    )
+    return FrequentItemsSketch.from_bytes(blob) if blob else FrequentItemsSketch(max_map_size)
+
+
+def bloom_of(ds, column: str, n: int, fpp: float = 0.01, seed: int = DEFAULT_SEED) -> BloomFilter:
+    proto = BloomFilter.with_accuracy(n, fpp, seed)
+
+    def partial(col):
+        h1, _ = _column_hashes(col, seed)
+        bf = BloomFilter(proto.num_bits, proto.num_hashes, seed)
+        return bf.insert(h1).to_bytes()
+
+    blob = _reduce_sketches(
+        ds,
+        column,
+        partial,
+        lambda a, b: BloomFilter.from_bytes(a, seed).union(BloomFilter.from_bytes(b, seed)).to_bytes(),
+    )
+    return BloomFilter.from_bytes(blob, seed) if blob else proto
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregations (ds.groupby(key).aggregate(...))
+# ---------------------------------------------------------------------------
+
+
+class ThetaDistinct(AggregateFnV2):
+    """Per-group approximate distinct count (exact below 2^lg_k)."""
+
+    def __init__(self, on: str, lg_k: int = 12, seed: int = DEFAULT_SEED, alias_name: str | None = None):
+        self._lg_k = lg_k
+        self._seed = seed
+        super().__init__(
+            alias_name or f"theta_distinct({on})",
+            zero_factory=lambda: None,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        col = block.column(self.get_target_column())
+        h1, _ = _column_hashes(col, self._seed)
+        return ThetaSketch.from_hashes(h1 >> U64(1), lg_k=self._lg_k, seed=self._seed).to_bytes()
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return theta_union([ThetaSketch.from_bytes(a), ThetaSketch.from_bytes(b)]).to_bytes()
+
+    def finalize(self, acc):
+        if acc is None:
+            return 0
+        return int(round(ThetaSketch.from_bytes(acc).estimate()))
+
+
+class TDigestQuantile(AggregateFnV2):
+    """Per-group quantile via mergeable t-digest."""
+
+    def __init__(self, on: str, q: float = 0.5, k: int = 200, alias_name: str | None = None):
+        self._q = q
+        self._k = k
+        super().__init__(
+            alias_name or f"tdigest_p{int(q * 100)}({on})",
+            zero_factory=lambda: None,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        col = block.column(self.get_target_column())
+        return TDigest.from_values(col.to_numpy(zero_copy_only=False), k=self._k).to_bytes()
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return tdigest_merge([TDigest.from_bytes(a), TDigest.from_bytes(b)]).to_bytes()
+
+    def finalize(self, acc):
+        if acc is None:
+            return float("nan")
+        return TDigest.from_bytes(acc).quantile(self._q)

@@ -1,0 +1,142 @@
+"""Frequent-items sketch (Misra-Gries variant with count offsets).
+
+Follows the reference (``frequencies/sketch.rs``): a bounded map of
+item → (count, offset-corrected) with purge-by-median when full
+(``reverse_purge_item_hash_map.rs:130-146``: subtract the sampled
+median of counts, drop non-positives, add the subtracted amount to the
+global offset so error bounds hold); merge replays the other sketch's
+(item, count) pairs and adds offsets (``frequencies/sketch.rs:282-295``).
+Guarantees (``frequencies/mod.rs:43-54``): exact if distinct items <
+0.75 * max_map_size; otherwise (UB - LB) <= 3.5 * total_weight / M.
+
+Error types for queries mirror ``ErrorType`` (``frequencies/sketch.rs:48``):
+NO_FALSE_POSITIVES returns items whose lower bound exceeds the
+threshold; NO_FALSE_NEGATIVES uses the upper bound.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+NO_FALSE_POSITIVES = "no_false_positives"
+NO_FALSE_NEGATIVES = "no_false_negatives"
+
+LOAD_FACTOR = 0.75  # frequencies/mod.rs:43-44
+
+
+@dataclass
+class FrequentItemsSketch:
+    max_map_size: int
+    counts: dict = field(default_factory=dict)
+    offset: int = 0
+    total_weight: int = 0
+
+    @property
+    def capacity(self) -> int:
+        return int(self.max_map_size * LOAD_FACTOR)
+
+    def _purge(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        median = int(np.median(vals))
+        self.offset += median
+        self.counts = {k: v - median for k, v in self.counts.items() if v > median}
+
+    def update(self, item, count: int = 1) -> "FrequentItemsSketch":
+        if count <= 0:
+            return self
+        self.total_weight += count
+        self.counts[item] = self.counts.get(item, 0) + count
+        self._purge()
+        return self
+
+    def update_batch(self, items, counts=None) -> "FrequentItemsSketch":
+        """Vectorized batch update: aggregate within the batch first."""
+        items = np.asarray(items)
+        if counts is None:
+            uniq, c = np.unique(items, return_counts=True)
+        else:
+            counts = np.asarray(counts, dtype=np.int64)
+            order = np.argsort(items, kind="stable")
+            si, sc = items[order], counts[order]
+            new = np.ones(len(si), dtype=bool)
+            new[1:] = si[1:] != si[:-1]
+            starts = np.nonzero(new)[0]
+            uniq, c = si[starts], np.add.reduceat(sc, starts)
+        self.total_weight += int(c.sum())
+        for item, cnt in zip(uniq.tolist(), c.tolist()):
+            self.counts[item] = self.counts.get(item, 0) + int(cnt)
+        self._purge()
+        return self
+
+    def merge(self, other: "FrequentItemsSketch") -> "FrequentItemsSketch":
+        out = FrequentItemsSketch(min(self.max_map_size, other.max_map_size))
+        out.total_weight = self.total_weight + other.total_weight
+        out.offset = self.offset + other.offset
+        merged = dict(self.counts)
+        for k, v in other.counts.items():
+            merged[k] = merged.get(k, 0) + v
+        out.counts = merged
+        out._purge()
+        return out
+
+    # -- queries -----------------------------------------------------------
+
+    def estimate(self, item) -> int:
+        c = self.counts.get(item)
+        return (c + self.offset) if c is not None else 0
+
+    def lower_bound(self, item) -> int:
+        c = self.counts.get(item)
+        return c if c is not None else 0
+
+    def upper_bound(self, item) -> int:
+        c = self.counts.get(item, 0)
+        return c + self.offset
+
+    def maximum_error(self) -> int:
+        return self.offset
+
+    def frequent_items(self, error_type: str = NO_FALSE_POSITIVES, threshold: int | None = None):
+        """[(item, estimate, lb, ub)] sorted by estimate desc."""
+        t = self.offset if threshold is None else threshold
+        rows = []
+        for item, c in self.counts.items():
+            lb, ub = c, c + self.offset
+            bound = lb if error_type == NO_FALSE_POSITIVES else ub
+            if bound > t:
+                rows.append((item, c + self.offset, lb, ub))
+        rows.sort(key=lambda r: (-r[1], str(r[0])))
+        return rows
+
+    # -- serde (string/int items) -----------------------------------------
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        from . import codec
+
+        payload = json.dumps(
+            {
+                "max": self.max_map_size,
+                "offset": self.offset,
+                "total": self.total_weight,
+                "items": list(self.counts.keys()),
+                "counts": list(self.counts.values()),
+            }
+        ).encode()
+        return codec.pack_header(codec.FAMILY_FREQUENCY, 0, 0, 1) + payload
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "FrequentItemsSketch":
+        import json
+
+        from . import codec
+
+        codec.unpack_header(buf, codec.FAMILY_FREQUENCY)
+        d = json.loads(buf[codec.HEADER_SIZE :])
+        sk = cls(d["max"], dict(zip(d["items"], d["counts"])), d["offset"], d["total"])
+        return sk

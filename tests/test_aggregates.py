@@ -1,0 +1,108 @@
+"""Ray Data sketch-aggregation layer (shared Ray session)."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from raydedup.sketches.aggregates import (
+    TDigestQuantile,
+    ThetaDistinct,
+    bloom_of,
+    countmin_of,
+    frequent_items_of,
+    hll_distinct,
+    tdigest_of,
+    theta_distinct,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_theta_distinct_exact_mode(ray_session, lineitem):
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select count(distinct l_orderkey) from '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    sk = theta_distinct(lineitem, "l_orderkey", lg_k=16)
+    assert sk.estimate() == exact
+
+
+def test_hll_distinct_tolerance(ray_session, lineitem):
+    import duckdb
+
+    exact = duckdb.sql(
+        f"select count(distinct l_orderkey) from '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    sk = hll_distinct(lineitem, "l_orderkey", lg_k=12)
+    assert abs(sk.estimate() - exact) / exact < 0.05
+
+
+def test_tdigest_of_median(ray_session, lineitem):
+    import duckdb
+
+    true_med = duckdb.sql(f"select median(l_quantity) from '{SF}/lineitem.parquet'").fetchone()[0]
+    td = tdigest_of(lineitem, "l_quantity")
+    assert abs(td.quantile(0.5) - true_med) < 2.0
+    assert abs(td.rank(true_med) - 0.5) < 0.05
+
+
+def test_countmin_of(ray_session, lineitem):
+    import duckdb
+
+    sk = countmin_of(lineitem, "l_returnflag", 4, 64)
+    true = dict(
+        duckdb.sql(
+            f"select l_returnflag, count(*) from '{SF}/lineitem.parquet' group by 1"
+        ).fetchall()
+    )
+    for k, v in true.items():
+        assert sk.estimate([k])[0] >= v
+        assert sk.estimate([k])[0] <= v + sk.relative_error() * sk.total_weight
+
+
+def test_frequent_items_of(ray_session, lineitem):
+    sk = frequent_items_of(lineitem, "l_returnflag", 64)
+    items = {r[0] for r in sk.frequent_items(threshold=0)}
+    assert items == {"A", "N", "R"}
+    assert sk.maximum_error() == 0  # exact below load factor
+
+
+def test_bloom_of(ray_session, lineitem):
+    import duckdb
+
+    bf = bloom_of(lineitem, "l_orderkey", n=5000, fpp=0.01)
+    keys = duckdb.sql(
+        f"select distinct l_orderkey from '{SF}/lineitem.parquet'"
+    ).df()["l_orderkey"].to_numpy()
+    from raydedup.sketches.hashing import hash_u64_column
+
+    h1, _ = hash_u64_column(keys)
+    assert bf.contains(h1).all()  # no false negatives
+
+
+def test_grouped_sketch_aggregation(ray_session, lineitem):
+    import duckdb
+
+    out = (
+        lineitem.groupby("l_returnflag")
+        .aggregate(
+            ThetaDistinct("l_orderkey", lg_k=16, alias_name="n_orders"),
+            TDigestQuantile("l_quantity", 0.5, alias_name="med_qty"),
+        )
+        .to_pandas()
+        .set_index("l_returnflag")
+    )
+    truth = duckdb.sql(
+        f"""select l_returnflag, count(distinct l_orderkey) n, median(l_quantity) m
+            from '{SF}/lineitem.parquet' group by 1"""
+    ).df().set_index("l_returnflag")
+    for flag in truth.index:
+        assert out.loc[flag, "n_orders"] == truth.loc[flag, "n"]
+        assert abs(out.loc[flag, "med_qty"] - truth.loc[flag, "m"]) < 3.0

@@ -1,0 +1,250 @@
+"""HLL / t-digest / count-min / frequent-items / Bloom conformance.
+
+Tolerances mirror the reference's own tests (SURVEY.md §5-6):
+HLL ~1.6% RSE at lg_k=12, count-min UB guarantee, frequent-items
+NoFalseNegatives completeness, Bloom fpp target, t-digest rank
+accuracy at the extremes, merge == single-pass for all.
+"""
+
+import numpy as np
+import pytest
+
+from raydedup.sketches.bloom import BloomFilter
+from raydedup.sketches.codec import CodecError
+from raydedup.sketches.countmin import CountMinSketch, suggest_num_buckets, suggest_num_hashes
+from raydedup.sketches.frequencies import (
+    NO_FALSE_NEGATIVES,
+    NO_FALSE_POSITIVES,
+    FrequentItemsSketch,
+)
+from raydedup.sketches.hll import HllSketch, coupons_for_ints, hll_union, leading_zeros64
+from raydedup.sketches.tdigest import TDigest, tdigest_merge
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_leading_zeros_exact():
+    vals = np.array([0, 1, 2, 3, 2**63, 2**63 - 1, 2**32, 2**64 - 1], dtype=np.uint64)
+    exp = [64, 63, 62, 62, 0, 1, 31, 0]
+    assert leading_zeros64(vals).tolist() == exp
+
+
+def test_hll_small_exact_via_linear_counting():
+    sk = HllSketch(12).update_ints(np.arange(100))
+    assert abs(sk.estimate() - 100) < 2
+
+
+def test_hll_accuracy_lgk12():
+    # hll/sketch.rs:73-75: ~1.6% RSE at lg_k=12; assert 3 sigma
+    for n in (10_000, 100_000):
+        sk = HllSketch(12).update_ints(np.arange(n))
+        assert abs(sk.estimate() - n) / n < 0.05, (n, sk.estimate())
+
+
+def test_hll_duplicates():
+    sk = HllSketch(12).update_ints(np.zeros(1000, dtype=np.int64))
+    assert abs(sk.estimate() - 1.0) < 0.01
+
+
+def test_hll_union_matches_single_pass():
+    parts = [HllSketch(12).update_ints(np.arange(i * 5000, (i + 1) * 5000)) for i in range(8)]
+    merged = hll_union(parts)
+    single = HllSketch(12).update_ints(np.arange(40_000))
+    np.testing.assert_array_equal(merged.regs, single.regs)  # identical registers
+
+
+def test_hll_union_mixed_lgk():
+    a = HllSketch(12).update_ints(np.arange(0, 20_000))
+    b = HllSketch(10).update_ints(np.arange(10_000, 30_000))
+    u = hll_union([a, b])
+    assert u.lg_k == 10
+    assert abs(u.estimate() - 30_000) / 30_000 < 0.12
+
+
+def test_hll_coupon_matches_reference_scheme():
+    # coupon = (min(lz(h2),62)+1, h1 & mask26) — hll/mod.rs:217-228
+    from raydedup.sketches.hashing import hash_u64_column
+
+    vals = np.arange(50, dtype=np.int64)
+    h1, h2 = hash_u64_column(vals)
+    slot, value = coupons_for_ints(vals)
+    np.testing.assert_array_equal(slot, (h1 & np.uint64((1 << 26) - 1)).astype(np.uint32))
+    assert (value >= 1).all() and (value <= 63).all()
+
+
+def test_hll_serde():
+    sk = HllSketch(12).update_ints(np.arange(5000))
+    rt = HllSketch.from_bytes(sk.to_bytes())
+    np.testing.assert_array_equal(rt.regs, sk.regs)
+    assert rt.lg_k == sk.lg_k
+
+
+# ------------------------------------------------------------ t-digest
+
+
+def test_tdigest_quantiles_uniform():
+    rng = np.random.default_rng(42)
+    v = rng.random(10_000)
+    td = TDigest.from_values(v)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert abs(td.quantile(q) - q) < 0.02, q
+    assert td.quantile(0.0) == v.min()
+    assert td.quantile(1.0) == v.max()
+
+
+def test_tdigest_rank_extremes_tight():
+    v = np.random.default_rng(1).normal(size=10_000)
+    td = TDigest.from_values(v)
+    for q in (0.001, 0.999):
+        true_val = np.quantile(v, q)
+        assert abs(td.rank(true_val) - q) < 0.005
+
+
+def test_tdigest_bounded_centroids():
+    td = TDigest.from_values(np.random.default_rng(2).random(100_000))
+    assert len(td.means) < 4 * td.k
+
+
+def test_tdigest_merge_matches_single_pass():
+    rng = np.random.default_rng(3)
+    v = rng.normal(size=40_000)
+    parts = [TDigest.from_values(v[i::8]) for i in range(8)]
+    merged = tdigest_merge(parts)
+    single = TDigest.from_values(v)
+    assert merged.total_weight == 40_000
+    for q in (0.1, 0.5, 0.9):
+        assert abs(merged.quantile(q) - single.quantile(q)) < 0.05
+    assert merged.min == single.min and merged.max == single.max
+
+
+def test_tdigest_nan_inf_ignored():
+    td = TDigest.from_values(np.array([1.0, np.nan, 2.0, np.inf, -np.inf, 3.0]))
+    assert td.total_weight == 3
+    assert td.min == 1.0 and td.max == 3.0
+
+
+def test_tdigest_serde():
+    td = TDigest.from_values(np.random.default_rng(4).random(1000))
+    rt = TDigest.from_bytes(td.to_bytes())
+    np.testing.assert_array_equal(rt.means, td.means)
+    assert rt.quantile(0.5) == td.quantile(0.5)
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_countmin_config_helpers():
+    # countmin/sketch.rs:131-151
+    assert suggest_num_buckets(0.2) == 14
+    assert suggest_num_hashes(0.95) == 3
+
+
+def test_countmin_never_underestimates():
+    rng = np.random.default_rng(5)
+    items = np.array([f"item_{i}" for i in rng.zipf(1.3, 5000) % 500])
+    sk = CountMinSketch(5, 256).update(items)
+    uniq, true_counts = np.unique(items, return_counts=True)
+    est = sk.estimate(uniq)
+    assert (est >= true_counts).all()
+    ub = sk.upper_bound(uniq)
+    assert (ub >= est).all()
+    # UB guarantee: est <= true + eps * total_weight at >=1-delta conf;
+    # check the aggregate bound holds for the vast majority
+    eps = sk.relative_error()
+    ok = est <= true_counts + eps * sk.total_weight
+    assert ok.mean() > 0.99
+
+
+def test_countmin_merge():
+    a = CountMinSketch(4, 128).update(["x"] * 10 + ["y"] * 3)
+    b = CountMinSketch(4, 128).update(["x"] * 5)
+    m = a.merge(b)
+    assert m.estimate(["x"])[0] >= 15
+    assert m.total_weight == 18
+    with pytest.raises(CodecError):
+        a.merge(CountMinSketch(3, 128))
+
+
+def test_countmin_weighted_and_serde():
+    sk = CountMinSketch(4, 64).update(["a", "b"], weights=[7, 2])
+    assert sk.estimate(["a"])[0] >= 7
+    rt = CountMinSketch.from_bytes(sk.to_bytes())
+    np.testing.assert_array_equal(rt.counts, sk.counts)
+    assert rt.total_weight == sk.total_weight
+
+
+# ------------------------------------------------------- frequent items
+
+
+def test_frequencies_exact_below_load():
+    sk = FrequentItemsSketch(64)
+    sk.update_batch(np.array(["a"] * 10 + ["b"] * 5 + ["c"]))
+    assert sk.estimate("a") == 10 and sk.estimate("b") == 5 and sk.estimate("c") == 1
+    assert sk.maximum_error() == 0
+
+
+def test_frequencies_error_bound():
+    # (UB-LB) <= total_weight * 3.5 / max_map_size (frequencies/mod.rs:53-54)
+    rng = np.random.default_rng(6)
+    items = rng.zipf(1.2, 20_000) % 2000
+    sk = FrequentItemsSketch(128)
+    for chunk in np.array_split(items, 20):
+        sk.update_batch(chunk)
+    assert sk.maximum_error() <= sk.total_weight * 3.5 / 128
+
+
+def test_frequencies_no_false_negatives():
+    rng = np.random.default_rng(7)
+    items = np.concatenate([np.repeat(999_999, 3000), rng.integers(0, 5000, 17_000)])
+    rng.shuffle(items)
+    sk = FrequentItemsSketch(256)
+    for chunk in np.array_split(items, 10):
+        sk.update_batch(chunk)
+    heavy = [r[0] for r in sk.frequent_items(NO_FALSE_NEGATIVES, threshold=2000)]
+    assert 999_999 in heavy
+
+
+def test_frequencies_merge_and_serde():
+    a = FrequentItemsSketch(64).update_batch(np.array(["x"] * 20 + ["y"] * 2))
+    b = FrequentItemsSketch(64).update_batch(np.array(["x"] * 10 + ["z"] * 4))
+    m = a.merge(b)
+    assert m.estimate("x") >= 30
+    assert m.total_weight == 36
+    rt = FrequentItemsSketch.from_bytes(m.to_bytes())
+    assert rt.estimate("x") == m.estimate("x")
+    assert rt.offset == m.offset
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    n = 10_000
+    bf = BloomFilter.with_accuracy(n, 0.01)
+    inserted = np.arange(n, dtype=np.uint64) * np.uint64(2654435761)
+    bf.insert(inserted)
+    assert bf.contains(inserted).all()
+    probe = (np.arange(n, dtype=np.uint64) + np.uint64(10**12)) * np.uint64(99991)
+    fpp = bf.contains(probe).mean()
+    assert fpp < 0.02, fpp
+    assert abs(bf.estimated_fpp() - fpp) < 0.02
+
+
+def test_bloom_union_intersect():
+    a = BloomFilter(4096, 4).insert(np.arange(100, dtype=np.uint64))
+    b = BloomFilter(4096, 4).insert(np.arange(50, 150, dtype=np.uint64))
+    u = a.union(b)
+    assert u.contains(np.arange(150, dtype=np.uint64)).all()
+    i = a.intersect(b)
+    assert i.contains(np.arange(50, 100, dtype=np.uint64)).all()
+    with pytest.raises(CodecError):
+        a.union(BloomFilter(8192, 4))
+
+
+def test_bloom_strings_and_serde():
+    bf = BloomFilter(4096, 3).insert_strings(["alpha", "beta", "gamma"])
+    assert bf.contains_strings(["alpha", "beta", "gamma"]).all()
+    assert not bf.contains_strings(["delta"])[0]
+    rt = BloomFilter.from_bytes(bf.to_bytes())
+    np.testing.assert_array_equal(rt.bits, bf.bits)
+    assert rt.contains_strings(["alpha"])[0]
