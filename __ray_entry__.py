@@ -249,6 +249,74 @@ def _q_heavy_hitter_sources(sf_dir: str):
     )
 
 
+def _q_ann_topk(sf_dir: str):
+    """Exact top-10 cosine neighbours of the first 5 embedding rows."""
+    import ray.data as rd
+
+    from raydedup.ops.ann import topk_cosine
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy())
+    out = topk_cosine(ds, queries_m, k=10).to_pandas()
+    # DuckDB's list_cosine_similarity runs in float32 (~1e-7 noise), so
+    # the oracle contract is top-k MEMBERSHIP, not float-equal scores.
+    out = out.sort_values(["query_id", "vec_id"])[["query_id", "vec_id"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs over documents (rows-only)."""
+    import ray.data as rd
+
+    from raydedup.ops.simhash import SimHashStage, simhash_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fp = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs={"id_column": "doc_id"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return simhash_pairs(fp, "doc_id", max_hamming=3, n_buckets=32).sort(["id_a", "id_b"])
+
+
+def _q_langid(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import LangIdStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4)).sort("doc_id")
+
+
+def _q_quality_scores(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import quality_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out = quality_scores(b, "doc_id")
+        for c in ("punct_ratio", "digit_ratio", "mean_word_len"):
+            out = out.set_column(out.column_names.index(c), c, pc.round(out[c], ndigits=6))
+        return out
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: deterministic fake corpus + decode stage."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import decode_images, synth_image_table
+
+    ds = rd.from_arrow(synth_image_table(500, seed=42))
+    feats = decode_images(ds, mode="fake", batch_size=64)
+    return feats.sort("image_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -265,6 +333,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "ann_topk": _q_ann_topk,
+        "simhash_pairs": _q_simhash_pairs,
+        "langid": _q_langid,
+        "quality_scores": _q_quality_scores,
+        "image_features": _q_image_features,
     }
 
 
@@ -326,6 +399,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
-        # fingerprints / dedup_assignments / quantity_quantiles:
-        # murmur3- or sketch-based, not SQL-reproducible bit-for-bit
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5)
+            SELECT qid AS query_id, e.vec_id
+            FROM q CROSS JOIN embeddings e
+            QUALIFY row_number() OVER (
+                PARTITION BY qid
+                ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id
+            ) <= 10
+            ORDER BY query_id, vec_id
+        """,
+        "quality_scores": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     greatest(length(text), 1) AS total,
+                     length(text) - length(replace(text, ' ', '')) AS ws
+              FROM documents
+            ), counted AS (
+              SELECT doc_id, total, ws,
+                     (length(text) - length(replace(text,'.','')))
+                   + (length(text) - length(replace(text,',','')))
+                   + (length(text) - length(replace(text,';','')))
+                   + (length(text) - length(replace(text,':','')))
+                   + (length(text) - length(replace(text,'!','')))
+                   + (length(text) - length(replace(text,'?','')))
+                   + (length(text) - length(replace(text,'"','')))
+                   + (length(text) - length(replace(text,'''','')))
+                   + (length(text) - length(replace(text,'(','')))
+                   + (length(text) - length(replace(text,')','')))
+                   + (length(text) - length(replace(text,'[','')))
+                   + (length(text) - length(replace(text,']','')))
+                   + (length(text) - length(replace(text,'{','')))
+                   + (length(text) - length(replace(text,'}','')))
+                     AS punct,
+                     (length(text) - length(replace(text,'0','')))
+                   + (length(text) - length(replace(text,'1','')))
+                   + (length(text) - length(replace(text,'2','')))
+                   + (length(text) - length(replace(text,'3','')))
+                   + (length(text) - length(replace(text,'4','')))
+                   + (length(text) - length(replace(text,'5','')))
+                   + (length(text) - length(replace(text,'6','')))
+                   + (length(text) - length(replace(text,'7','')))
+                   + (length(text) - length(replace(text,'8','')))
+                   + (length(text) - length(replace(text,'9','')))
+                     AS digits
+              FROM t
+            )
+            SELECT doc_id,
+                   round(punct / CAST(total AS DOUBLE), 6) AS punct_ratio,
+                   round(digits / CAST(total AS DOUBLE), 6) AS digit_ratio,
+                   round((total - ws) / greatest(ws + 1.0, 1.0), 6) AS mean_word_len
+            FROM counted ORDER BY doc_id
+        """,
+        # fingerprints / dedup_assignments / quantity_quantiles /
+        # simhash_pairs / langid / image_features: murmur3- or
+        # sketch-based (or no SQL-visible input), driver records
+        # rows-only checks
     }

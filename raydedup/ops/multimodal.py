@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as Arrow ``binary`` cells with sidecar
+metadata columns (mime, width/height or sample rate, byte size).
+Decode / feature-extraction stages are actor pools with small batch
+sizes (large payloads × concurrency must fit worker heaps —
+ray_guide.md memory note).
+
+The decode kernels themselves are STUBBED in this container (no
+image/audio libraries): ``DecodeImageStage`` raises
+``NotImplementedError`` in ``real`` mode and produces deterministic
+fake features in ``fake`` mode — the Ray-side plumbing (schema,
+actor signature, batch sizing, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raydedup.sketches.hashing import hash_strings
+
+FEATURE_DIM = 64
+
+
+def synth_image_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake image corpus: (image_id, payload, mime, width,
+    height, n_bytes)."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(256, 4096, size=n)
+    payloads = [rng.integers(0, 256, size=s, dtype=np.uint8).tobytes() for s in sizes]
+    w = rng.integers(16, 512, size=n).astype(np.int32)
+    h = rng.integers(16, 512, size=n).astype(np.int32)
+    return pa.table(
+        {
+            "image_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/fake"] * n, pa.string()),
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "n_bytes": pa.array(sizes.astype(np.int64)),
+        }
+    )
+
+
+class DecodeImageStage:
+    """Actor-pool stage: (image_id, payload, ...) → (image_id, features).
+
+    ``mode='real'`` would decode with PIL/libjpeg — unavailable in this
+    container, so it raises ``NotImplementedError`` with the exact
+    integration point documented. ``mode='fake'`` derives a
+    deterministic FEATURE_DIM-float vector from the payload bytes
+    (murmur3-seeded), so schema, determinism, and batch plumbing are
+    fully exercisable.
+    """
+
+    def __init__(self, mode: str = "fake", feature_dim: int = FEATURE_DIM):
+        if mode not in ("fake", "real"):
+            raise ValueError(f"unknown mode {mode}")
+        self.mode = mode
+        self.dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real image decode needs PIL/opencv: decode batch['payload'] "
+                "bytes per row, resize, and emit float32 features here"
+            )
+        h1, h2 = hash_strings(batch["payload"])
+        # deterministic fake features: seeded per-payload PRNG expansion
+        feats = np.empty((len(batch), self.dim), dtype=np.float32)
+        for j in range(self.dim // 2):
+            # cheap vectorized expansion: alternate mixes of the two hash words
+            feats[:, 2 * j] = ((h1 >> np.uint64(j % 32)) & np.uint64(0xFFFF)).astype(np.float32) / 65535.0
+            feats[:, 2 * j + 1] = ((h2 >> np.uint64(j % 32)) & np.uint64(0xFFFF)).astype(np.float32) / 65535.0
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), self.dim
+                ),
+            }
+        )
+
+
+def decode_images(ds, mode: str = "fake", batch_size: int = 64, concurrency=(1, 4)):
+    """Large binary payloads → SMALL batches so payload×concurrency fits
+    worker heaps; actor pool amortizes any model/codec setup."""
+    return ds.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

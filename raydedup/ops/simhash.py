@@ -1,0 +1,154 @@
+"""SimHash near-duplicate detection (64-bit charikar fingerprints).
+
+``simhash(doc) = bit-majority over the doc's shingle hashes``: bit j
+of the fingerprint is 1 iff more than half the shingles have bit j
+set. Hamming distance between fingerprints tracks cosine similarity
+of the shingle multisets — a cheaper, lower-resolution complement to
+MinHash (SURVEY.md §2.10 engine additions).
+
+Candidate generation uses the standard block-permutation trick: a
+64-bit fingerprint splits into ``n_blocks`` chunks; two docs within
+hamming distance d must share at least one chunk exactly when
+``n_blocks > d``. Chunks become groupby keys (same shuffle shape as
+the MinHash LSH stage); survivors are verified by exact hamming
+distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raydedup.pipeline.extract import text_to_shingle_sets
+
+U64 = np.uint64
+
+
+def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs,) uint64 fingerprints, vectorized via per-bit reduceat."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=U64)
+    if len(shingles) == 0:
+        return out
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    starts = offsets[:-1][nonempty]
+    half = (counts[nonempty] / 2.0)[:, None]
+    # bit matrix in chunks of 16 bits to bound the working set
+    for b0 in range(0, 64, 16):
+        bits = ((shingles[:, None] >> (np.arange(b0, b0 + 16, dtype=U64))) & U64(1)).astype(np.int32)
+        sums = np.add.reduceat(bits, starts, axis=0)
+        maj = sums > half
+        weights = (U64(1) << np.arange(b0, b0 + 16, dtype=U64))[None, :]
+        out[nonempty] |= (maj * weights).sum(axis=1, dtype=U64)
+    return out
+
+
+def simhash_column(text: pa.Array, k: int = 5, seed: int = 9001) -> np.ndarray:
+    sh, off, _ = text_to_shingle_sets(text, k=k, seed=seed)
+    return simhash_from_shingles(sh, off)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(np.asarray(a, U64), np.asarray(b, U64))
+    # SWAR popcount
+    x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+
+
+class SimHashStage:
+    """Actor-pool stage: (id, text) batch → (id, simhash)."""
+
+    def __init__(self, id_column: str = "url", text_column: str = "text", k: int = 5, seed: int = 9001):
+        self.id_column = id_column
+        self.text_column = text_column
+        self.k = k
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sh = simhash_column(text, self.k, self.seed)
+        return pa.table({self.id_column: batch[self.id_column], "simhash": pa.array(sh, pa.uint64())})
+
+
+def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: int = 4, n_buckets: int = 64):
+    """fingerprints Dataset (id, simhash) → pairs within hamming distance.
+
+    Block-permutation candidates + exact hamming verify; same coarse-
+    bucket vectorized grouping as the MinHash LSH stage.
+    """
+    from raydedup.sketches.hashing import fmix64
+
+    assert n_blocks > max_hamming, "need n_blocks > max_hamming for completeness"
+    width = 64 // n_blocks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(U64)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        mask = U64((1 << width) - 1)
+        chunks = np.stack([(sh >> U64(width * j)) & mask for j in range(n_blocks)], axis=1)
+        block_ids = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        flat = chunks.reshape(-1)
+        bucket = (fmix64(flat ^ fmix64(block_ids.astype(U64))) % U64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket),
+                "block": pa.array(block_ids.astype(np.int32)),
+                "chunk": pa.array(flat, pa.uint64()),
+                "id": pa.array(np.repeat(ids, n_blocks)),
+                "simhash": pa.array(np.repeat(sh, n_blocks), pa.uint64()),
+            }
+        )
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        block = df["block"].to_numpy()
+        chunk = df["chunk"].to_numpy().astype(U64)
+        ids = df["id"].to_numpy()
+        sh = df["simhash"].to_numpy().astype(U64)
+        order = np.lexsort((ids, chunk, block))
+        block, chunk, ids, sh = block[order], chunk[order], ids[order], sh[order]
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (block[1:] != block[:-1]) | (chunk[1:] != chunk[:-1])
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.zeros(len(run_len), dtype=np.int64)
+        np.cumsum(run_len[:-1], out=run_start[1:])
+        out_a, out_b, out_d = [], [], []
+        for s in np.unique(run_len[run_len >= 2]):
+            starts = run_start[run_len == s]
+            members = starts[:, None] + np.arange(s)[None, :]
+            ia, ib = np.triu_indices(int(s), k=1)
+            a_idx = members[:, ia].reshape(-1)
+            b_idx = members[:, ib].reshape(-1)
+            d = hamming_distance(sh[a_idx], sh[b_idx])
+            keep = d <= max_hamming
+            out_a.append(ids[a_idx][keep])
+            out_b.append(ids[b_idx][keep])
+            out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object), "hamming": pd.Series([], dtype=np.int64)}
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        d = np.concatenate(out_d)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return (
+            pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "hamming": d[keep]})
+            .drop_duplicates(["id_a", "id_b"])
+        )
+
+    rows = fingerprints.map_batches(explode, batch_format="pyarrow")
+    pairs = rows.groupby("bucket").map_groups(emit, batch_format="pandas")
+    # cross-bucket dedup (a pair can surface from several blocks)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,62 @@
+"""Checkpoint/resume: kill-and-resume parity, config-change fail-fast."""
+
+import shutil
+
+import pytest
+
+import ray.data as rd
+
+from raydedup.config import DedupConfig
+from raydedup.pipeline.checkpoint import CheckpointManager, ConfigMismatch, run_dedup_checkpointed
+from raydedup.synth import generate_pages
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages, _ = generate_pages(600, seed=11)
+    return pages
+
+
+def test_resume_produces_identical_output(ray_session, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = DedupConfig()
+    pages = rd.from_arrow(corpus)
+
+    ck, asg1 = run_dedup_checkpointed(pages, cfg, root, n_buckets=16, input_lineage=["synth:600@seed11"])
+    df1 = asg1.to_pandas().sort_values("url").reset_index(drop=True)
+
+    # simulate a crash after stage 2: wipe later stages, resume
+    shutil.rmtree(f"{root}/verified")
+    shutil.rmtree(f"{root}/assignments")
+    ck2, asg2 = run_dedup_checkpointed(pages, cfg, root, n_buckets=16)
+    df2 = asg2.to_pandas().sort_values("url").reset_index(drop=True)
+    assert df1.equals(df2)
+
+    # manifests carry lineage + metrics + per-partition rows
+    m = ck2.manifest("signatures")
+    assert m["config_hash"] == cfg.config_hash()
+    assert m["rows"] == 600
+    assert m["lineage"] == ["synth:600@seed11"]
+    assert all("rows" in p for p in m["partitions"])
+    assert "wall_s" in m["metrics"]
+    assert ck2.manifest("verified")["lineage"] == [f"checkpoint:candidates@{cfg.config_hash()}"]
+
+
+def test_changed_config_fails_fast(ray_session, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt2"))
+    pages = rd.from_arrow(corpus)
+    run_dedup_checkpointed(pages, DedupConfig(), root, n_buckets=16)
+    with pytest.raises(ConfigMismatch):
+        run_dedup_checkpointed(pages, DedupConfig(threshold=0.9), root, n_buckets=16)
+
+
+def test_atomic_write_no_partial_stage(ray_session, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt3"))
+    cfg = DedupConfig()
+    ck = CheckpointManager(root, cfg.config_hash())
+    assert not ck.has_stage("signatures")
+    # a leftover tmp dir (simulated crash mid-write) is not a valid stage
+    import os
+
+    os.makedirs(f"{root}/signatures.tmp")
+    assert not ck.has_stage("signatures")
