@@ -51,34 +51,55 @@ class UnionFind:
 
 
 def connected_components(edges_a: np.ndarray, edges_b: np.ndarray) -> dict:
-    """Edge lists of urls → {url: min-url-of-component} for clustered docs."""
+    """Edge lists of urls → {url: min-url-of-component} for clustered docs.
+
+    Node indexing is vectorized (np.unique + searchsorted); the union
+    loop itself is O(E α(N)) over dense int ids. Because nodes are
+    sorted, id order == lexicographic url order, so the min-id root is
+    the min url — deterministic cluster labels.
+    """
+    nodes, roots = connected_components_arrays(edges_a, edges_b)
+    return dict(zip(nodes.tolist(), nodes[roots].tolist()))
+
+
+def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
+    """Vectorized-index variant: returns (sorted nodes, root index per node)."""
     nodes = np.unique(np.concatenate([edges_a, edges_b]))
-    index = {u: i for i, u in enumerate(nodes)}
+    ia = np.searchsorted(nodes, edges_a)
+    ib = np.searchsorted(nodes, edges_b)
     uf = UnionFind(len(nodes))
-    ia = np.fromiter((index[u] for u in edges_a), dtype=np.int64, count=len(edges_a))
-    ib = np.fromiter((index[u] for u in edges_b), dtype=np.int64, count=len(edges_b))
-    for a, b in zip(ia, ib):
-        uf.union(int(a), int(b))
-    roots = np.array([uf.find(i) for i in range(len(nodes))])
-    # min url per component == url of min node id per component, because
-    # nodes are sorted so id order == lexicographic url order
-    comp_min = {}
-    for i, r in enumerate(roots):
-        if r not in comp_min:
-            comp_min[r] = nodes[r]
-    return {nodes[i]: comp_min[r] for i, r in enumerate(roots)}
+    union = uf.union
+    for a, b in zip(ia.tolist(), ib.tolist()):
+        union(a, b)
+    roots = np.fromiter((uf.find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes))
+    return nodes, roots
 
 
 class _AssignStage:
-    """Broadcast-map cluster assignment (url → cluster id, default self)."""
+    """Broadcast-map cluster assignment (url → cluster id, default self).
+
+    The broadcast is three NumPy arrays (sorted url-hashes, root index,
+    fixed-width root labels) — zero-copy out of the object store per
+    actor, unlike a Python dict which would re-deserialize per reader.
+    Lookup is a vectorized searchsorted per batch.
+    """
 
     def __init__(self, ref):
-        self.mapping = ray.get(ref)
+        self.hashes, self.root_idx, self.labels = ray.get(ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].combine_chunks().to_numpy(zero_copy_only=False)
-        m = self.mapping
-        out = np.array([m.get(u, u) for u in urls], dtype=object)
+        urls_arr = batch["url"]
+        if isinstance(urls_arr, pa.ChunkedArray):
+            urls_arr = urls_arr.combine_chunks()
+        urls = urls_arr.to_numpy(zero_copy_only=False)
+        out = urls.copy()
+        if len(self.hashes):
+            from raydedup.sketches.hashing import hash_strings
+
+            h, _ = hash_strings(urls_arr)
+            pos = np.minimum(np.searchsorted(self.hashes, h), len(self.hashes) - 1)
+            hit = self.hashes[pos] == h
+            out[hit] = self.labels[self.root_idx[pos[hit]]]
         return pa.table({"url": batch["url"], "cluster_id": pa.array(out, pa.string())})
 
 
@@ -101,8 +122,16 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
             )
     ea = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=object)
     eb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=object)
-    mapping = connected_components(ea, eb)
-    ref = ray.put(mapping)
+    nodes, root_of = connected_components_arrays(ea, eb)
+    if len(nodes):
+        from raydedup.sketches.hashing import hash_strings
+
+        h, _ = hash_strings(list(nodes))
+        order = np.argsort(h)
+        payload = (h[order], root_of[order].astype(np.int64), nodes.astype(np.str_))
+    else:
+        payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
+    ref = ray.put(payload)
     return corpus.select_columns(["url"]).map_batches(
         _AssignStage, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8)
     )

@@ -131,31 +131,40 @@ def shingle_hashes(
     local = np.arange(total, dtype=np.int64) - np.repeat(sh_offsets[:-1], n_sh)
     win_start = doc_offsets[:-1][doc_of_sh] + local
 
-    words_mat = np.zeros((total, ((k * 8 + 15) // 16) * 2), dtype=U64)
     w_of_sh = w[doc_of_sh]
     full = w_of_sh >= k
-    if full.all():
-        for j in range(k):  # fast path: plain strided gathers
-            words_mat[:, j] = word_h1[win_start + j]
-    else:
-        full_rows = np.nonzero(full)[0]
-        ws = win_start[full]
-        for j in range(k):
-            words_mat[full_rows, j] = word_h1[ws + j]
-        for r in np.nonzero(~full)[0]:  # short docs (<k words) are rare
-            wlen = int(w_of_sh[r])
-            words_mat[r, :wlen] = word_h1[win_start[r] : win_start[r] + wlen]
-
-    # hash full windows (8k bytes) and short docs (8*w bytes) separately
+    ncols = ((k * 8 + 15) // 16) * 2
     out = np.empty(total, dtype=U64)
-    if full.any():
-        h1, _ = murmur3_128_fixed(words_mat[full], 8 * k, seed=seed)
-        out[full] = h1
-    if (~full).any():
+
+    # Full windows: slab the window build + hash so the working set
+    # stays cache-resident per core (the node-level contended resource
+    # is memory bandwidth, not ALU).
+    all_full = full.all()
+    full_pos = None if all_full else np.nonzero(full)[0]
+    ws_full = win_start if all_full else win_start[full_pos]
+    nf = len(ws_full)
+    S = 1 << 14
+    words_mat = np.zeros((min(S, max(nf, 1)), ncols), dtype=U64)
+    for s0 in range(0, nf, S):
+        s1 = min(s0 + S, nf)
+        m = words_mat[: s1 - s0]
+        ws = ws_full[s0:s1]
+        for j in range(k):
+            m[:, j] = word_h1[ws + j]
+        h1, _ = murmur3_128_fixed(m, 8 * k, seed=seed)
+        if all_full:
+            out[s0:s1] = h1
+        else:
+            out[full_pos[s0:s1]] = h1
+
+    if not all_full:  # short docs (<k words), grouped by word count
         short_idx = np.nonzero(~full)[0]
         for wlen in np.unique(w_of_sh[short_idx]):
             sel = short_idx[w_of_sh[short_idx] == wlen]
-            h1, _ = murmur3_128_fixed(words_mat[sel], 8 * int(wlen), seed=seed)
+            sm = np.zeros((len(sel), ncols), dtype=U64)
+            for j in range(int(wlen)):
+                sm[:, j] = word_h1[win_start[sel] + j]
+            h1, _ = murmur3_128_fixed(sm, 8 * int(wlen), seed=seed)
             out[sel] = h1
     return out, sh_offsets
 

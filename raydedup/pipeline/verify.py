@@ -160,13 +160,120 @@ class _VerifyBroadcast:
         return _metrics_from_payloads(ua, ub, pay_a, pay_b, self.num_perms, self.threshold)
 
 
+def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
+    """Fully distributed attach: bucketed cogroup on url, then regroup
+    on pair id — two sort-shuffles over candidate-sized data, nothing
+    driver-side. The 100TB path (hash-partitioned join without Ray's
+    hash-shuffle join operator, which spawns an aggregator actor fleet).
+    """
+    num_perms, threshold = cfg.num_perms, cfg.threshold
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        if m == 0:
+            return pa.table(
+                {
+                    "cbucket": pa.array([], pa.int64()),
+                    "url": pa.array([], pa.string()),
+                    "pair_id": pa.array([], pa.uint64()),
+                    "side": pa.array([], pa.uint8()),
+                    "vpay": pa.array([], pa.binary()),
+                }
+            )
+        ua = batch["url_a"]
+        ub = batch["url_b"]
+        ha = _url_hashes(ua)
+        hb = _url_hashes(ub)
+        from raydedup.sketches.hashing import fmix64
+
+        pair_id = fmix64(ha ^ fmix64(hb))
+        urls = np.concatenate([ua.to_numpy(zero_copy_only=False), ub.to_numpy(zero_copy_only=False)])
+        h = np.concatenate([ha, hb])
+        return pa.table(
+            {
+                "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "url": pa.array(urls),
+                "pair_id": pa.array(np.tile(pair_id, 2), pa.uint64()),
+                "side": pa.array(np.repeat(np.array([0, 1], np.uint8), m)),
+                "vpay": pa.array([None] * (2 * m), pa.binary()),
+            }
+        )
+
+    def tag_payloads(batch: pa.Table) -> pa.Table:
+        h = _url_hashes(batch["url"])
+        return pa.table(
+            {
+                "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "url": batch["url"],
+                "pair_id": pa.array(np.zeros(len(batch), U64), pa.uint64()),
+                "side": pa.array(np.full(len(batch), 255, np.uint8)),
+                "vpay": batch["vpay"],
+            }
+        )
+
+    requests = pairs.map_batches(to_requests, batch_format="pyarrow")
+    payloads = packed.map_batches(tag_payloads, batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_pay = df["side"].to_numpy() == 255
+        pay = df[is_pay]
+        req = df[~is_pay]
+        if len(req) == 0 or len(pay) == 0:
+            return pd.DataFrame(
+                {
+                    "pbucket": pd.Series([], dtype=np.int64),
+                    "pair_id": pd.Series([], dtype=np.uint64),
+                    "side": pd.Series([], dtype=np.uint8),
+                    "url": pd.Series([], dtype=object),
+                    "vpay": pd.Series([], dtype=object),
+                }
+            )
+        merged = req[["pair_id", "side", "url"]].merge(
+            pay[["url", "vpay"]], on="url", how="inner"
+        )
+        merged["pbucket"] = (merged["pair_id"].to_numpy() % U64(n_buckets)).astype(np.int64)
+        return merged[["pbucket", "pair_id", "side", "url", "vpay"]]
+
+    attached = requests.union(payloads).groupby("cbucket").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_METRICS
+        df = df.sort_values(["pair_id", "side"], kind="stable")
+        pid = df["pair_id"].to_numpy()
+        side = df["side"].to_numpy()
+        # keep only pair_ids with both sides present
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = pid[1:] != pid[:-1]
+        run_id = np.cumsum(new) - 1
+        cnt = np.bincount(run_id)
+        ok = cnt[run_id] == 2
+        df = df[ok]
+        if len(df) == 0:
+            return _EMPTY_METRICS
+        a = df[df["side"].to_numpy() == 0]
+        b = df[df["side"].to_numpy() == 1]
+        return _metrics_from_payloads(
+            a["url"].to_numpy(),
+            b["url"].to_numpy(),
+            a["vpay"].to_numpy(),
+            b["vpay"].to_numpy(),
+            num_perms,
+            threshold,
+        )
+
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
+
+
 def verify_pairs(
     pairs,
     signatures,
     cfg: DedupConfig,
     num_partitions: int = 8,
     strategy: str = "auto",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int = 50_000,
 ):
     """pairs (url_a, url_b) × signatures → verified pair metrics Dataset.
 
@@ -189,7 +296,10 @@ def verify_pairs(
     ).map_batches(_pack_payload, batch_format="pyarrow")
 
     if strategy == "auto":
-        strategy = "broadcast" if len(cand_hashes) <= broadcast_limit else "join"
+        strategy = "broadcast" if len(cand_hashes) <= broadcast_limit else "cogroup"
+
+    if strategy == "cogroup":
+        return _verify_cogroup(pairs, packed, cfg, n_buckets=max(16, num_partitions * 8))
 
     if strategy == "broadcast":
         lookup = {}
