@@ -148,6 +148,18 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_distinct_custkeys_cpc(sf_dir: str):
+    """CPC distinct count of order custkeys (approximate; rows-only —
+    the estimate lands within ~3% of exact, asserted in pytest)."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import cpc_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    sk = cpc_distinct(ds, "o_custkey", lg_k=11)
+    return pa.table({"n_distinct_est": pa.array([float(sk.estimate())], pa.float64())})
+
+
 def _q_group_distinct_orders(sf_dir: str):
     """Per-group theta distinct (exact mode at lg_k=16) via AggregateFnV2."""
     import ray.data as rd
@@ -333,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,

@@ -145,6 +145,7 @@ def run_scaling(sf_dir: str) -> dict:
     n_docs = int(os.environ.get("RAYDEDUP_BENCH_DOCS", 0)) or int(
         4 * max(2000, 600_000 * _sf_from_dir(sf_dir))
     )
+    trials = int(os.environ.get("RAYDEDUP_SCALE_TRIALS", "2"))
     for ncpu in (8, 32):
         env = dict(
             os.environ,
@@ -152,14 +153,19 @@ def run_scaling(sf_dir: str) -> dict:
             GRAFT_SF_DIR=sf_dir,
             RAYDEDUP_BENCH_DOCS=str(n_docs),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(trials):  # best-of-N: the VM is noisy-neighbor prone
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     t_lo, t_hi = results[8]["value"], results[32]["value"]
     eff = (t_lo / t_hi) / (32 / 8)
     return {

@@ -75,34 +75,6 @@ def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
     return nodes, roots
 
 
-class _AssignStage:
-    """Broadcast-map cluster assignment (url → cluster id, default self).
-
-    The broadcast is three NumPy arrays (sorted url-hashes, root index,
-    fixed-width root labels) — zero-copy out of the object store per
-    actor, unlike a Python dict which would re-deserialize per reader.
-    Lookup is a vectorized searchsorted per batch.
-    """
-
-    def __init__(self, ref):
-        self.hashes, self.root_idx, self.labels = ray.get(ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls_arr = batch["url"]
-        if isinstance(urls_arr, pa.ChunkedArray):
-            urls_arr = urls_arr.combine_chunks()
-        urls = urls_arr.to_numpy(zero_copy_only=False)
-        out = urls.copy()
-        if len(self.hashes):
-            from raydedup.sketches.hashing import hash_strings
-
-            h, _ = hash_strings(urls_arr)
-            pos = np.minimum(np.searchsorted(self.hashes, h), len(self.hashes) - 1)
-            hit = self.hashes[pos] == h
-            out[hit] = self.labels[self.root_idx[pos[hit]]]
-        return pa.table({"url": batch["url"], "cluster_id": pa.array(out, pa.string())})
-
-
 def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_000):
     """verified dup pairs + corpus → (url, cluster_id) Dataset over all docs.
 
@@ -132,6 +104,21 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
     else:
         payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
     ref = ray.put(payload)
-    return corpus.select_columns(["url"]).map_batches(
-        _AssignStage, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 8)
-    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        hashes, root_idx, labels = ray.get(ref)  # numpy: zero-copy reads
+        urls_arr = batch["url"]
+        if isinstance(urls_arr, pa.ChunkedArray):
+            urls_arr = urls_arr.combine_chunks()
+        urls = urls_arr.to_numpy(zero_copy_only=False)
+        out = urls.copy()
+        if len(hashes):
+            from raydedup.sketches.hashing import hash_strings
+
+            h, _ = hash_strings(urls_arr)
+            pos = np.minimum(np.searchsorted(hashes, h), len(hashes) - 1)
+            hit = hashes[pos] == h
+            out[hit] = labels[root_idx[pos[hit]]]
+        return pa.table({"url": batch["url"], "cluster_id": pa.array(out, pa.string())})
+
+    return corpus.select_columns(["url"]).map_batches(assign, batch_format="pyarrow")

@@ -135,12 +135,19 @@ class SignatureStage:
         )
 
 
-def explode_bands(batch: pa.Table, bands: int, n_buckets: int) -> pa.Table:
+def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_salts: int = 64) -> pa.Table:
     """signatures batch → band rows (bucket, band, band_hash, sig_fp, url).
 
     Docs with zero shingles are excluded (their sentinel signatures
     would all collide with each other). ``bucket`` is a coarse shuffle
     key: fmix of (band, band_hash) mod n_buckets.
+
+    ``hot_keys`` (sorted uint64 array of fmix(band_hash ^ fmix(band))
+    key-hashes from the Misra-Gries pre-pass) triggers *salting*: a hot
+    key's rows are spread over ``n_salts`` buckets by ``sig_fp % n_salts``
+    instead of landing on one task. Rows with equal signatures keep
+    equal salts, so the in-bucket neighbor-chain still pairs identical
+    docs; a mega-key bounds any single task at ~1/n_salts of its rows.
     """
     nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
     n = len(nonempty)
@@ -150,13 +157,20 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int) -> pa.Table:
     urls = _col(nonempty, "url")
     band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
     flat_bh = bh.reshape(-1)
-    bucket = (fmix64(flat_bh ^ fmix64(band_ids.astype(U64))) % U64(n_buckets)).astype(np.int64)
+    sig_fp = np.repeat(_col(nonempty, "sig_fp"), bands)
+    key_hash = fmix64(flat_bh ^ fmix64(band_ids.astype(U64)))
+    if hot_keys is not None and len(hot_keys):
+        pos = np.minimum(np.searchsorted(hot_keys, key_hash), len(hot_keys) - 1)
+        is_hot = hot_keys[pos] == key_hash
+        salt = sig_fp % U64(n_salts)
+        key_hash = np.where(is_hot, fmix64(key_hash ^ fmix64(salt + U64(1))), key_hash)
+    bucket = (key_hash % U64(n_buckets)).astype(np.int64)
     return pa.table(
         {
             "bucket": pa.array(bucket),
             "band": pa.array(band_ids.astype(np.int32)),
             "band_hash": pa.array(flat_bh, pa.uint64()),
-            "sig_fp": pa.array(np.repeat(_col(nonempty, "sig_fp"), bands), pa.uint64()),
+            "sig_fp": pa.array(sig_fp, pa.uint64()),
             "url": pa.array(np.repeat(urls, bands)),
         }
     )
@@ -209,15 +223,71 @@ def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
     return pd.DataFrame({"url_a": lo[keep], "url_b": hi[keep]}).drop_duplicates()
 
 
-def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256):
+def detect_hot_band_keys(
+    signatures,
+    cfg: DedupConfig,
+    sample_every: int = 16,
+    hot_multiple: int = 4,
+    map_size: int = 65536,
+) -> np.ndarray:
+    """Misra-Gries pre-pass over sampled band keys → sorted key-hashes
+    hotter than ``hot_multiple * max_band_group`` (scaled by the sample
+    rate). The sketch is the reference's frequent-items algebra
+    (``frequencies/sketch.rs``) used as the engine's hot-key telemetry
+    (SURVEY.md §2.7 mapping): one bounded-size mergeable partial per
+    block, folded on the driver.
+    """
+    from raydedup.sketches.frequencies import FrequentItemsSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
+        n = len(nonempty)
+        if n == 0:
+            return pa.table({"sketch": pa.array([], pa.binary())})
+        bh = np.asarray(
+            nonempty["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+            dtype=U64,
+        ).reshape(n, cfg.bands)
+        band_ids = np.tile(np.arange(cfg.bands, dtype=np.int64), n)
+        keys = fmix64(bh.reshape(-1) ^ fmix64(band_ids.astype(U64)))[::sample_every]
+        sk = FrequentItemsSketch(map_size).update_batch(keys)
+        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = signatures.select_columns(["n_shingles", "band_hash"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    acc = FrequentItemsSketch(map_size)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["sketch"].to_pylist():
+            acc = acc.merge(FrequentItemsSketch.from_bytes(blob))
+    threshold = max(1, hot_multiple * cfg.max_band_group // sample_every)
+    hot = [int(item) for item, est, lb, ub in acc.frequent_items(threshold=threshold)]
+    return np.sort(np.array(hot, dtype=U64))
+
+
+def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot: bool = False):
     """signatures Dataset → Dataset of distinct candidate pairs.
 
     Two shuffles: band rows on the coarse bucket (the big one, rows are
     ~60 bytes), then pair-dedup on a pair bucket (small — pairs only).
+    ``salt_hot`` adds the Misra-Gries hot-key pre-pass + salting
+    (``detect_hot_band_keys`` / ``explode_bands``) — one extra cheap
+    pass over band hashes; recommended ON at web scale.
     """
-    band_rows = signatures.map_batches(
-        lambda b: explode_bands(b, cfg.bands, n_buckets), batch_format="pyarrow"
-    )
+    hot_ref = None
+    if salt_hot:
+        import ray
+
+        hot = detect_hot_band_keys(signatures, cfg)
+        hot_ref = ray.put(hot)
+
+    def explode(b: pa.Table) -> pa.Table:
+        import ray
+
+        hk = ray.get(hot_ref) if hot_ref is not None else None
+        return explode_bands(b, cfg.bands, n_buckets, hot_keys=hk)
+
+    band_rows = signatures.map_batches(explode, batch_format="pyarrow")
     pairs = band_rows.groupby("bucket").map_groups(
         lambda df: emit_pairs_bucket(df, cfg.max_band_group), batch_format="pandas"
     )

@@ -60,6 +60,7 @@ def run_dedup(
     num_join_partitions: int = 32,
     with_substring_confirm: bool = False,
     concurrency=(1, 8),
+    salt_hot: bool = False,
 ) -> DedupResult:
     """pages Dataset (url, text[, html...]) → DedupResult of lazy Datasets.
 
@@ -74,10 +75,12 @@ def run_dedup(
     # signatures feed two consumers (banding and the verify attach) —
     # materialize once so the actor stage runs a single time.
     sigs = sigs.materialize()
-    cands = candidate_pairs(sigs, cfg, n_buckets=n_buckets).materialize()
+    cands = candidate_pairs(sigs, cfg, n_buckets=n_buckets, salt_hot=salt_hot).materialize()
     verified = verify_pairs(cands, sigs, cfg, num_partitions=num_join_partitions).materialize()
     dup_pairs = verified.filter(expr="is_dup")
-    assignments = cluster_assignments(dup_pairs, pages_slim)
+    # assign over the materialized signatures (same url universe as the
+    # corpus) so the raw input isn't re-read a second time
+    assignments = cluster_assignments(dup_pairs, sigs)
     substr = None
     if with_substring_confirm:
         flagged = verified.filter(expr="substring_candidate")

@@ -52,7 +52,11 @@ def _url_hashes(col) -> np.ndarray:
 
 
 class _SemiFilter:
-    """Keep signature rows whose url-hash is in the broadcast sorted set."""
+    """Keep signature rows whose url-hash is in the broadcast sorted set.
+
+    Used as a plain task function via ``semi_filter_fn`` — the state is
+    one sorted uint64 array, a zero-copy ``ray.get`` per task.
+    """
 
     def __init__(self, ref):
         self.keep = ray.get(ref)
@@ -63,6 +67,15 @@ class _SemiFilter:
         h = _url_hashes(batch["url"])
         idx = np.minimum(np.searchsorted(self.keep, h), len(self.keep) - 1)
         return batch.filter(pa.array(self.keep[idx] == h))
+
+
+def _semi_filter_fn(batch: pa.Table, ref) -> pa.Table:
+    keep = ray.get(ref)  # zero-copy numpy view from the object store
+    if len(keep) == 0 or len(batch) == 0:
+        return batch.slice(0, 0)
+    h = _url_hashes(batch["url"])
+    idx = np.minimum(np.searchsorted(keep, h), len(keep) - 1)
+    return batch.filter(pa.array(keep[idx] == h))
 
 
 def _pack_payload(batch: pa.Table) -> pa.Table:
@@ -292,7 +305,7 @@ def verify_pairs(
 
     sig_cols = signatures.select_columns(["url", "shingles", "theta", "sig"])
     packed = sig_cols.map_batches(
-        _SemiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+        _semi_filter_fn, fn_args=(ref,), batch_format="pyarrow"
     ).map_batches(_pack_payload, batch_format="pyarrow")
 
     if strategy == "auto":
@@ -366,14 +379,30 @@ class _CheckSubstring:
         ua = batch["url_a"].to_numpy(zero_copy_only=False)
         ub = batch["url_b"].to_numpy(zero_copy_only=False)
         tx = self.texts
-        out = []
-        for a, b in zip(ua, ub):
+        # group probes by wrapper (the longer side): a boilerplate host
+        # with many flagged candidates gets ONE suffix index instead of
+        # a linear scan per probe (ops/suffixarray.py)
+        from collections import defaultdict
+
+        by_wrapper: dict = defaultdict(list)
+        out = np.zeros(len(ua), dtype=bool)
+        for i, (a, b) in enumerate(zip(ua, ub)):
             ta, tb = tx.get(a), tx.get(b)
             if ta is None or tb is None:
-                out.append(False)
+                continue
+            if len(ta) <= len(tb):
+                by_wrapper[b].append((i, ta))
             else:
-                out.append(ta in tb if len(ta) <= len(tb) else tb in ta)
-        return pd.DataFrame({"url_a": ua, "url_b": ub, "substring": np.array(out, dtype=bool)})
+                by_wrapper[a].append((i, tb))
+        from raydedup.ops.suffixarray import confirm_substring_batch
+
+        for wrapper, probes in by_wrapper.items():
+            res = confirm_substring_batch(
+                tx[wrapper].encode(), [p.encode() for _, p in probes]
+            )
+            for (i, _), r in zip(probes, res):
+                out[i] = r
+        return pd.DataFrame({"url_a": ua, "url_b": ub, "substring": out})
 
 
 def confirm_substrings(substring_pairs, pages, num_partitions: int = 4):

@@ -132,6 +132,20 @@ def frequent_items_of(ds, column: str, max_map_size: int = 256) -> FrequentItems
     return FrequentItemsSketch.from_bytes(blob) if blob else FrequentItemsSketch(max_map_size)
 
 
+def cpc_distinct(ds, column: str, lg_k: int = 11, seed: int = DEFAULT_SEED):
+    """Distinct count via CPC bit-matrix partials + OR-merge."""
+    from raydedup.sketches.cpc import CpcSketch, cpc_union
+
+    def partial(col):
+        h1, h2 = _column_hashes(col, seed)
+        return CpcSketch(lg_k).update_hashes(h1, h2).to_bytes()
+
+    blob = _reduce_sketches(ds, column, partial, lambda a, b: cpc_union(
+        [CpcSketch.from_bytes(a), CpcSketch.from_bytes(b)]
+    ).to_bytes())
+    return CpcSketch.from_bytes(blob) if blob else CpcSketch(lg_k)
+
+
 def bloom_of(ds, column: str, n: int, fpp: float = 0.01, seed: int = DEFAULT_SEED) -> BloomFilter:
     proto = BloomFilter.with_accuracy(n, fpp, seed)
 

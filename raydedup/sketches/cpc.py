@@ -1,0 +1,135 @@
+"""CPC (Compressed Probabilistic Counting / FM85) sketch — bit-matrix form.
+
+Follows the reference's coupon scheme exactly
+(``cpc/sketch.rs:193-209``): murmur3-128 of the value,
+``row = h1 & (k-1)``, ``col = min(lz(h2), 63)``; a coupon is the bit
+``(row, col)``. State is kept as the full k x 64 bit matrix
+(``uint64[k]``, bit ``col`` of word ``row``) — the same matrix
+``CpcUnion`` accumulates (``cpc/union.rs:26-62``), so union is a
+plain ``bitwise_or`` and is associative/commutative for any mix of
+sketches at equal lg_k (downsampling to smaller lg_k ORs row groups,
+mirroring ``cpc/union.rs``'s case analysis without the windowed
+compression forms, which are memory optimizations for tiny sketches).
+
+Estimator: method-of-moments inversion of the expected coupon count
+
+    E[C](n) = k * sum_c (1 - exp(-n * 2^-(c+1) / k))
+
+solved for n by bisection — statistically sound on the OR-merged
+matrix (every merge order gives the same matrix, hence the same
+estimate), with RSE comparable to the reference's ICON estimator
+(asserted at the reference's tested operating point lg_k=11, n=1e4,
+``cpc_update_test.rs:27,57-60``) but without porting its ~13k lines
+of generated compression/ICON tables. Compression is likewise
+skipped: serialized form is the raw bit matrix (``codec.py`` header).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import codec
+from .hashing import DEFAULT_SEED, hash_strings, hash_u64_column
+from .hll import leading_zeros64
+
+U64 = np.uint64
+MIN_LG_K, MAX_LG_K = 4, 26
+
+
+def coupons_from_hashes(h1: np.ndarray, h2: np.ndarray, lg_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row, col) per cpc/sketch.rs:193-209."""
+    k = 1 << lg_k
+    row = (h1 & U64(k - 1)).astype(np.int64)
+    col = np.minimum(leading_zeros64(h2), 63).astype(np.int64)
+    # reference avoids the row_col == u32::MAX sentinel by flipping a row bit
+    sentinel = (row == (k - 1)) & (col == 63) & (k - 1 == (1 << 26) - 1)
+    row = np.where(sentinel, row ^ 1, row)
+    return row, col
+
+
+@dataclass
+class CpcSketch:
+    lg_k: int = 11
+    matrix: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if not MIN_LG_K <= self.lg_k <= MAX_LG_K:
+            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}]")
+        if self.matrix is None:
+            self.matrix = np.zeros(1 << self.lg_k, dtype=U64)
+
+    @property
+    def num_coupons(self) -> int:
+        m = self.matrix
+        # vectorized popcount over the matrix
+        x = m.copy()
+        x = x - ((x >> U64(1)) & U64(0x5555555555555555))
+        x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+        x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+        return int(((x * U64(0x0101010101010101)) >> U64(56)).sum())
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "CpcSketch":
+        row, col = coupons_from_hashes(h1, h2, self.lg_k)
+        np.bitwise_or.at(self.matrix, row, U64(1) << col.astype(U64))
+        return self
+
+    def update_strings(self, column, seed: int = DEFAULT_SEED) -> "CpcSketch":
+        return self.update_hashes(*hash_strings(column, seed=seed))
+
+    def update_ints(self, values, seed: int = DEFAULT_SEED) -> "CpcSketch":
+        return self.update_hashes(*hash_u64_column(np.asarray(values), seed=seed))
+
+    def _expected_coupons(self, n: float) -> float:
+        k = float(1 << self.lg_k)
+        c = np.arange(64, dtype=np.float64)
+        return float(k * np.sum(-np.expm1(-n * np.exp2(-(c + 1.0)) / k)))
+
+    def estimate(self) -> float:
+        c = self.num_coupons
+        if c == 0:
+            return 0.0
+        lo, hi = 1.0, 2.0
+        while self._expected_coupons(hi) < c and hi < 1e18:
+            lo, hi = hi, hi * 2
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if self._expected_coupons(mid) < c:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    def merge(self, other: "CpcSketch") -> "CpcSketch":
+        return cpc_union([self, other])
+
+    def to_bytes(self) -> bytes:
+        head = codec.pack_header(codec.FAMILY_CPC, self.lg_k, 0, 1)
+        return head + self.matrix.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CpcSketch":
+        lg_k, _, _ = codec.unpack_header(buf, codec.FAMILY_CPC)
+        m = np.frombuffer(buf, U64, 1 << lg_k, codec.HEADER_SIZE).copy()
+        return cls(lg_k, m)
+
+
+def downsample(matrix: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:
+    """OR row groups to fold k down — valid because col derives from h2
+    alone and row low bits are preserved (cpc/union.rs case analysis)."""
+    if lg_from == lg_to:
+        return matrix
+    assert lg_from > lg_to
+    folded = matrix.reshape(1 << (lg_from - lg_to), 1 << lg_to)
+    return np.bitwise_or.reduce(folded, axis=0)
+
+
+def cpc_union(sketches: list[CpcSketch]) -> CpcSketch:
+    if not sketches:
+        raise ValueError("cpc_union needs at least one sketch")
+    lg_min = min(s.lg_k for s in sketches)
+    out = np.zeros(1 << lg_min, dtype=U64)
+    for s in sketches:
+        np.bitwise_or(out, downsample(s.matrix, s.lg_k, lg_min), out=out)
+    return CpcSketch(lg_min, out)
