@@ -148,6 +148,36 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_ngram_dup_pairs(sf_dir: str):
+    """Exact 5-gram-Jaccard duplicate pairs (J >= 0.8) over documents.
+
+    MinHash-LSH candidates + exact shingle-set verification; the DuckDB
+    oracle computes the same pairs by brute-force cross join over
+    shingle lists — candidate recall at J>=0.8 is 1-(1-0.8^4)^32
+    (~1 - 5e-8 per pair), so the outputs coincide.
+    """
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+    import pandas as pd
+
+    pages = _documents_as_pages(sf_dir)
+
+    def id_as_url(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": pc.cast(batch["doc_id"], pa.string()), "text": batch["text"]})
+
+    pages = pages.map_batches(id_as_url, batch_format="pyarrow")
+    res = run_dedup(pages, DedupConfig(threshold=0.8), n_buckets=32, concurrency=(1, 4))
+    ver = res.verified.to_pandas()
+    dups = ver[ver.is_dup].copy()
+    a = dups.url_a.astype(np.int64).to_numpy()
+    b = dups.url_b.astype(np.int64).to_numpy()
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    out = pd.DataFrame(
+        {"doc_a": lo, "doc_b": hi, "jaccard": dups.exact_jaccard.round(6).to_numpy()}
+    ).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_distinct_custkeys_cpc(sf_dir: str):
     """CPC distinct count of order custkeys (approximate; rows-only —
     the estimate lands within ~3% of exact, asserted in pytest)."""
@@ -345,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
         "simhash_pairs": _q_simhash_pairs,
@@ -411,6 +442,28 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "ngram_dup_pairs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ORDER BY doc_a, doc_b
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
