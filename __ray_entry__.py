@@ -148,6 +148,32 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_events_tumbling(sf_dir: str):
+    """1-minute tumbling window count+sum per user."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import tumbling_window_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = tumbling_window_aggregate(ds, "user_id", "ts", "value", width_s=60)
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("total_value")
+        return batch.set_column(i, "total_value", pc.round(batch["total_value"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort(["user_id", "window_start"])
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based session windows (30-minute gap) per user."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
+
+
 def _q_ngram_dup_pairs(sf_dir: str):
     """Exact 5-gram-Jaccard duplicate pairs (J >= 0.8) over documents.
 
@@ -375,6 +401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "events_tumbling": _q_events_tumbling,
+        "events_sessions": _q_events_sessions,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -442,6 +470,33 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "events_tumbling": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 60000000) * 60000000) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY user_id, window_start
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "ngram_dup_pairs": r"""
             WITH words AS (
