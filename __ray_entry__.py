@@ -148,6 +148,19 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_cosine_dup_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine >= 0.45), exact baseline."""
+    import ray.data as rd
+
+    from raydedup.ops.ann import cosine_dup_pairs_bruteforce
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = cosine_dup_pairs_bruteforce(ds, tau=0.45).to_pandas()
+    out["cosine"] = out["cosine"].round(3)
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_events_tumbling(sf_dir: str):
     """1-minute tumbling window count+sum per user."""
     import ray.data as rd
@@ -401,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_tumbling": _q_events_tumbling,
         "events_sessions": _q_events_sessions,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
@@ -470,6 +484,13 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "cosine_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY id_a, id_b
         """,
         "events_tumbling": """
             SELECT user_id,
