@@ -132,6 +132,35 @@ class TDigest:
         return cls(int(k), means, weights, float(mn), float(mx))
 
 
+def from_compat_bytes(buf: bytes) -> TDigest:
+    """Decode the t-digest reference-implementation big-endian formats
+    (``tdigest/sketch.rs:628-720``): COMPAT_DOUBLE (type 1, asBytes)
+    and COMPAT_FLOAT (type 2, asSmallBytes). Cross-implementation
+    conformance is asserted against the golden files the reference
+    commits (``tests/test_data/tdigest_ref_k100_n10000_*.sk``).
+    """
+    import struct
+
+    ty = struct.unpack_from(">I", buf, 0)[0]
+    if ty == 1:  # COMPAT_DOUBLE
+        mn, mx, kf = struct.unpack_from(">ddd", buf, 4)
+        (n_cent,) = struct.unpack_from(">I", buf, 28)
+        arr = np.frombuffer(buf, dtype=">f8", count=2 * n_cent, offset=32).reshape(n_cent, 2)
+        weights = arr[:, 0].astype(np.float64)
+        means = arr[:, 1].astype(np.float64)
+    elif ty == 2:  # COMPAT_FLOAT
+        mn, mx = struct.unpack_from(">dd", buf, 4)
+        (kf,) = struct.unpack_from(">f", buf, 20)
+        (n_cent,) = struct.unpack_from(">H", buf, 28)
+        arr = np.frombuffer(buf, dtype=">f4", count=2 * n_cent, offset=30).reshape(n_cent, 2)
+        weights = arr[:, 0].astype(np.float64)
+        means = arr[:, 1].astype(np.float64)
+    else:
+        raise ValueError(f"unknown TDigest compat type {ty}")
+    order = np.argsort(means, kind="stable")
+    return TDigest(int(kf), means[order], weights[order], float(mn), float(mx))
+
+
 def tdigest_merge(digests: list[TDigest]) -> TDigest:
     """Concat centroid lists + one compression pass (associative)."""
     live = [d for d in digests if not d.is_empty()]

@@ -248,3 +248,21 @@ def test_bloom_strings_and_serde():
     rt = BloomFilter.from_bytes(bf.to_bytes())
     np.testing.assert_array_equal(rt.bits, bf.bits)
     assert rt.contains_strings(["alpha"])[0]
+
+
+def test_tdigest_reference_golden_files():
+    """Cross-implementation conformance: decode the reference's
+    committed golden images (tdigest_serialization_test.rs fixtures)."""
+    from raydedup.sketches.tdigest import from_compat_bytes
+
+    base = "/root/reference/datasketches/tests/test_data"
+    for name in ("double", "float"):
+        with open(f"{base}/tdigest_ref_k100_n10000_{name}.sk", "rb") as f:
+            td = from_compat_bytes(f.read())
+        assert td.k == 100
+        assert td.total_weight == 10000
+        assert td.min == 0.0 and td.max == 9999.0
+        # stream was 0..9999 → quantiles are near-exact
+        assert abs(td.quantile(0.5) - 4999.5) < 50
+        assert abs(td.rank(5000.0) - 0.5) < 0.01
+        assert abs(td.quantile(0.99) - 9899) < 100
