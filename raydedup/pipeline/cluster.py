@@ -26,6 +26,8 @@ import pyarrow as pa
 
 import ray
 
+U64 = np.uint64
+
 
 class UnionFind:
     """Array-based union-find over dense int ids (path halving)."""
@@ -75,6 +77,129 @@ def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
     return nodes, roots
 
 
+def label_propagation_components(edges, max_rounds: int = 50, n_buckets: int = 64):
+    """Distributed connected components: iterative min-label propagation.
+
+    The scale fallback when the edge list exceeds driver memory —
+    nothing here materializes O(nodes) or O(edges) state on the driver.
+    Per round: (1) bucketed cogroup attaches current labels to both
+    endpoints of every edge, (2) a per-edge min is broadcast back to
+    both endpoints as messages, (3) ``groupby(url).min`` folds messages
+    into new labels. Convergence is detected with an order-insensitive
+    checksum of the label table (sum of fmix(url_hash ^ label_hash)).
+    O(component diameter) rounds — dup components are stars around a
+    base doc plus bounded neighbor chains from hot-band capping.
+
+    ``edges``: Dataset (url_a, url_b). Returns a Dataset
+    (url, cluster_id) covering clustered nodes, cluster_id = min url
+    of the component.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    from raydedup.sketches.hashing import fmix64, hash_strings
+
+    def bucket_of(col_np):
+        h, _ = hash_strings(list(col_np))
+        return (h % U64(n_buckets)).astype(np.int64)
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        a = batch["url_a"].to_numpy(zero_copy_only=False)
+        b = batch["url_b"].to_numpy(zero_copy_only=False)
+        urls = np.concatenate([a, b])
+        labels = np.tile(np.minimum(a, b), 2)
+        return pa.table({"url": pa.array(urls), "label": pa.array(labels)})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    def checksum(lab) -> int:
+        def part(batch: pa.Table) -> pa.Table:
+            hu, _ = hash_strings(batch["url"])
+            hl, _ = hash_strings(batch["label"])
+            s = int(fmix64(hu ^ hl).sum(dtype=U64))
+            return pa.table({"s": pa.array([s], pa.uint64())})
+
+        total = 0
+        for b in lab.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+            for v in b["s"].to_pylist():
+                total = (total + v) % (1 << 64)
+        return total
+
+    prev = checksum(labels)
+
+    def edge_requests(batch: pa.Table) -> pa.Table:
+        a = batch["url_a"].to_numpy(zero_copy_only=False)
+        b = batch["url_b"].to_numpy(zero_copy_only=False)
+        ha, _ = hash_strings(batch["url_a"])
+        hb, _ = hash_strings(batch["url_b"])
+        eid = fmix64(ha ^ fmix64(hb))
+        urls = np.concatenate([a, b])
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate([(ha % U64(n_buckets)), (hb % U64(n_buckets))]).astype(np.int64)),
+                "url": pa.array(urls),
+                "edge_id": pa.array(np.tile(eid, 2), pa.uint64()),
+                "other": pa.array(np.concatenate([b, a])),
+                "label": pa.array(np.full(2 * len(a), "", dtype=object), pa.string()),
+                "is_label": pa.array(np.zeros(2 * len(a), dtype=bool)),
+            }
+        )
+
+    requests = edges.map_batches(edge_requests, batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        def tag_labels(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket_of(batch["url"].to_numpy(zero_copy_only=False))),
+                    "url": batch["url"],
+                    "edge_id": pa.array(np.zeros(n, U64), pa.uint64()),
+                    "other": batch["url"],
+                    "label": batch["label"],
+                    "is_label": pa.array(np.ones(n, dtype=bool)),
+                }
+            )
+
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow")
+
+        def attach_and_message(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["is_label"].to_numpy()]
+            req = df[~df["is_label"].to_numpy()]
+            if len(req) == 0 or len(lab) == 0:
+                return pd.DataFrame({"url": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)})
+            merged = req[["url", "other"]].merge(lab[["url", "label"]], on="url", how="inner")
+            # message: endpoint label -> the OTHER endpoint (and itself)
+            return pd.DataFrame(
+                {
+                    "url": np.concatenate([merged["other"].to_numpy(), merged["url"].to_numpy()]),
+                    "label": np.tile(merged["label"].to_numpy(), 2),
+                }
+            )
+
+        msgs = requests.union(tagged).groupby("bucket").map_groups(
+            attach_and_message, batch_format="pandas"
+        )
+        labels = (
+            msgs.groupby("url").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda b: pa.table({"url": b["url"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_000):
     """verified dup pairs + corpus → (url, cluster_id) Dataset over all docs.
 
@@ -84,14 +209,27 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
     edges = verified_pairs.select_columns(["url_a", "url_b"])
     a_parts, b_parts = [], []
     n_edges = 0
+    spill_to_distributed = False
     for b in edges.iter_batches(batch_format="pyarrow"):
         a_parts.append(b["url_a"].to_numpy(zero_copy_only=False))
         b_parts.append(b["url_b"].to_numpy(zero_copy_only=False))
         n_edges += len(b)
         if n_edges > max_driver_edges:
-            raise NotImplementedError(
-                "edge list exceeds driver budget; use label-propagation fallback"
-            )
+            spill_to_distributed = True
+            break
+    if spill_to_distributed:
+        # edge list exceeds the driver budget → distributed min-label
+        # propagation, then the same broadcast-assignment step over the
+        # (much smaller) clustered-node label table
+        labels = label_propagation_components(edges).to_pandas()
+        nodes = labels["url"].to_numpy()
+        from raydedup.sketches.hashing import hash_strings
+
+        h, _ = hash_strings(list(nodes))
+        order = np.argsort(h)
+        lab = labels["cluster_id"].to_numpy().astype(np.str_)
+        payload = (h[order], np.arange(len(nodes), dtype=np.int64), lab[order])
+        return _assign_over(corpus, payload)
     ea = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=object)
     eb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=object)
     nodes, root_of = connected_components_arrays(ea, eb)
@@ -103,6 +241,12 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
         payload = (h[order], root_of[order].astype(np.int64), nodes.astype(np.str_))
     else:
         payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
+    return _assign_over(corpus, payload)
+
+
+def _assign_over(corpus, payload):
+    """Broadcast (sorted url-hashes, root index, labels) and map the
+    corpus to (url, cluster_id); unmatched urls keep themselves."""
     ref = ray.put(payload)
 
     def assign(batch: pa.Table) -> pa.Table:
