@@ -313,6 +313,118 @@ _XXP4 = U64(0x85EBCA77C2B2AE63)
 _XXP5 = U64(0x27D4EB2F165667C5)
 
 
+def xxhash64_strings(data: np.ndarray, offsets: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XxHash64 of ``n`` variable-length byte strings at once, bit-exact
+    vs the reference streaming implementation (``hash/xxhash.rs``):
+    32-byte stripes into four lane accumulators, merge, then 8-/4-/1-
+    byte remainder rounds and the avalanche. Vectorized with per-row
+    masks over a zero-padded matrix (padding never contributes because
+    every load is masked by the true length).
+    """
+    n = len(offsets) - 1
+    lengths = np.diff(offsets).astype(np.int64)
+    max_len = int(lengths.max()) if n else 0
+    pad = max(32, ((max_len + 31) // 32) * 32)
+    mat = np.zeros((n, pad), dtype=np.uint8)
+    if len(data):
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        col_idx = np.arange(len(data), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        mat[row_idx, col_idx] = data
+    words = mat.view("<u8")  # (n, pad//8)
+
+    sd = U64(seed)
+    big = lengths >= 32
+    v1 = np.full(n, sd) + _XXP1 + _XXP2  # array ops wrap silently
+    v2 = np.full(n, sd) + _XXP2
+    v3 = np.full(n, sd)
+    v4 = np.full(n, sd) - _XXP1
+    nstripes = np.where(big, lengths // 32, 0)
+
+    def xround(acc, lane):
+        acc = acc + lane * _XXP2
+        acc = _rotl(acc, 31)
+        return acc * _XXP1
+
+    for j in range(int(nstripes.max()) if n else 0):
+        live = nstripes > j
+        nv1 = xround(v1, words[:, 4 * j])
+        nv2 = xround(v2, words[:, 4 * j + 1])
+        nv3 = xround(v3, words[:, 4 * j + 2])
+        nv4 = xround(v4, words[:, 4 * j + 3])
+        v1 = np.where(live, nv1, v1)
+        v2 = np.where(live, nv2, v2)
+        v3 = np.where(live, nv3, v3)
+        v4 = np.where(live, nv4, v4)
+
+    def merge_round(acc, v):
+        v = v * _XXP2
+        v = _rotl(v, 31)
+        v *= _XXP1
+        acc = acc ^ v
+        return acc * _XXP1 + _XXP4
+
+    acc = _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+    acc = merge_round(acc, v1)
+    acc = merge_round(acc, v2)
+    acc = merge_round(acc, v3)
+    acc = merge_round(acc, v4)
+    h = np.where(big, acc, sd + _XXP5) + lengths.astype(U64)
+
+    base_word = nstripes * 4  # u64 index where the remainder starts
+    rem = lengths - nstripes * 32
+    rows = np.arange(n)
+    # up to three 8-byte rounds
+    for c in range(3):
+        has = rem >= (c + 1) * 8
+        idx = np.minimum(base_word + c, pad // 8 - 1)
+        k1 = words[rows, idx] * _XXP2
+        k1 = _rotl(k1, 31)
+        k1 *= _XXP1
+        nh = h ^ k1
+        nh = _rotl(nh, 27) * _XXP1 + _XXP4
+        h = np.where(has, nh, h)
+    n8 = rem // 8
+    rem4 = rem - n8 * 8
+    # one 4-byte round (the 4 bytes are the low half of an aligned word)
+    has4 = rem4 >= 4
+    idx = np.minimum(base_word + n8, pad // 8 - 1)
+    k1 = (words[rows, idx] & U64(0xFFFFFFFF)) * _XXP1
+    nh = h ^ k1
+    nh = _rotl(nh, 23) * _XXP2 + _XXP3
+    h = np.where(has4, nh, h)
+    # up to three single-byte rounds
+    nbytes_done = n8 * 8 + np.where(has4, 4, 0)
+    for b in range(3):
+        has = rem > nbytes_done + b
+        byte_off = nbytes_done + b
+        widx = np.minimum(base_word + byte_off // 8, pad // 8 - 1)
+        shift = ((byte_off % 8) * 8).astype(U64)
+        byte = (words[rows, widx] >> shift) & U64(0xFF)
+        nh = h ^ (byte * _XXP5)
+        nh = _rotl(nh, 11) * _XXP1
+        h = np.where(has, nh, h)
+
+    h ^= h >> U64(33)
+    h *= _XXP2
+    h ^= h >> U64(29)
+    h *= _XXP3
+    h ^= h >> U64(32)
+    return h
+
+
+def xxhash64_bytes(items, seed: int = 0) -> np.ndarray:
+    """Convenience: XxHash64 of a list of bytes/str or an Arrow column."""
+    if isinstance(items, (pa.Array, pa.ChunkedArray)):
+        data, offsets = _string_array_bytes(items)
+    else:
+        vals = [v.encode() if isinstance(v, str) else bytes(v) for v in items]
+        lengths = np.array([len(v) for v in vals], dtype=np.int64)
+        offsets = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        data = np.frombuffer(b"".join(vals), dtype=np.uint8) if vals else np.empty(0, np.uint8)
+    return xxhash64_strings(data, offsets, seed=seed)
+
+
 def xxhash64_u64(values: np.ndarray, seed) -> np.ndarray:
     """XxHash64 of each uint64 value's 8 LE bytes, vectorized.
 
