@@ -29,7 +29,7 @@ import ray.data as rd
 
 from raydedup.config import DedupConfig
 from raydedup.pipeline.cluster import cluster_assignments
-from raydedup.pipeline.lsh import SignatureStage, candidate_pairs
+from raydedup.pipeline.lsh import candidate_pairs
 from raydedup.pipeline.verify import confirm_substrings, verify_pairs
 
 
@@ -43,13 +43,22 @@ class DedupResult:
     substring_pairs: "rd.Dataset | None" = None
 
 
-def build_signatures(pages, cfg: DedupConfig, concurrency=(1, 8)):
+def build_signatures(pages, cfg: DedupConfig, concurrency=None):
+    """Signature stage as cached tasks (state amortized per worker
+    process — see lsh.signature_batch_fn). ``concurrency`` caps
+    in-flight tasks when given; default lets the scheduler fill idle
+    CPUs."""
+    from raydedup.pipeline.lsh import signature_batch_fn
+
+    kwargs = {}
+    if isinstance(concurrency, int):
+        kwargs["concurrency"] = concurrency
     return pages.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"cfg": cfg},
+        signature_batch_fn,
+        fn_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=concurrency,
+        **kwargs,
     )
 
 
