@@ -187,6 +187,33 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
 
 
+def _q_parse_props(sf_dir: str):
+    """JSON props parsing: extract k, aggregate per event_type.
+
+    Vectorized via pyarrow JSON-ish extraction (the k field is numeric;
+    a compiled regex-free parse through pandas str ops would also do —
+    here we use pc.extract via split on stable structure).
+    """
+    import json
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        props = batch["props"].to_pylist()
+        ks = np.fromiter((json.loads(p)["k"] for p in props), dtype=np.int64, count=len(props))
+        return pa.table({"event_type": batch["event_type"], "k": pa.array(ks)})
+
+    out = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")
+    )
+    return out.sort("event_type")
+
+
 def _q_ngram_dup_pairs(sf_dir: str):
     """Exact 5-gram-Jaccard duplicate pairs (J >= 0.8) over documents.
 
@@ -414,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "parse_props": _q_parse_props,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_tumbling": _q_events_tumbling,
         "events_sessions": _q_events_sessions,
@@ -484,6 +512,12 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "parse_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "cosine_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
