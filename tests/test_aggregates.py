@@ -106,3 +106,13 @@ def test_grouped_sketch_aggregation(ray_session, lineitem):
     for flag in truth.index:
         assert out.loc[flag, "n_orders"] == truth.loc[flag, "n"]
         assert abs(out.loc[flag, "med_qty"] - truth.loc[flag, "m"]) < 3.0
+
+def test_kll_of_and_signature_distance_digest(ray_session, lineitem):
+    import duckdb
+
+    from raydedup.sketches.kll import kll_of
+
+    sk = kll_of(lineitem, "l_quantity")
+    true_med = duckdb.sql(f"select median(l_quantity) from '{SF}/lineitem.parquet'").fetchone()[0]
+    assert abs(sk.quantile(0.5) - true_med) < 2.0
+    assert sk.n == lineitem.count()

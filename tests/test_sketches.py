@@ -266,3 +266,45 @@ def test_tdigest_reference_golden_files():
         assert abs(td.quantile(0.5) - 4999.5) < 50
         assert abs(td.rank(5000.0) - 0.5) < 0.01
         assert abs(td.quantile(0.99) - 9899) < 100
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def test_kll_quantile_accuracy():
+    from raydedup.sketches.kll import KllSketch
+
+    rng = np.random.default_rng(0)
+    v = rng.random(100_000)
+    sk = KllSketch(200)
+    for chunk in np.array_split(v, 50):
+        sk.update_values(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert abs(sk.quantile(q) - q) < 0.01, q
+    assert sk.quantile(0.0) == v.min() and sk.quantile(1.0) == v.max()
+    assert abs(sk.rank(0.5) - 0.5) < 0.01
+    # bounded space
+    assert sum(len(l) for l in sk.levels) < 5 * sk.k
+
+
+def test_kll_merge_and_serde():
+    from raydedup.sketches.kll import KllSketch
+
+    v = np.random.default_rng(1).normal(size=40_000)
+    parts = [KllSketch(200).update_values(v[i::8]) for i in range(8)]
+    m = parts[0]
+    for p in parts[1:]:
+        m = m.merge(p)
+    single = KllSketch(200).update_values(v)
+    assert m.n == 40_000
+    for q in (0.1, 0.5, 0.9):
+        assert abs(m.quantile(q) - single.quantile(q)) < 0.1
+    rt = KllSketch.from_bytes(m.to_bytes())
+    assert rt.n == m.n and rt.quantile(0.5) == m.quantile(0.5)
+
+
+def test_kll_nan_inf_ignored():
+    from raydedup.sketches.kll import KllSketch
+
+    sk = KllSketch().update_values(np.array([1.0, np.nan, np.inf, 2.0]))
+    assert sk.n == 2 and sk.min == 1.0 and sk.max == 2.0
