@@ -91,6 +91,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         cfg,
         n_buckets=8 * num_cpus,
         concurrency=(1, num_cpus),
+        salt_hot=True,  # MG hot-band detection + salted repartitioning live
     )
     n_assigned = res.assignments.count()
     headline = time.time() - t0
