@@ -36,7 +36,6 @@ U64 = np.uint64
 MAX_THETA = (1 << 63) - 1  # i64::MAX, Java compat (theta/mod.rs:55)
 MIN_LG_K, MAX_LG_K, DEFAULT_LG_K = 5, 26, 12  # theta/mod.rs:57-61
 
-_Z = {1: 1.0, 2: 2.0, 3: 3.0}
 
 
 def hashes_for_strings(column, seed: int = DEFAULT_SEED) -> np.ndarray:
@@ -110,26 +109,21 @@ class ThetaSketch:
             return float(self.num_retained)
         return self.num_retained / (self.theta / MAX_THETA)
 
-    def _bounds(self, num_std_dev: int, upper: bool) -> float:
-        # Normal approximation to the reference's binomial bounds
-        # (common/binomial_bounds.rs:288-360); accurate for retained >~ 16.
+    def upper_bound(self, num_std_dev: int = 2) -> float:
+        """Binomial UB (port of common/binomial_bounds.rs::upper_bound)."""
+        from raydedup.sketches.binomial_bounds import upper_bound
+
         if self.empty:
             return 0.0
-        if not self.is_estimation_mode:
-            return float(self.num_retained)
-        z = _Z[num_std_dev]
-        f = self.theta / MAX_THETA
-        n = self.num_retained
-        var = n * (1.0 - f) / (f * f)
-        delta = z * np.sqrt(var)
-        est = n / f
-        return max(float(n), est + delta) if upper else max(0.0, est - delta)
-
-    def upper_bound(self, num_std_dev: int = 2) -> float:
-        return self._bounds(num_std_dev, True)
+        return upper_bound(self.num_retained, self.theta / MAX_THETA, num_std_dev)
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
-        return self._bounds(num_std_dev, False)
+        """Binomial LB (port of common/binomial_bounds.rs::lower_bound)."""
+        from raydedup.sketches.binomial_bounds import lower_bound
+
+        if self.empty:
+            return 0.0
+        return lower_bound(self.num_retained, self.theta / MAX_THETA, num_std_dev)
 
     # -- set algebra -------------------------------------------------------
 

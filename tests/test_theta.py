@@ -151,3 +151,26 @@ def test_sampling_probability():
     s = ThetaSketch.from_hashes(h, lg_k=12, p=0.5)
     assert s.is_estimation_mode
     assert abs(s.estimate() - 1000) / 1000 < 0.15
+
+
+def test_binomial_bounds_coverage():
+    """Port parity: reference bound formulas (binomial_bounds.rs) —
+    coverage of the true n at 2 std dev across sizes, plus the
+    zero/one-sample logarithmic special cases."""
+    from raydedup.sketches.binomial_bounds import lower_bound, upper_bound
+
+    rng = np.random.default_rng(8)
+    for n in (1_000, 20_000, 200_000):
+        s = sketch_of_range(0, n)
+        if s.is_estimation_mode:
+            assert s.lower_bound(2) <= n <= s.upper_bound(2), n
+            assert s.lower_bound(3) < s.lower_bound(2) < s.lower_bound(1)
+    # special cases match the reference's closed forms
+    assert upper_bound(0, 0.5, 2) == np.ceil(np.log(0.0227502618904135701) / np.log(0.5))
+    # 1-sample LB: raw log formula, then clamped to >= num_samples and
+    # <= estimate exactly as the reference does (binomial_bounds.rs:300)
+    raw = np.floor(np.log(1 - 0.0227502618904135701) / np.log(0.5))
+    assert lower_bound(1, 0.5, 2) == min(1 / 0.5, max(1.0, raw)) == 1.0
+    assert upper_bound(0, 0.5, 2, no_data_seen=True) == 0.0
+    with pytest.raises(ValueError):
+        lower_bound(5, 0.0, 2)
