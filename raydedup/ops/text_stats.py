@@ -47,9 +47,8 @@ def token_stats(batch: pa.Table, id_column: str, text_column: str = "text") -> p
 
 
 def quality_scores(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
-    """Heuristic quality features: punct ratio, digit ratio, mean word
-    length, uppercase ratio. (id, punct_ratio, digit_ratio,
-    upper_ratio, mean_word_len)."""
+    """Heuristic quality features per doc:
+    (id, punct_ratio, digit_ratio, mean_word_len)."""
     text = batch[text_column]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

@@ -16,19 +16,24 @@ Attaches both docs' shingle sets to every candidate pair and computes:
 - ``substring_candidate``: containment >= 0.9 but not a Jaccard dup —
   routed to ``confirm_substrings`` for a byte-level check.
 
-Attach strategies (``strategy='auto'``):
+Attach strategies (``strategy='auto'`` picks by candidate-set size):
 
 - **broadcast** — when the candidate-doc payload fits the driver
-  budget: semi-filter the signatures table to docs appearing in a
-  pair (hash-set membership inside ``map_batches``), collect that
-  small slice, ``ray.put`` it once, and verify pairs in a single
-  ``map_batches`` pass with zero additional shuffles. This is the
-  common case: candidates are a few percent of the corpus.
-- **join** — two hash-partitioned ``Dataset.join``s (pairs⋈sigs on
-  each side). Ray's hash join rejects list-typed payload columns, so
-  the shingle/signature payload travels as one packed ``binary`` blob
-  per doc (``_pack_payload``) and is unpacked in the verify kernel.
-  Linear in |candidates|, no driver materialization — the 100TB path.
+  budget (≤ ``broadcast_limit`` docs): semi-filter the signatures
+  table to docs appearing in a pair, collect that small slice,
+  ``ray.put`` it once, and verify pairs in a single ``map_batches``
+  pass with zero additional shuffles.
+- **cogroup** (the 100TB path, auto default above the limit) — fully
+  distributed: bucketed union-cogroup on url attaches each doc's
+  packed payload to its pair requests, then a regroup on pair id
+  brings both sides together; two sort-shuffles over candidate-sized
+  data, nothing driver-side (``_verify_cogroup``).
+- **join** — two hash-partitioned ``Dataset.join``s. Kept for parity;
+  measured ~4x slower than cogroup locally (Ray's hash-shuffle join
+  spawns an aggregator actor fleet) and its non-key payloads must be
+  packed binary (lists are rejected).
+
+All strategies produce byte-identical outputs (tested).
 """
 
 from __future__ import annotations
