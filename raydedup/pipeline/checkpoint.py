@@ -75,7 +75,7 @@ class CheckpointManager:
             "rows": sum(p["rows"] for p in per_file),
             "partitions": per_file,
             "lineage": lineage or [],
-            "metrics": dict(metrics or {}, write_wall_s=round(time.time() - t0, 3)),
+            "metrics": dict(metrics or {}, wall_s=round(time.time() - t0, 3)),
         }
         with open(os.path.join(tmp, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2)
@@ -119,50 +119,40 @@ def run_dedup_checkpointed(
     if ck.has_stage("signatures"):
         sigs = ck.read_stage("signatures")
     else:
-        t0 = time.time()
         sigs = build_signatures(
             pages.select_columns(["url", "text"]), cfg,
             concurrency=run_kwargs.get("concurrency", (1, 8)),
         )
-        sigs = ck.write_stage(
-            "signatures", sigs, metrics={"wall_s": round(time.time() - t0, 3)}, lineage=lineage
-        )
+        sigs = ck.write_stage("signatures", sigs, lineage=lineage)
 
     if ck.has_stage("candidates"):
         cands = ck.read_stage("candidates")
     else:
-        t0 = time.time()
         cands = candidate_pairs(sigs, cfg, n_buckets=run_kwargs.get("n_buckets", 256))
         cands = ck.write_stage(
-            "candidates", cands,
-            metrics={"wall_s": round(time.time() - t0, 3)},
-            lineage=[f"checkpoint:signatures@{cfg.config_hash()}"],
+            "candidates", cands, lineage=[f"checkpoint:signatures@{cfg.config_hash()}"]
         )
 
     if ck.has_stage("verified"):
         verified = ck.read_stage("verified")
     else:
-        t0 = time.time()
         verified = verify_pairs(
             cands.materialize(), sigs, cfg,
             num_partitions=run_kwargs.get("num_join_partitions", 8),
         )
         verified = ck.write_stage(
-            "verified", verified,
-            metrics={"wall_s": round(time.time() - t0, 3)},
-            lineage=[f"checkpoint:candidates@{cfg.config_hash()}"],
+            "verified", verified, lineage=[f"checkpoint:candidates@{cfg.config_hash()}"]
         )
 
     if ck.has_stage("assignments"):
         assignments = ck.read_stage("assignments")
     else:
-        t0 = time.time()
         dup_pairs = verified.filter(expr="is_dup")
         assignments = cluster_assignments(dup_pairs, pages)
         n_dups = dup_pairs.count()
         assignments = ck.write_stage(
             "assignments", assignments,
-            metrics={"wall_s": round(time.time() - t0, 3), "n_dup_pairs": n_dups},
+            metrics={"n_dup_pairs": n_dups},
             lineage=[f"checkpoint:verified@{cfg.config_hash()}"],
         )
 
