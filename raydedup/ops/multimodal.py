@@ -93,3 +93,78 @@ def decode_images(ds, mode: str = "fake", batch_size: int = 64, concurrency=(1, 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synth_video_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake video corpus: (video_id, payload, mime,
+    n_frames, fps, n_bytes) — payload is n_frames fixed-size chunks."""
+    rng = np.random.default_rng(seed)
+    frame_bytes = 256
+    n_frames = rng.integers(8, 64, size=n)
+    payloads = [
+        rng.integers(0, 256, size=int(f) * frame_bytes, dtype=np.uint8).tobytes() for f in n_frames
+    ]
+    return pa.table(
+        {
+            "video_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/fake"] * n, pa.string()),
+            "n_frames": pa.array(n_frames.astype(np.int32)),
+            "fps": pa.array(np.full(n, 24, np.int32)),
+            "n_bytes": pa.array((n_frames * frame_bytes).astype(np.int64)),
+        }
+    )
+
+
+class SampleFramesStage:
+    """Actor-pool stage: video payload → ``k`` evenly-spaced frame
+    payloads, one output row per sampled frame (flat_map shape).
+
+    ``mode='real'`` would demux with pyav/ffmpeg — unavailable here, so
+    it raises with the integration point; ``mode='fake'`` treats the
+    payload as fixed 256-byte frames and slices deterministically, so
+    the fan-out schema (video_id, frame_idx, frame_payload) and batch
+    sizing are fully exercisable.
+    """
+
+    FRAME_BYTES = 256
+
+    def __init__(self, k: int = 4, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(f"unknown mode {mode}")
+        self.k = k
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "real":
+            raise NotImplementedError(
+                "real frame sampling needs pyav/ffmpeg: demux batch['payload'], "
+                "seek to evenly spaced PTS, emit decoded frames here"
+            )
+        vids, idxs, frames = [], [], []
+        ids = batch["video_id"].to_numpy(zero_copy_only=False)
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False)
+        pays = batch["payload"].to_numpy(zero_copy_only=False)
+        for vid, f, pay in zip(ids, nf, pays):
+            take = np.linspace(0, int(f) - 1, num=min(self.k, int(f)), dtype=np.int64)
+            for t in take:
+                vids.append(int(vid))
+                idxs.append(int(t))
+                frames.append(pay[t * self.FRAME_BYTES : (t + 1) * self.FRAME_BYTES])
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, k: int = 4, mode: str = "fake", batch_size: int = 32, concurrency=(1, 4)):
+    return ds.map_batches(
+        SampleFramesStage,
+        fn_constructor_kwargs={"k": k, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

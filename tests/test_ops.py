@@ -162,3 +162,19 @@ def test_langid_markers():
     stage = LangIdStage()
     out = stage(tbl)
     assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "es"]
+
+def test_video_frame_sampling_plumbing(ray_session):
+    from raydedup.ops.multimodal import SampleFramesStage, sample_frames, synth_video_table
+
+    tbl = synth_video_table(50, seed=3)
+    out = sample_frames(rd.from_arrow(tbl), k=4).to_pandas()
+    # each video contributes min(k, n_frames) rows
+    import collections
+
+    per_video = collections.Counter(out.video_id)
+    nf = dict(zip(tbl["video_id"].to_pylist(), tbl["n_frames"].to_pylist()))
+    for vid, cnt in per_video.items():
+        assert cnt == min(4, nf[vid])
+    assert (out.frame_payload.str.len() == 256).all()
+    with pytest.raises(NotImplementedError):
+        SampleFramesStage(mode="real")(tbl)

@@ -1,0 +1,78 @@
+"""Property-based invariants (hypothesis) for the vectorized kernels."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raydedup.sketches.hashing import hash_strings, murmur3_128_strings, xxhash64_bytes
+from raydedup.pipeline.extract import segmented_unique
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=30))
+def test_murmur_batch_equals_per_string(items):
+    h1b, h2b = hash_strings(items)
+    for i, it in enumerate(items):
+        data = np.frombuffer(it, dtype=np.uint8)
+        offs = np.array([0, len(it)], dtype=np.int64)
+        a, b = murmur3_128_strings(data, offs)
+        assert int(h1b[i]) == int(a[0]) and int(h2b[i]) == int(b[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=30))
+def test_xxhash_batch_independent_of_neighbors(items):
+    full = xxhash64_bytes(items)
+    for i, it in enumerate(items):
+        solo = xxhash64_bytes([it])
+        assert int(full[i]) == int(solo[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=40),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_segmented_unique_equals_per_segment(segments):
+    flat = np.array([v for seg in segments for v in seg], dtype=np.uint64)
+    offs = np.zeros(len(segments) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segments], out=offs[1:])
+    vals, uoffs = segmented_unique(flat, offs)
+    for i, seg in enumerate(segments):
+        got = vals[uoffs[i] : uoffs[i + 1]]
+        np.testing.assert_array_equal(got, np.unique(np.array(seg, dtype=np.uint64)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=3000))
+def test_theta_estimate_upper_lower_consistency(values):
+    from raydedup.sketches.theta import ThetaSketch, hashes_for_ints
+
+    s = ThetaSketch.from_hashes(hashes_for_ints(np.array(values, dtype=np.int64)), lg_k=5)
+    n_true = len(set(values))
+    assert s.lower_bound(3) <= s.estimate() <= s.upper_bound(3)
+    if not s.is_estimation_mode:
+        assert s.estimate() == n_true
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=2000),
+    st.integers(min_value=1, max_value=7),
+)
+def test_kll_rank_monotone_and_bounded(values, splits):
+    from raydedup.sketches.kll import KllSketch
+
+    v = np.array(values)
+    parts = np.array_split(v, splits)
+    sk = KllSketch(50)
+    for p in parts:
+        if len(p):
+            sk.update_values(p)
+    qs = sk.quantiles([0.0, 0.25, 0.5, 0.75, 1.0])
+    assert (np.diff(qs) >= 0).all()
+    assert qs[0] == v.min() and qs[-1] == v.max()
+    assert 0.0 <= sk.rank(float(np.median(v))) <= 1.0
