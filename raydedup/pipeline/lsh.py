@@ -155,7 +155,7 @@ def signature_batch_fn(batch: pa.Table, cfg: DedupConfig, shingle_cap: int = 409
 
 
 def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_salts: int = 64) -> pa.Table:
-    """signatures batch → band rows (bucket, band, band_hash, sig_fp, url).
+    """signatures batch → band rows (bucket, band, band_hash, sig_fp, uh).
 
     Docs with zero shingles are excluded (their sentinel signatures
     would all collide with each other). ``bucket`` is a coarse shuffle
@@ -168,12 +168,17 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
     equal salts, so the in-bucket neighbor-chain still pairs identical
     docs; a mega-key bounds any single task at ~1/n_salts of its rows.
     """
+    from raydedup.sketches.hashing import hash_strings
+
     nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
     n = len(nonempty)
     bh = np.asarray(
         nonempty["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False), dtype=U64
     ).reshape(n, bands)
-    urls = _col(nonempty, "url")
+    # docs travel as 64-bit url-hash tokens, not strings: the band-row
+    # shuffle is the pipeline's widest exchange and this halves its
+    # bytes; urls are re-attached from signature payloads at verify
+    uh, _ = hash_strings(nonempty["url"])
     band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
     flat_bh = bh.reshape(-1)
     sig_fp = np.repeat(_col(nonempty, "sig_fp"), bands)
@@ -190,7 +195,7 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
             "band": pa.array(band_ids.astype(np.int32)),
             "band_hash": pa.array(flat_bh, pa.uint64()),
             "sig_fp": pa.array(sig_fp, pa.uint64()),
-            "url": pa.array(np.repeat(urls, bands)),
+            "uh": pa.array(np.repeat(uh, bands), pa.uint64()),
         }
     )
 
@@ -198,17 +203,18 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
 def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
     """Vectorized pair emission for one bucket of band rows.
 
-    Sorts by (band, band_hash, sig_fp, url), finds equal-(band,
+    Sorts by (band, band_hash, sig_fp, uh), finds equal-(band,
     band_hash) runs, and emits all-pairs for runs <= cap, sorted-
     neighbor chains for larger runs. Loops only over distinct run
     *sizes* (all runs of one size emit in a single vectorized shot).
+    Pairs are (ha, hb) uint64 url-hash tokens with ha < hb.
     """
     band = df["band"].to_numpy()
     bh = df["band_hash"].to_numpy().astype(U64)
     fp = df["sig_fp"].to_numpy().astype(U64)
-    url = df["url"].to_numpy()
-    order = np.lexsort((url, fp, bh, band))
-    band, bh, url = band[order], bh[order], url[order]
+    uh = df["uh"].to_numpy().astype(U64)
+    order = np.lexsort((uh, fp, bh, band))
+    band, bh, uh = band[order], bh[order], uh[order]
 
     new_run = np.ones(len(df), dtype=bool)
     new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
@@ -224,22 +230,24 @@ def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
         # (m, s) member index matrix for every run of size s
         members = starts[:, None] + np.arange(s)[None, :]
         ia, ib = np.triu_indices(int(s), k=1)
-        out_a.append(url[members[:, ia].reshape(-1)])
-        out_b.append(url[members[:, ib].reshape(-1)])
+        out_a.append(uh[members[:, ia].reshape(-1)])
+        out_b.append(uh[members[:, ib].reshape(-1)])
     big = run_len > max_band_group
     for start, length in zip(run_start[big], run_len[big]):
-        seg = url[start : start + length]  # sorted by sig_fp: chain pairs
+        seg = uh[start : start + length]  # sorted by sig_fp: chain pairs
         out_a.append(seg[:-1])
         out_b.append(seg[1:])
 
     if not out_a:
-        return pd.DataFrame({"url_a": pd.Series([], dtype=object), "url_b": pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {"ha": pd.Series([], dtype=np.uint64), "hb": pd.Series([], dtype=np.uint64)}
+        )
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
     keep = lo != hi
-    return pd.DataFrame({"url_a": lo[keep], "url_b": hi[keep]}).drop_duplicates()
+    return pd.DataFrame({"ha": lo[keep], "hb": hi[keep]}).drop_duplicates()
 
 
 def detect_hot_band_keys(
@@ -314,18 +322,16 @@ def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch.append_column("pbucket", pa.array([], pa.int64()))
-        from raydedup.sketches.hashing import hash_strings
-
-        ha, _ = hash_strings(batch["url_a"])
-        hb, _ = hash_strings(batch["url_b"])
-        pb = ((ha ^ fmix64(hb)) % U64(n_buckets)).astype(np.int64)
+        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(U64)
+        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(U64)
+        pb = (fmix64(ha ^ fmix64(hb)) % U64(n_buckets)).astype(np.int64)
         return batch.append_column("pbucket", pa.array(pb))
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(
-            lambda df: df.drop_duplicates(["url_a", "url_b"])[["url_a", "url_b"]],
+            lambda df: df.drop_duplicates(["ha", "hb"])[["ha", "hb"]],
             batch_format="pandas",
         )
     )

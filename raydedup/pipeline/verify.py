@@ -1,39 +1,39 @@
 """Candidate-pair verification: exact/KMV Jaccard, containment, substring.
 
-Attaches both docs' shingle sets to every candidate pair and computes:
+Candidate pairs arrive as 64-bit url-hash tokens ``(ha, hb)`` (the
+band-row and pair shuffles never carry strings — lsh.py); verification
+attaches each doc's packed payload (url string, theta, shingle set,
+signature) by token and emits per-pair metrics with real urls:
 
 - ``jaccard_sig_est``: MinHash signature agreement (mean of equal
-  slots) — the cheap estimate, stderr ~ sqrt(J(1-J)/128).
+  slots) — stderr ~ sqrt(J(1-J)/128).
 - ``exact_jaccard``: set Jaccard of the per-doc shingle-hash sets.
-  Sets are KMV-trimmed theta sketches (SignatureStage): for docs below
-  the cap this is *exact*; above it it is the theta-intersection
-  estimate — both entries arrays are screened below
-  ``min(theta_a, theta_b)`` first, exactly like
-  ``theta/intersection.rs:64-196``, and theta cancels in the ratio.
+  Sets are KMV-trimmed theta sketches (SignatureStage): below the cap
+  this is *exact*; above it it is the theta-intersection estimate —
+  both entries arrays are screened below ``min(theta_a, theta_b)``
+  first, exactly like ``theta/intersection.rs:64-196``, and theta
+  cancels in the ratio.
 - ``containment``: |A∩B| / min(|A|,|B|) — catches substring-style
-  duplication that Jaccard misses (a short doc inside a long wrapper).
+  duplication Jaccard misses.
 - ``is_dup``: exact_jaccard >= cfg.threshold (the golden-pair rule).
 - ``substring_candidate``: containment >= 0.9 but not a Jaccard dup —
   routed to ``confirm_substrings`` for a byte-level check.
 
 Attach strategies (``strategy='auto'`` picks by candidate-set size):
 
-- **broadcast** — when the candidate-doc payload fits the driver
-  budget (≤ ``broadcast_limit`` docs): semi-filter the signatures
-  table to docs appearing in a pair, collect that small slice,
-  ``ray.put`` it once, and verify pairs in a single ``map_batches``
-  pass with zero additional shuffles.
-- **cogroup** (the 100TB path, auto default above the limit) — fully
-  distributed: bucketed union-cogroup on url attaches each doc's
-  packed payload to its pair requests, then a regroup on pair id
-  brings both sides together; two sort-shuffles over candidate-sized
-  data, nothing driver-side (``_verify_cogroup``).
-- **join** — two hash-partitioned ``Dataset.join``s. Kept for parity;
-  measured ~4x slower than cogroup locally (Ray's hash-shuffle join
-  spawns an aggregator actor fleet) and its non-key payloads must be
-  packed binary (lists are rejected).
+- **broadcast** — candidate payloads fit the driver budget: semi-filter
+  the signatures table, collect, ``ray.put`` once, verify pairs in one
+  ``map_batches`` pass.
+- **cogroup** (the 100TB path, auto above the limit) — fully
+  distributed: bucketed union-cogroup on url-hash attaches payloads to
+  pair requests, then a regroup on pair id brings both sides together;
+  two sort-shuffles over candidate-sized data, nothing driver-side.
+- **join** — two hash-partitioned ``Dataset.join``s; kept for parity
+  but measured ~4x slower locally (aggregator actor fleet) and its
+  non-key payloads must be packed binary.
 
-All strategies produce byte-identical outputs (tested).
+All strategies produce identical outputs (tested). Output pairs are
+normalized so ``url_a < url_b`` lexicographically.
 """
 
 from __future__ import annotations
@@ -45,7 +45,7 @@ import pyarrow as pa
 import ray
 
 from raydedup.config import DedupConfig
-from raydedup.sketches.hashing import hash_strings
+from raydedup.sketches.hashing import fmix64, hash_strings
 from raydedup.sketches.theta import MAX_THETA
 
 U64 = np.uint64
@@ -56,26 +56,16 @@ def _url_hashes(col) -> np.ndarray:
     return h1
 
 
-class _SemiFilter:
-    """Keep signature rows whose url-hash is in the broadcast sorted set.
-
-    Used as a plain task function via ``semi_filter_fn`` — the state is
-    one sorted uint64 array, a zero-copy ``ray.get`` per task.
-    """
-
-    def __init__(self, ref):
-        self.keep = ray.get(ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(self.keep) == 0 or len(batch) == 0:
-            return batch.slice(0, 0)
-        h = _url_hashes(batch["url"])
-        idx = np.minimum(np.searchsorted(self.keep, h), len(self.keep) - 1)
-        return batch.filter(pa.array(self.keep[idx] == h))
+def _pair_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ha = batch["ha"].to_numpy(zero_copy_only=False).astype(U64)
+    hb = batch["hb"].to_numpy(zero_copy_only=False).astype(U64)
+    return ha, hb
 
 
 def _semi_filter_fn(batch: pa.Table, ref) -> pa.Table:
-    keep = ray.get(ref)  # zero-copy numpy view from the object store
+    """Keep signature rows whose url-hash is in the broadcast sorted
+    set (zero-copy numpy ``ray.get`` per task)."""
+    keep = ray.get(ref)
     if len(keep) == 0 or len(batch) == 0:
         return batch.slice(0, 0)
     h = _url_hashes(batch["url"])
@@ -84,9 +74,9 @@ def _semi_filter_fn(batch: pa.Table, ref) -> pa.Table:
 
 
 def _pack_payload(batch: pa.Table) -> pa.Table:
-    """(url, theta, shingles, sig) → (url, vpay binary).
+    """(url, theta, shingles, sig) → (uh, url, vpay binary).
 
-    Layout: [theta u64][n_sh u64][shingles n_sh * u64][sig num_perms * u64].
+    vpay layout: [theta u64][n_sh u64][shingles n_sh*u64][sig P*u64].
     """
     sh = batch["shingles"].combine_chunks()
     sh_off = sh.offsets.to_numpy(zero_copy_only=False)
@@ -101,7 +91,13 @@ def _pack_payload(batch: pa.Table) -> pa.Table:
         seg = sh_vals[sh_off[i] - base : sh_off[i + 1] - base]
         head = np.array([theta[i], len(seg)], dtype=U64)
         blobs.append(head.tobytes() + seg.tobytes() + sig_vals[i].tobytes())
-    return pa.table({"url": batch["url"], "vpay": pa.array(blobs, pa.binary())})
+    return pa.table(
+        {
+            "uh": pa.array(_url_hashes(batch["url"]), pa.uint64()),
+            "url": batch["url"],
+            "vpay": pa.array(blobs, pa.binary()),
+        }
+    )
 
 
 def _unpack(blob: bytes, num_perms: int):
@@ -129,10 +125,15 @@ def _metrics_from_payloads(url_a, url_b, pay_a, pay_b, num_perms: int, threshold
         ex[i] = inter / (len(a) + len(b) - inter)
         cont[i] = inter / min(len(a), len(b))
     is_dup = ex >= threshold
+    url_a = np.asarray(url_a, dtype=object)
+    url_b = np.asarray(url_b, dtype=object)
+    swap = url_b < url_a  # normalize: url_a < url_b lexicographically
+    lo = np.where(swap, url_b, url_a)
+    hi = np.where(swap, url_a, url_b)
     return pd.DataFrame(
         {
-            "url_a": url_a,
-            "url_b": url_b,
+            "url_a": lo,
+            "url_b": hi,
             "jaccard_sig_est": agree,
             "exact_jaccard": ex,
             "containment": cont,
@@ -156,7 +157,7 @@ _EMPTY_METRICS = pd.DataFrame(
 
 
 class _VerifyBroadcast:
-    """Verify pairs against a broadcast {url: packed payload} map."""
+    """Verify pairs against a broadcast {url_hash: (url, payload)} map."""
 
     def __init__(self, ref, num_perms: int, threshold: float):
         self.lookup = ray.get(ref)
@@ -166,24 +167,22 @@ class _VerifyBroadcast:
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         if len(batch) == 0:
             return _EMPTY_METRICS
-        ua = batch["url_a"].to_numpy(zero_copy_only=False)
-        ub = batch["url_b"].to_numpy(zero_copy_only=False)
+        ha, hb = _pair_hashes(batch)
         lk = self.lookup
-        keep = np.array([a in lk and b in lk for a, b in zip(ua, ub)])
-        if not keep.any():
+        rows = [(lk.get(a), lk.get(b)) for a, b in zip(ha.tolist(), hb.tolist())]
+        kept = [(ra, rb) for ra, rb in rows if ra is not None and rb is not None]
+        if not kept:
             return _EMPTY_METRICS
-        ua, ub = ua[keep], ub[keep]
-        pay_a = [lk[u] for u in ua]
-        pay_b = [lk[u] for u in ub]
+        ua = [r[0][0] for r in kept]
+        ub = [r[1][0] for r in kept]
+        pay_a = [r[0][1] for r in kept]
+        pay_b = [r[1][1] for r in kept]
         return _metrics_from_payloads(ua, ub, pay_a, pay_b, self.num_perms, self.threshold)
 
 
 def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
-    """Fully distributed attach: bucketed cogroup on url, then regroup
-    on pair id — two sort-shuffles over candidate-sized data, nothing
-    driver-side. The 100TB path (hash-partitioned join without Ray's
-    hash-shuffle join operator, which spawns an aggregator actor fleet).
-    """
+    """Fully distributed attach: bucketed cogroup on url-hash, then
+    regroup on pair id — two sort-shuffles, nothing driver-side."""
     num_perms, threshold = cfg.num_perms, cfg.threshold
 
     def to_requests(batch: pa.Table) -> pa.Table:
@@ -192,39 +191,37 @@ def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
             return pa.table(
                 {
                     "cbucket": pa.array([], pa.int64()),
-                    "url": pa.array([], pa.string()),
+                    "uh": pa.array([], pa.uint64()),
                     "pair_id": pa.array([], pa.uint64()),
                     "side": pa.array([], pa.uint8()),
+                    "url": pa.array([], pa.string()),
                     "vpay": pa.array([], pa.binary()),
                 }
             )
-        ua = batch["url_a"]
-        ub = batch["url_b"]
-        ha = _url_hashes(ua)
-        hb = _url_hashes(ub)
-        from raydedup.sketches.hashing import fmix64
-
+        ha, hb = _pair_hashes(batch)
         pair_id = fmix64(ha ^ fmix64(hb))
-        urls = np.concatenate([ua.to_numpy(zero_copy_only=False), ub.to_numpy(zero_copy_only=False)])
         h = np.concatenate([ha, hb])
         return pa.table(
             {
                 "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
-                "url": pa.array(urls),
+                "uh": pa.array(h, pa.uint64()),
                 "pair_id": pa.array(np.tile(pair_id, 2), pa.uint64()),
                 "side": pa.array(np.repeat(np.array([0, 1], np.uint8), m)),
+                "url": pa.array([None] * (2 * m), pa.string()),
                 "vpay": pa.array([None] * (2 * m), pa.binary()),
             }
         )
 
     def tag_payloads(batch: pa.Table) -> pa.Table:
-        h = _url_hashes(batch["url"])
+        h = batch["uh"].to_numpy(zero_copy_only=False).astype(U64)
+        n = len(batch)
         return pa.table(
             {
                 "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "uh": batch["uh"],
+                "pair_id": pa.array(np.zeros(n, U64), pa.uint64()),
+                "side": pa.array(np.full(n, 255, np.uint8)),
                 "url": batch["url"],
-                "pair_id": pa.array(np.zeros(len(batch), U64), pa.uint64()),
-                "side": pa.array(np.full(len(batch), 255, np.uint8)),
                 "vpay": batch["vpay"],
             }
         )
@@ -246,10 +243,10 @@ def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
                     "vpay": pd.Series([], dtype=object),
                 }
             )
-        merged = req[["pair_id", "side", "url"]].merge(
-            pay[["url", "vpay"]], on="url", how="inner"
+        merged = req[["pair_id", "side", "uh"]].merge(
+            pay[["uh", "url", "vpay"]], on="uh", how="inner"
         )
-        merged["pbucket"] = (merged["pair_id"].to_numpy() % U64(n_buckets)).astype(np.int64)
+        merged["pbucket"] = (merged["pair_id"].to_numpy().astype(U64) % U64(n_buckets)).astype(np.int64)
         return merged[["pbucket", "pair_id", "side", "url", "vpay"]]
 
     attached = requests.union(payloads).groupby("cbucket").map_groups(
@@ -261,14 +258,11 @@ def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
             return _EMPTY_METRICS
         df = df.sort_values(["pair_id", "side"], kind="stable")
         pid = df["pair_id"].to_numpy()
-        side = df["side"].to_numpy()
-        # keep only pair_ids with both sides present
         new = np.ones(len(df), dtype=bool)
         new[1:] = pid[1:] != pid[:-1]
         run_id = np.cumsum(new) - 1
         cnt = np.bincount(run_id)
-        ok = cnt[run_id] == 2
-        df = df[ok]
+        df = df[cnt[run_id] == 2]  # both sides present
         if len(df) == 0:
             return _EMPTY_METRICS
         a = df[df["side"].to_numpy() == 0]
@@ -293,15 +287,13 @@ def verify_pairs(
     strategy: str = "auto",
     broadcast_limit: int = 50_000,
 ):
-    """pairs (url_a, url_b) × signatures → verified pair metrics Dataset.
+    """pairs (ha, hb uint64) × signatures → verified pair metrics Dataset.
 
     ``pairs`` should be materialized by the caller (it is consumed
-    twice: once to build the candidate url set, once to verify).
+    twice: once to build the candidate token set, once to verify).
     """
     cand = pairs.map_batches(
-        lambda b: {"h": np.union1d(_url_hashes(b["url_a"]), _url_hashes(b["url_b"]))}
-        if len(b)
-        else {"h": np.empty(0, U64)},
+        lambda b: {"h": np.union1d(*_pair_hashes(b))} if len(b) else {"h": np.empty(0, U64)},
         batch_format="pyarrow",
     )
     chunks = [b["h"] for b in cand.iter_batches(batch_format="numpy")]
@@ -322,9 +314,10 @@ def verify_pairs(
     if strategy == "broadcast":
         lookup = {}
         for b in packed.iter_batches(batch_format="pyarrow"):
+            hs = b["uh"].to_numpy(zero_copy_only=False)
             urls = b["url"].to_numpy(zero_copy_only=False)
             pays = b["vpay"].to_numpy(zero_copy_only=False)
-            lookup.update(zip(urls, pays))
+            lookup.update(zip(hs.tolist(), zip(urls, pays)))
         lref = ray.put(lookup)
         return pairs.map_batches(
             _VerifyBroadcast,
@@ -333,35 +326,42 @@ def verify_pairs(
             concurrency=(1, 4),
         )
 
+    # join strategy (parity/benchmark path)
     joined = pairs.join(
-        packed,
+        packed.drop_columns(["url"]),
         join_type="inner",
         num_partitions=num_partitions,
-        on=("url_a",),
-        right_on=("url",),
+        on=("ha",),
+        right_on=("uh",),
         right_suffix="_a",
     ).join(
-        packed,
+        packed.drop_columns(["url"]),
         join_type="inner",
         num_partitions=num_partitions,
-        on=("url_b",),
-        right_on=("url",),
+        on=("hb",),
+        right_on=("uh",),
         right_suffix="_b",
     )
+
+    # re-resolve urls for the output via a broadcast of the (small)
+    # candidate url table
+    urlmap = {}
+    for b in packed.iter_batches(batch_format="pyarrow"):
+        urlmap.update(
+            zip(b["uh"].to_numpy(zero_copy_only=False).tolist(), b["url"].to_numpy(zero_copy_only=False))
+        )
+    uref = ray.put(urlmap)
 
     def _kernel(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return _EMPTY_METRICS
-        # suffixes attach only on collision; second join renames vpay → vpay_1
+        um = ray.get(uref)
         pa_col = "vpay" if "vpay" in df.columns else "vpay_a"
         pb_col = "vpay_1" if "vpay_1" in df.columns else "vpay_b"
+        ua = [um[int(h)] for h in df["ha"].to_numpy()]
+        ub = [um[int(h)] for h in df["hb"].to_numpy()]
         return _metrics_from_payloads(
-            df["url_a"].to_numpy(),
-            df["url_b"].to_numpy(),
-            df[pa_col].to_numpy(),
-            df[pb_col].to_numpy(),
-            cfg.num_perms,
-            cfg.threshold,
+            ua, ub, df[pa_col].to_numpy(), df[pb_col].to_numpy(), cfg.num_perms, cfg.threshold
         )
 
     return joined.map_batches(_kernel, batch_format="pandas")
@@ -416,10 +416,8 @@ def confirm_substrings(substring_pairs, pages, num_partitions: int = 4):
     Flagged pairs are few by construction (containment >= 0.9 but below
     the Jaccard threshold), so their texts are semi-filtered out of the
     corpus and broadcast once; each pair checks that the shorter text
-    occurs byte-for-byte inside the longer (C-level
-    ``str.__contains__``; per-partition suffix indexes are the
-    documented upgrade when one wrapper hosts many candidates).
-    Returns (url_a, url_b, substring: bool).
+    occurs byte-for-byte inside the longer (suffix index per wrapper
+    when a host has many candidates). Returns (url_a, url_b, substring).
     """
     sp = substring_pairs.select_columns(["url_a", "url_b"]).materialize()
     cand = sp.map_batches(
@@ -433,7 +431,7 @@ def confirm_substrings(substring_pairs, pages, num_partitions: int = 4):
     ref = ray.put(cand_hashes)
     texts = {}
     filtered = pages.select_columns(["url", "text"]).map_batches(
-        _SemiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+        _semi_filter_fn, fn_args=(ref,), batch_format="pyarrow"
     )
     for b in filtered.iter_batches(batch_format="pyarrow"):
         texts.update(

@@ -73,8 +73,8 @@ def test_hot_key_detection_and_salted_recall(ray_session):
 
     plain = candidate_pairs(sigs, cfg, n_buckets=16, salt_hot=False).to_pandas()
     salted = candidate_pairs(sigs, cfg, n_buckets=16, salt_hot=True).to_pandas()
-    plain_set = {(a, b) for a, b in plain[["url_a", "url_b"]].itertuples(index=False)}
-    salted_set = {(a, b) for a, b in salted[["url_a", "url_b"]].itertuples(index=False)}
+    plain_set = {(a, b) for a, b in plain[["ha", "hb"]].itertuples(index=False)}
+    salted_set = {(a, b) for a, b in salted[["ha", "hb"]].itertuples(index=False)}
     # candidate recall for true dups must survive salting: compare via
     # downstream golden test instead; here assert substantial overlap
     # and that salting didn't explode the candidate count
