@@ -131,3 +131,19 @@ def test_deterministic_cluster_ids(result):
     multi = asg.groupby("cluster_id").size()
     for c in multi[multi > 1].index:
         assert by_cluster[c] == c
+
+
+def test_rerun_determinism(ray_session, corpus):
+    """Two independent runs produce identical verified pairs and
+    assignments — the determinism retries/lineage replay rely on."""
+    pages_tbl, _ = corpus
+    outs = []
+    for _ in range(2):
+        res = run_dedup(rd.from_arrow(pages_tbl.select(["url", "text"])), DedupConfig(), n_buckets=32)
+        ver = res.verified.to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+        asg = res.assignments.to_pandas().sort_values("url").reset_index(drop=True)
+        outs.append((ver, asg))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
