@@ -308,3 +308,29 @@ def test_kll_nan_inf_ignored():
 
     sk = KllSketch().update_values(np.array([1.0, np.nan, np.inf, 2.0]))
     assert sk.n == 2 and sk.min == 1.0 and sk.max == 2.0
+
+
+def test_family_registry_dispatch():
+    """Every family's image decodes via the generic registry
+    (codec/family.rs mirror + CpcWrapper pattern)."""
+    from raydedup.sketches.bloom import BloomFilter
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.kll import KllSketch
+    from raydedup.sketches.registry import sketch_from_bytes
+    from raydedup.sketches.tdigest import TDigest
+    from raydedup.sketches.theta import ThetaSketch, hashes_for_ints
+
+    cases = [
+        (ThetaSketch.from_hashes(hashes_for_ints(np.arange(50))).to_bytes(), ThetaSketch),
+        (HllSketch(10).update_ints(np.arange(50)).to_bytes(), HllSketch),
+        (CpcSketch(8).update_ints(np.arange(50)).to_bytes(), CpcSketch),
+        (TDigest.from_values(np.arange(50.0)).to_bytes(), TDigest),
+        (KllSketch(50).update_values(np.arange(50.0)).to_bytes(), KllSketch),
+        (BloomFilter(512, 3).insert(np.arange(5, dtype=np.uint64)).to_bytes(), BloomFilter),
+        (CountMinSketch(3, 64).update(["x"]).to_bytes(), CountMinSketch),
+        (FrequentItemsSketch(32).update("x").to_bytes(), FrequentItemsSketch),
+    ]
+    for img, cls in cases:
+        assert isinstance(sketch_from_bytes(img), cls)
+    with pytest.raises(CodecError):
+        sketch_from_bytes(b"\x99junk")
