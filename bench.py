@@ -110,6 +110,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     sigs.count()
     queries["signatures"] = round(time.time() - t0, 3)
 
+    # simhash dedup over the same corpus (the cheaper fingerprint path)
+    from raydedup.ops.simhash import SimHashStage, simhash_pairs
+
+    t0 = time.time()
+    fp = rd.read_parquet(page_files, columns=["url", "text"]).map_batches(
+        SimHashStage, batch_format="pyarrow", concurrency=(1, num_cpus)
+    )
+    simhash_pairs(fp, "url", max_hamming=3, n_buckets=4 * num_cpus).count()
+    queries["simhash_pairs"] = round(time.time() - t0, 3)
+
     # operator queries over the driver-provided tables
     import __ray_entry__ as entrymod
 
@@ -120,6 +130,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         if hasattr(out, "count"):
             out.count()
         queries[name] = round(time.time() - t0, 3)
+
+    if "--stats" in sys.argv:  # per-stage wall/cpu/memory breakdown
+        print(sigs.stats(), file=sys.stderr)
 
     ray.shutdown()
     return {
