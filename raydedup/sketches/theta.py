@@ -147,6 +147,69 @@ class ThetaSketch:
         entries = np.frombuffer(buf, dtype=U64, offset=codec.HEADER_SIZE + 8).copy()
         return cls(lg_k, theta, entries, seed_hash, bool(flags & codec.FLAG_EMPTY))
 
+    # -- cross-implementation wire format (Java/C++/Rust serVer 3) ---------
+
+    def to_java_v3_bytes(self) -> bytes:
+        """Serialize in the DataSketches compact theta serVer-3 wire
+        format, byte-compatible with the Java/C++/Rust implementations
+        (``theta/sketch.rs:477-510``, constants
+        ``theta/serialization.rs:20-30``)."""
+        import struct
+
+        est = self.is_estimation_mode
+        n = self.num_retained
+        if est:
+            pre = 3
+        elif self.empty or n == 1:
+            pre = 1
+        else:
+            pre = 2
+        flags = (1 << 1) | (1 << 3) | (1 << 4)  # READ_ONLY | COMPACT | ORDERED
+        if self.empty:
+            flags |= 1 << 2
+        out = struct.pack("<BBB", pre, 3, codec.FAMILY_THETA)
+        out += struct.pack(">H", 0)  # unused for compact (written BE in ref)
+        out += struct.pack("<BH", flags, self.seed_hash)
+        if pre > 1:
+            out += struct.pack("<I", n) + struct.pack(">I", 0)
+        if est:
+            out += struct.pack("<Q", self.theta)
+        out += np.ascontiguousarray(self.entries).tobytes()
+        return out
+
+    @classmethod
+    def from_java_v3_bytes(cls, buf: bytes, lg_k: int = DEFAULT_LG_K, expect_seed_hash: int | None = None) -> "ThetaSketch":
+        """Decode a DataSketches compact theta serVer-3 image
+        (``theta/sketch.rs:598-630`` validation semantics: family,
+        version, seed hash unless empty)."""
+        import struct
+
+        if len(buf) < 8:
+            raise codec.CodecError(f"insufficient data: {len(buf)} < 8")
+        pre, ver, family = struct.unpack_from("<BBB", buf, 0)
+        flags, seed_hash = struct.unpack_from("<BH", buf, 5)
+        if family != codec.FAMILY_THETA:
+            raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+        if ver != 3:
+            raise codec.CodecError(f"unsupported theta serial version {ver} (only v3)")
+        empty = bool(flags & (1 << 2))
+        if expect_seed_hash is not None and not empty and seed_hash != expect_seed_hash:
+            raise codec.CodecError(
+                f"incompatible seed hash: expected {expect_seed_hash}, got {seed_hash}"
+            )
+        off = 8
+        theta = MAX_THETA
+        if pre == 1:
+            n = 0 if empty else (len(buf) - off) // 8
+        else:
+            (n,) = struct.unpack_from("<I", buf, off)
+            off += 8  # num_entries u32 + unused u32
+            if pre >= 3:
+                (theta,) = struct.unpack_from("<Q", buf, off)
+                off += 8
+        entries = np.frombuffer(buf, dtype=U64, count=n, offset=off).copy()
+        return cls(lg_k, int(theta), entries, seed_hash, empty)
+
 
 def _rebuild(entries: np.ndarray, theta: int, lg_k: int) -> tuple[np.ndarray, int]:
     """Apply the k-th-smallest rebuild rule; returns (sorted entries, theta)."""

@@ -174,3 +174,50 @@ def test_binomial_bounds_coverage():
     assert upper_bound(0, 0.5, 2, no_data_seen=True) == 0.0
     with pytest.raises(ValueError):
         lower_bound(5, 0.0, 2)
+
+
+def test_java_v3_wire_format():
+    """serVer-3 wire format parity (theta/sketch.rs:477-510): exact
+    byte layout for estimation / exact / single / empty shapes, and
+    round-trips through the cross-implementation codec."""
+    import struct
+
+    # estimation-mode: preamble 3, theta present
+    s = sketch_of_range(0, 10_000)
+    buf = s.to_java_v3_bytes()
+    pre, ver, fam = struct.unpack_from("<BBB", buf, 0)
+    flags, seed_hash = struct.unpack_from("<BH", buf, 5)
+    assert (pre, ver, fam) == (3, 3, 3)
+    assert flags == (1 << 1) | (1 << 3) | (1 << 4)
+    assert seed_hash == s.seed_hash
+    (n,) = struct.unpack_from("<I", buf, 8)
+    (theta,) = struct.unpack_from("<Q", buf, 16)
+    assert n == s.num_retained and theta == s.theta
+    assert len(buf) == 24 + 8 * n
+    rt = ThetaSketch.from_java_v3_bytes(buf, expect_seed_hash=s.seed_hash)
+    assert rt.theta == s.theta and rt.empty == s.empty
+    np.testing.assert_array_equal(rt.entries, s.entries)
+    assert rt.to_java_v3_bytes() == buf  # byte-stable
+
+    # exact mode: preamble 2, no theta
+    s2 = sketch_of_range(0, 100)
+    b2 = s2.to_java_v3_bytes()
+    assert b2[0] == 2 and len(b2) == 16 + 8 * 100
+    rt2 = ThetaSketch.from_java_v3_bytes(b2)
+    assert rt2.estimate() == 100.0
+
+    # single item: preamble 1
+    s3 = sketch_of_range(0, 1)
+    b3 = s3.to_java_v3_bytes()
+    assert b3[0] == 1 and len(b3) == 16
+    assert ThetaSketch.from_java_v3_bytes(b3).estimate() == 1.0
+
+    # empty: preamble 1, empty flag, no entries
+    s4 = ThetaSketch.from_hashes(np.empty(0, dtype=np.uint64))
+    b4 = s4.to_java_v3_bytes()
+    assert b4[0] == 1 and (b4[5] & (1 << 2)) and len(b4) == 8
+    assert ThetaSketch.from_java_v3_bytes(b4).empty
+
+    # seed mismatch rejected for non-empty
+    with pytest.raises(CodecError):
+        ThetaSketch.from_java_v3_bytes(buf, expect_seed_hash=12345)
