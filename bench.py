@@ -75,13 +75,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     n_docs = rd.read_parquet(page_files).count()  # warm page cache + count
 
-    # warm the WORKER POOL untimed: a mini end-to-end run imports the
-    # library in every worker process, faults the kernel buffers, and
-    # exercises every stage's code path — the steady-state regime a
-    # long-running cluster operates in (measure compute + shuffle, not
-    # one-time process spin-up).
-    warm_pages = rd.read_parquet(page_files[:1], columns=["url", "text"]).limit(2000)
-    run_dedup(warm_pages, cfg, n_buckets=32, concurrency=(1, num_cpus)).assignments.count()
+    # warm the WORKER POOL untimed: small batches fan across every
+    # worker process (imports + kernel buffer faults land in ALL of
+    # them, not just one), then a mini end-to-end run exercises every
+    # stage's code path — the steady-state regime a long-running
+    # cluster operates in (measure compute + shuffle, not one-time
+    # process spin-up).
+    from raydedup.pipeline.lsh import signature_batch_fn
+
+    warm_pages = rd.read_parquet(page_files[:1], columns=["url", "text"]).limit(300 * num_cpus)
+    warm_pages.map_batches(
+        signature_batch_fn, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=300
+    ).count()
+    run_dedup(
+        rd.read_parquet(page_files[:1], columns=["url", "text"]).limit(2000),
+        cfg, n_buckets=32, concurrency=(1, num_cpus),
+    ).assignments.count()
 
     # headline: end-to-end near-dup detection + clustering
     t0 = time.time()
