@@ -120,11 +120,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["signatures"] = round(time.time() - t0, 3)
 
     # simhash dedup over the same corpus (the cheaper fingerprint path)
-    from raydedup.ops.simhash import SimHashStage, simhash_pairs
+    from raydedup.ops.simhash import simhash_batch_fn, simhash_pairs
 
     t0 = time.time()
     fp = rd.read_parquet(page_files, columns=["url", "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, num_cpus)
+        simhash_batch_fn, batch_format="pyarrow"
     )
     simhash_pairs(fp, "url", max_hamming=3, n_buckets=4 * num_cpus).count()
     queries["simhash_pairs"] = round(time.time() - t0, 3)

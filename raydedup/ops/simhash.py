@@ -76,6 +76,11 @@ class SimHashStage:
         return pa.table({self.id_column: batch[self.id_column], "simhash": pa.array(sh, pa.uint64())})
 
 
+def simhash_batch_fn(batch: pa.Table, id_column: str = "url", text_column: str = "text", k: int = 5, seed: int = 9001) -> pa.Table:
+    """Task-form simhash stage (see lsh.signature_batch_fn rationale)."""
+    return SimHashStage(id_column, text_column, k, seed)(batch)
+
+
 def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: int = 4, n_buckets: int = 64):
     """fingerprints Dataset (id, simhash) → pairs within hamming distance.
 
