@@ -77,9 +77,26 @@ def run_dedup(
     or ``.to_pandas()`` on the small outputs.
     """
     cfg = cfg or DedupConfig()
-    pages_slim = pages.select_columns(
-        ["url", "text"] if "text" in pages.schema().names else ["url", "html"]
-    )
+    names = pages.schema().names
+    if "text" in names:
+        pages_slim = pages.select_columns(["url", "text"])
+    else:
+        # input_hint shape without a text column: extract from html
+        # (byte-identical pure function of the bytes — extract.py) and
+        # drop the wide binary immediately so it never enters a shuffle
+        from raydedup.pipeline.extract import extract_text
+
+        def extract(batch):
+            import pyarrow as pa
+
+            html = batch["html"]
+            if isinstance(html, pa.ChunkedArray):
+                html = html.combine_chunks()
+            return pa.table({"url": batch["url"], "text": extract_text(html)})
+
+        pages_slim = pages.select_columns(["url", "html"]).map_batches(
+            extract, batch_format="pyarrow"
+        )
     sigs = build_signatures(pages_slim, cfg, concurrency=concurrency)
     # signatures feed two consumers (banding and the verify attach) —
     # materialize once so the actor stage runs a single time.
@@ -93,5 +110,5 @@ def run_dedup(
     substr = None
     if with_substring_confirm:
         flagged = verified.filter(expr="substring_candidate")
-        substr = confirm_substrings(flagged, pages, num_partitions=num_join_partitions)
+        substr = confirm_substrings(flagged, pages_slim, num_partitions=num_join_partitions)
     return DedupResult(sigs, cands, verified, dup_pairs, assignments, substr)

@@ -147,3 +147,19 @@ def test_rerun_determinism(ray_session, corpus):
 
     pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
+def test_html_only_input_matches_text_input(ray_session, corpus):
+    """input_hint conformance: a pages table with only (url, html)
+    dedups identically to the text path (extraction is byte-identical)."""
+    pages_tbl, _ = corpus
+    sub = pages_tbl.slice(0, 600)
+    via_text = run_dedup(
+        rd.from_arrow(sub.select(["url", "text"])), DedupConfig(), n_buckets=16
+    ).assignments.to_pandas().sort_values("url").reset_index(drop=True)
+    via_html = run_dedup(
+        rd.from_arrow(sub.select(["url", "html"])), DedupConfig(), n_buckets=16
+    ).assignments.to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(via_text, via_html)
