@@ -211,6 +211,81 @@ class ThetaSketch:
         return cls(lg_k, int(theta), entries, seed_hash, empty)
 
 
+def _theta_v4_pack(entries: np.ndarray) -> tuple[int, bytes]:
+    """Delta bit-pack sorted entries, MSB-first (theta/bit_pack.rs order).
+
+    Full 8-value blocks are byte-aligned (8*bits bits == bits bytes), so
+    the whole stream is one continuous big-endian bitstream with the
+    final byte zero-padded — packed here via one big int.
+    """
+    deltas = np.diff(entries, prepend=np.uint64(0)).astype(np.uint64)
+    bits = int(np.bitwise_or.reduce(deltas)).bit_length()
+    acc = 0
+    for d in deltas.tolist():
+        acc = (acc << bits) | d
+    total_bits = bits * len(deltas)
+    pad = (-total_bits) % 8
+    acc <<= pad
+    return bits, acc.to_bytes((total_bits + pad) // 8, "big")
+
+
+def _theta_v4_unpack(data: bytes, n: int, bits: int) -> np.ndarray:
+    total_bits = bits * n
+    nbytes = (total_bits + 7) // 8
+    acc = int.from_bytes(data[:nbytes], "big") >> ((nbytes * 8) - total_bits)
+    mask = (1 << bits) - 1
+    deltas = np.fromiter(
+        ((acc >> ((n - 1 - i) * bits)) & mask for i in range(n)), dtype=np.uint64, count=n
+    )
+    return np.cumsum(deltas).astype(np.uint64)
+
+
+def theta_to_java_v4_bytes(s: ThetaSketch) -> bytes:
+    """serVer-4 compressed wire format (theta/sketch.rs:512-578):
+    delta-encoded entries bit-packed at the minimal width. Empty
+    sketches use v3 (the reference's serialize_compressed fallback)."""
+    import struct
+
+    if s.empty or s.num_retained == 0:
+        return s.to_java_v3_bytes()
+    pre = 2 if s.is_estimation_mode else 1
+    n = s.num_retained
+    bits, packed = _theta_v4_pack(s.entries)
+    n_bytes = (n.bit_length() + 7) // 8
+    flags = (1 << 1) | (1 << 3) | (1 << 4)  # READ_ONLY | COMPACT | ORDERED
+    out = struct.pack("<BBBBBBH", pre, 4, codec.FAMILY_THETA, bits, n_bytes, flags, s.seed_hash)
+    if pre > 1:
+        out += struct.pack("<Q", s.theta)
+    out += n.to_bytes(n_bytes, "little")
+    out += packed
+    return out
+
+
+def theta_from_java_v4_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, expect_seed_hash: int | None = None) -> ThetaSketch:
+    """Decode serVer-4 (theta/sketch.rs:806-880 semantics)."""
+    import struct
+
+    pre, ver, family, bits, n_bytes, flags, seed_hash = struct.unpack_from("<BBBBBBH", buf, 0)
+    if family != codec.FAMILY_THETA:
+        raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+    if ver != 4:
+        raise codec.CodecError(f"not a v4 theta image (version {ver})")
+    empty = bool(flags & (1 << 2))
+    if expect_seed_hash is not None and not empty and seed_hash != expect_seed_hash:
+        raise codec.CodecError(
+            f"incompatible seed hash: expected {expect_seed_hash}, got {seed_hash}"
+        )
+    off = 8
+    theta = MAX_THETA
+    if pre > 1:
+        (theta,) = struct.unpack_from("<Q", buf, off)
+        off += 8
+    n = int.from_bytes(buf[off : off + n_bytes], "little")
+    off += n_bytes
+    entries = _theta_v4_unpack(buf[off:], n, bits) if n else np.empty(0, dtype=U64)
+    return ThetaSketch(lg_k, int(theta), entries, seed_hash, empty)
+
+
 def _rebuild(entries: np.ndarray, theta: int, lg_k: int) -> tuple[np.ndarray, int]:
     """Apply the k-th-smallest rebuild rule; returns (sorted entries, theta)."""
     k = 1 << lg_k

@@ -221,3 +221,41 @@ def test_java_v3_wire_format():
     # seed mismatch rejected for non-empty
     with pytest.raises(CodecError):
         ThetaSketch.from_java_v3_bytes(buf, expect_seed_hash=12345)
+
+
+def test_java_v4_compressed_wire_format():
+    """serVer-4 delta bit-packing (theta/sketch.rs:512-578): round-trip,
+    compression, and a hand-verified bitstream for a tiny case."""
+    import struct
+
+    from raydedup.sketches.theta import theta_from_java_v4_bytes, theta_to_java_v4_bytes
+
+    s = sketch_of_range(0, 10_000)
+    v4 = theta_to_java_v4_bytes(s)
+    v3 = s.to_java_v3_bytes()
+    # deltas average theta/k ≈ 2^51 at lg_k=12 → ~53 bits/entry vs 64
+    assert len(v4) < 0.88 * len(v3)
+    rt = theta_from_java_v4_bytes(v4, expect_seed_hash=s.seed_hash)
+    assert rt.theta == s.theta
+    np.testing.assert_array_equal(rt.entries, s.entries)
+    assert theta_to_java_v4_bytes(rt) == v4  # byte-stable
+
+    # hand-verified tiny case: entries [1, 3] → deltas [1, 2] → bits 2
+    # → stream 01 10 (MSB-first) → byte 0b0110_0000 = 0x60
+    tiny = ThetaSketch(12, int(np.iinfo(np.int64).max), np.array([1, 3], dtype=np.uint64), s.seed_hash, False)
+    b = theta_to_java_v4_bytes(tiny)
+    pre, ver, fam, bits, n_bytes, flags, sh = struct.unpack_from("<BBBBBBH", b, 0)
+    assert (pre, ver, fam, bits, n_bytes) == (1, 4, 3, 2, 1)
+    assert b[8] == 2          # num_entries little-endian byte
+    assert b[9] == 0b01100000  # packed deltas
+    rt2 = theta_from_java_v4_bytes(b)
+    np.testing.assert_array_equal(rt2.entries, [1, 3])
+
+    # exact-mode (pre 1, no theta) round trip
+    s2 = sketch_of_range(0, 200)
+    rt3 = theta_from_java_v4_bytes(theta_to_java_v4_bytes(s2))
+    assert rt3.estimate() == 200.0
+
+    # empty falls back to v3
+    e = ThetaSketch.from_hashes(np.empty(0, dtype=np.uint64))
+    assert theta_to_java_v4_bytes(e)[1] == 3
