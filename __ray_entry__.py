@@ -187,6 +187,40 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
 
 
+def _q_asof_user_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (custom operator — bucketed cogroup +
+    per-bucket merge_asof; DuckDB oracle uses native ASOF JOIN)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from raydedup.ops.asof import asof_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["o_custkey"], pa.int64()),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderkey": batch["o_orderkey"],
+            }
+        )
+
+    # one row per (user, date): deterministic tie-break = max orderkey
+    orders = (
+        orders.map_batches(rename, batch_format="pyarrow")
+        .groupby(["user_id", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
+    out = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_values=["o_orderdate", "o_orderkey"],
+    )
+    return out.sort("event_id")
+
+
 def _q_parse_props(sf_dir: str):
     """JSON props parsing: extract k, aggregate per event_type.
 
@@ -441,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "asof_user_orders": _q_asof_user_orders,
         "parse_props": _q_parse_props,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_tumbling": _q_events_tumbling,
@@ -512,6 +547,17 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "asof_user_orders": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "parse_props": """
             SELECT event_type, count(*) AS n,

@@ -51,3 +51,46 @@ def test_sessions_match_duckdb(ray_session):
     assert len(out) == len(oracle)
     assert (out.n_events.to_numpy() == oracle.n_events.to_numpy()).all()
     assert (out.session_start.to_numpy() == oracle.session_start.to_numpy()).all()
+
+def test_asof_join_matches_duckdb(ray_session):
+    from raydedup.ops.asof import asof_join
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    orders = (
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": pc.cast(b["o_custkey"], pa.int64()),
+                    "o_orderdate": b["o_orderdate"],
+                    "o_orderkey": b["o_orderkey"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+    )
+    out = asof_join(
+        events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_values=["o_orderdate", "o_orderkey"], n_buckets=8,
+    ).sort("event_id").to_pandas()
+    oracle = duckdb.sql(
+        f"""WITH o AS (SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) o_orderkey
+                       FROM '{SF}/orders.parquet' GROUP BY 1,2)
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate, o.o_orderkey
+            FROM '{SF}/events.parquet' e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id"""
+    ).df()
+    assert len(out) == len(oracle)
+    assert (out.event_id.to_numpy() == oracle.event_id.to_numpy()).all()
+    import numpy as np
+
+    lhs = out.o_orderkey.fillna(-1).to_numpy()
+    rhs = oracle.o_orderkey.fillna(-1).to_numpy()
+    assert (lhs == rhs).all()
