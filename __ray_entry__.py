@@ -187,6 +187,51 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
 
 
+def _q_region_revenue(sf_dir: str):
+    """3-way dimension join: orders ⋈ customer ⋈ nation ⋈ region →
+    revenue per region (small dims broadcast-merged inside map_batches
+    — the guide's small-side pattern — after one hash join on the fact
+    key)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    dref = ray.put(dict(zip(dim.n_nationkey, dim.r_name)))
+
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lookup = _ray.get(dref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        rn = [lookup[int(k)] for k in nk]
+        return pa.table(
+            {"r_name": pa.array(rn, pa.string()), "o_totalprice": batch["o_totalprice"]}
+        )
+
+    out = (
+        joined.map_batches(attach_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("revenue")
+        return batch.set_column(i, "revenue", pc.round(batch["revenue"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort("r_name")
+
+
 def _q_asof_user_orders(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (custom operator — bucketed cogroup +
@@ -475,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "region_revenue": _q_region_revenue,
         "asof_user_orders": _q_asof_user_orders,
         "parse_props": _q_parse_props,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
@@ -547,6 +593,16 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "asof_user_orders": """
             WITH o AS (
