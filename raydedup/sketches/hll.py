@@ -124,6 +124,57 @@ class HllSketch:
         return cls(lg_k, regs)
 
 
+def hll_to_java_bytes(sk: HllSketch, out_of_order: bool = True) -> bytes:
+    """Serialize in the DataSketches HLL8/HLL-mode wire format,
+    byte-compatible with Java/C++/Rust (``hll/array8.rs:306-346``;
+    constants ``hll/serialization.rs``): 40-byte preamble (preints 10,
+    serVer 1, family 7, lg_k, flags, cur_min 0, mode byte HLL|HLL8,
+    HIP accum + kxq0/kxq1 registers, num-at-cur-min, aux count 0)
+    followed by the 2^lg_k register bytes. Engine sketches are merged
+    (out-of-order), so the HIP accumulator is written as 0 and the OOO
+    flag directs readers to the composite estimator — exactly what the
+    reference's union produces.
+    """
+    import struct
+
+    regs = sk.regs
+    k = len(regs)
+    pow2 = np.exp2(-regs.astype(np.float64))
+    kxq0 = float(pow2[regs < 32].sum())
+    kxq1 = float(pow2[regs >= 32].sum())
+    num_zeros = int(np.count_nonzero(regs == 0))
+    flags = 16 if out_of_order else 0  # OUT_OF_ORDER_FLAG_MASK
+    mode_byte = (2 & 0x3) | ((2 & 0x3) << 2)  # CUR_MODE_HLL | TGT_HLL8
+    head = struct.pack(
+        "<BBBBBBBB", 10, 1, 7, sk.lg_k, 0, flags, 0, mode_byte
+    )
+    head += struct.pack("<ddd", 0.0, kxq0, kxq1)
+    head += struct.pack("<II", num_zeros, 0)
+    return head + regs.tobytes()
+
+
+def hll_from_java_bytes(buf: bytes) -> HllSketch:
+    """Decode a DataSketches HLL image in HLL mode with HLL8 registers
+    (the shape this engine writes; List/Set/HLL4/HLL6 modes raise)."""
+    import struct
+
+    if len(buf) < 40:
+        raise ValueError(f"insufficient data: {len(buf)} < 40")
+    preints, ver, family, lg_k, _, flags, cur_min, mode_byte = struct.unpack_from("<BBBBBBBB", buf, 0)
+    if family != 7:
+        raise ValueError(f"family mismatch: expected 7, got {family}")
+    if ver != 1:
+        raise ValueError(f"unsupported HLL serial version {ver}")
+    cur_mode = mode_byte & 0x3
+    tgt_type = (mode_byte >> 2) & 0x3
+    if cur_mode != 2 or tgt_type != 2:
+        raise NotImplementedError(
+            f"only HLL-mode HLL8 images supported (cur_mode={cur_mode}, tgt={tgt_type})"
+        )
+    regs = np.frombuffer(buf, dtype=np.uint8, count=1 << lg_k, offset=40).copy()
+    return HllSketch(lg_k, regs)
+
+
 def downsample(regs: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:
     """Fold registers to a smaller lg_k by max over slot groups.
 

@@ -334,3 +334,28 @@ def test_family_registry_dispatch():
         assert isinstance(sketch_from_bytes(img), cls)
     with pytest.raises(CodecError):
         sketch_from_bytes(b"\x99junk")
+
+
+def test_hll_java_wire_format():
+    """DataSketches HLL8 HLL-mode wire layout (hll/array8.rs:306-346):
+    field-level byte assertions + round trip."""
+    import struct
+
+    from raydedup.sketches.hll import hll_from_java_bytes, hll_to_java_bytes
+
+    sk = HllSketch(10).update_ints(np.arange(5000))
+    buf = hll_to_java_bytes(sk)
+    assert len(buf) == 40 + 1024
+    preints, ver, fam, lg_k, unused, flags, cur_min, mode = struct.unpack_from("<BBBBBBBB", buf, 0)
+    assert (preints, ver, fam, lg_k) == (10, 1, 7, 10)
+    assert flags == 16  # out-of-order (merged) → composite estimator
+    assert cur_min == 0 and mode == 0b1010  # HLL mode, HLL8 target
+    hip, kxq0, kxq1 = struct.unpack_from("<ddd", buf, 8)
+    pow2 = np.exp2(-sk.regs.astype(np.float64))
+    assert kxq0 == pow2[sk.regs < 32].sum()
+    assert kxq1 == pow2[sk.regs >= 32].sum()
+    (num_zeros,) = struct.unpack_from("<I", buf, 32)
+    assert num_zeros == int(np.count_nonzero(sk.regs == 0))
+    rt = hll_from_java_bytes(buf)
+    np.testing.assert_array_equal(rt.regs, sk.regs)
+    assert rt.estimate() == sk.estimate()
