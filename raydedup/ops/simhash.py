@@ -25,23 +25,44 @@ from raydedup.pipeline.extract import text_to_shingle_sets
 U64 = np.uint64
 
 
-def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """(n_docs,) uint64 fingerprints, vectorized via per-bit reduceat."""
+def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray, slab: int = 1 << 14) -> np.ndarray:
+    """(n_docs,) uint64 fingerprints, vectorized via per-bit reduceat.
+
+    Processed in doc-aligned shingle slabs with a reusable bit buffer
+    so the working set stays cache-resident (same rationale as the
+    MinHash workspace — node-level contention is memory bandwidth).
+    """
     n_docs = len(offsets) - 1
     out = np.zeros(n_docs, dtype=U64)
     if len(shingles) == 0:
         return out
     counts = np.diff(offsets)
-    nonempty = counts > 0
-    starts = offsets[:-1][nonempty]
-    half = (counts[nonempty] / 2.0)[:, None]
-    # bit matrix in chunks of 16 bits to bound the working set
-    for b0 in range(0, 64, 16):
-        bits = ((shingles[:, None] >> (np.arange(b0, b0 + 16, dtype=U64))) & U64(1)).astype(np.int32)
-        sums = np.add.reduceat(bits, starts, axis=0)
-        maj = sums > half
-        weights = (U64(1) << np.arange(b0, b0 + 16, dtype=U64))[None, :]
-        out[nonempty] |= (maj * weights).sum(axis=1, dtype=U64)
+    ne_idx = np.nonzero(counts > 0)[0]
+    buf = np.empty((slab, 16), dtype=np.int32)
+    lo = 0
+    while lo < len(ne_idx):
+        base = offsets[ne_idx[lo]]
+        hi = lo + 1
+        while hi < len(ne_idx) and offsets[ne_idx[hi] + 1] - base <= slab:
+            hi += 1
+        end = offsets[ne_idx[hi - 1] + 1]
+        sl = shingles[base:end]
+        starts = offsets[:-1][ne_idx[lo:hi]] - base
+        half = (counts[ne_idx[lo:hi]] / 2.0)[:, None]
+        acc = np.zeros(hi - lo, dtype=U64)
+        for b0 in range(0, 64, 16):
+            shifts = np.arange(b0, b0 + 16, dtype=U64)
+            if len(sl) <= slab:
+                bits = buf[: len(sl)]
+                np.bitwise_and(sl[:, None] >> shifts[None, :], U64(1), out=bits, casting="unsafe")
+            else:  # single giant doc: one-off buffer
+                bits = ((sl[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)
+            sums = np.add.reduceat(bits, starts, axis=0)
+            maj = sums > half
+            weights = (U64(1) << shifts)[None, :]
+            acc |= (maj * weights).sum(axis=1, dtype=U64)
+        out[ne_idx[lo:hi]] |= acc
+        lo = hi
     return out
 
 
