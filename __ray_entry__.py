@@ -187,6 +187,21 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
 
 
+def _q_top2_parts_per_brand(sf_dir: str):
+    """Per-group top-k (row_number window semantics): the 2 priciest
+    parts of each brand, ties broken by partkey."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True]).head(2)
+
+    out = ds.groupby("p_brand").map_groups(top2, batch_format="pandas")
+    return out.sort(["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False])
+
+
 def _q_region_revenue(sf_dir: str):
     """3-way dimension join: orders ⋈ customer ⋈ nation ⋈ region →
     revenue per region (small dims broadcast-merged inside map_batches
@@ -520,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_price": _q_top_parts_by_price,
         "quantity_quantiles": _q_quantity_quantiles,
         "heavy_hitter_sources": _q_heavy_hitter_sources,
+        "top2_parts_per_brand": _q_top2_parts_per_brand,
         "region_revenue": _q_region_revenue,
         "asof_user_orders": _q_asof_user_orders,
         "parse_props": _q_parse_props,
@@ -593,6 +609,15 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_sources": """
             SELECT source, count(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "top2_parts_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice
+            FROM part
+            QUALIFY row_number() OVER (
+                PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey
+            ) <= 2
+            ORDER BY p_brand, p_retailprice DESC, p_partkey
         """,
         "region_revenue": """
             SELECT r_name,
