@@ -263,7 +263,7 @@ def _q_asof_user_orders(sf_dir: str):
         return pa.table(
             {
                 "user_id": pc.cast(batch["o_custkey"], pa.int64()),
-                "o_orderdate": batch["o_orderdate"],
+                "o_orderdate": pc.cast(batch["o_orderdate"], pa.timestamp("us")),
                 "o_orderkey": batch["o_orderkey"],
             }
         )
@@ -278,7 +278,14 @@ def _q_asof_user_orders(sf_dir: str):
         events, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
         right_values=["o_orderdate", "o_orderkey"],
     )
-    return out.sort("event_id")
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("o_orderdate")
+        return batch.set_column(
+            i, "o_orderdate", pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        )
+
+    return out.map_batches(to_us, batch_format="pyarrow").sort("event_id")
 
 
 def _q_parse_props(sf_dir: str):
@@ -569,7 +576,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(DISTINCT l_orderkey) AS n_distinct FROM lineitem
         """,
         "docs_per_source": """
-            SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source ORDER BY source
         """,
         "pricing_summary": """
@@ -642,7 +650,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "parse_props": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,

@@ -71,8 +71,23 @@ def asof_join(
     )
 
     out_right_cols = [c for c in right_keep if c not in left_cols]
+    out_cols = [*left_cols, *out_right_cols]
+    out_types = {c: left_types.get(c, right_types.get(c)) for c in out_cols}
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pa.Table:
+        # The union of null-tagged sides float-upcasts int columns in
+        # pandas; restore the exact Arrow output schema (int64 with
+        # nulls, never float64) before the table leaves the group.
+        arrays = {}
+        for c in out_cols:
+            t = out_types[c]
+            s = df[c] if c in df.columns else pd.Series([None] * len(df))
+            if pa.types.is_integer(t) and str(s.dtype).startswith("float"):
+                s = s.astype("Int64")
+            arrays[c] = pa.array(s, type=t, from_pandas=True)
+        return pa.table(arrays)
+
+    def join_bucket(df: pd.DataFrame) -> pa.Table:
         l = df[df["side"] == 0][list(left_cols)].sort_values(left_ts, kind="stable")
         r = df[df["side"] == 1][[key, *out_right_cols]].sort_values(right_ts, kind="stable")
         # normalize timestamp resolutions (merge_asof requires equal dtypes)
@@ -80,12 +95,12 @@ def asof_join(
             if str(frame[col].dtype).startswith("datetime64"):
                 frame[col] = frame[col].astype("datetime64[us]")
         if len(l) == 0:
-            return pd.DataFrame(columns=[*left_cols, *out_right_cols])
+            return finish(pd.DataFrame(columns=out_cols))
         if len(r) == 0:
             out = l.copy()
             for c in out_right_cols:
                 out[c] = None
-            return out
+            return finish(out)
         merged = pd.merge_asof(
             l,
             r,
@@ -95,7 +110,7 @@ def asof_join(
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged[[*left_cols, *out_right_cols]]
+        return finish(merged[out_cols])
 
     return tagged_l.union(tagged_r).groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
