@@ -218,7 +218,9 @@ def _q_region_revenue(sf_dir: str):
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
         ["n_nationkey", "r_name"]
     ]
-    dref = ray.put(dict(zip(dim.n_nationkey, dim.r_name)))
+    keys = dim.n_nationkey.to_numpy()
+    order = np.argsort(keys)
+    dref = ray.put((keys[order], dim.r_name.to_numpy()[order]))
 
     joined = orders.join(
         cust, join_type="inner", num_partitions=4, on=("o_custkey",), right_on=("c_custkey",)
@@ -227,9 +229,9 @@ def _q_region_revenue(sf_dir: str):
     def attach_region(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        lookup = _ray.get(dref)
+        keys_s, names_s = _ray.get(dref)  # sorted broadcast dim, searchsorted lookup
         nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        rn = [lookup[int(k)] for k in nk]
+        rn = names_s[np.searchsorted(keys_s, nk)]
         return pa.table(
             {"r_name": pa.array(rn, pa.string()), "o_totalprice": batch["o_totalprice"]}
         )
@@ -291,23 +293,18 @@ def _q_asof_user_orders(sf_dir: str):
 def _q_parse_props(sf_dir: str):
     """JSON props parsing: extract k, aggregate per event_type.
 
-    Vectorized via pyarrow JSON-ish extraction (the k field is numeric;
-    a compiled regex-free parse through pandas str ops would also do —
-    here we use pc.extract via split on stable structure).
+    Vectorized: one ``pc.extract_regex`` kernel over the whole column
+    (the k field is numeric) — no per-row ``json.loads`` loop.
     """
-    import json
-
     import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def parse(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        props = batch["props"].to_pylist()
-        ks = np.fromiter((json.loads(p)["k"] for p in props), dtype=np.int64, count=len(props))
-        return pa.table({"event_type": batch["event_type"], "k": pa.array(ks)})
+        hit = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        ks = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": ks})
 
     out = ds.map_batches(parse, batch_format="pyarrow").groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")

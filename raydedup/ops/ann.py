@@ -218,9 +218,11 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
             ["id_a", "id_b"]
         )
 
+    from raydedup.ops.pairs import dedup_pairs
+
     rows = ds.map_batches(fingerprint, batch_format="pyarrow")
     pairs = rows.groupby("bucket").map_groups(emit, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    return dedup_pairs(pairs, n_buckets=n_buckets)
 
 
 # ---------------------------------------------------------------------------

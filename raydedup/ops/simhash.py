@@ -172,9 +172,10 @@ def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: 
             .drop_duplicates(["id_a", "id_b"])
         )
 
+    from raydedup.ops.pairs import dedup_pairs
+
     rows = fingerprints.map_batches(explode, batch_format="pyarrow")
     pairs = rows.groupby("bucket").map_groups(emit, batch_format="pandas")
-    # cross-bucket dedup (a pair can surface from several blocks)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # cross-bucket dedup (a pair can surface from several blocks):
+    # coarse-bucket drop_duplicates, never one group per pair
+    return dedup_pairs(pairs, n_buckets=n_buckets)

@@ -76,29 +76,61 @@ def quality_scores(batch: pa.Table, id_column: str, text_column: str = "text") -
 
 
 class LangIdStage:
-    """Stopword-marker language ID (actor pool; markers compiled once).
+    """Stopword-marker language ID (actor pool; marker hash table built
+    once per actor).
 
-    Picks the language whose marker-set hit count over the doc's tokens
-    is highest; ties and zero-marker docs fall back to 'unknown'.
+    Picks the language with the highest count of *distinct* marker
+    words present in the doc; ties and zero-marker docs fall back to
+    'unknown'. Fully vectorized: tokens are hashed once per batch and
+    matched against a sorted u64 marker-hash array (searchsorted) —
+    no per-row Python, no ``to_pylist``.
     """
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.lang_names = list(_LANG_MARKERS)  # order = tie-break priority
+        words, lang_of, marker_id = [], [], []
+        for li, (_, ms) in enumerate(_LANG_MARKERS.items()):
+            for w in sorted(ms):
+                words.append(w)
+                lang_of.append(li)
+                marker_id.append(len(marker_id))
+        h, _ = hash_strings(pa.array(words, pa.string()))
+        order = np.argsort(h)
+        self.marker_hashes = h[order]
+        self.marker_lang = np.asarray(lang_of, np.int64)[order]
+        self.n_markers = len(words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        words = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        preds = []
-        for wl in words.to_pylist():
-            ws = set(wl)
-            best, best_n = "unknown", 0
-            for lang, markers in self.markers.items():
-                hits = len(ws & markers)
-                if hits > best_n:
-                    best, best_n = lang, hits
-            preds.append(best)
+        n_docs = len(text)
+        n_langs = len(self.lang_names)
+        offs_arr = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        if isinstance(offs_arr, pa.ChunkedArray):
+            offs_arr = offs_arr.combine_chunks()
+        offs = offs_arr.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        preds = np.full(n_docs, "unknown", dtype=object)
+        if len(doc_of_word):
+            ht, _ = hash_strings(offs_arr.flatten())
+            pos = np.minimum(np.searchsorted(self.marker_hashes, ht), self.n_markers - 1)
+            hit = self.marker_hashes[pos] == ht
+            if hit.any():
+                docs = doc_of_word[hit]
+                midx = pos[hit]
+                # distinct (doc, marker) pairs → per-(doc, lang) counts
+                key = np.unique(docs * np.int64(self.n_markers) + midx)
+                d = key // self.n_markers
+                lang = self.marker_lang[key % self.n_markers]
+                counts = np.bincount(
+                    d * np.int64(n_langs) + lang, minlength=n_docs * n_langs
+                ).reshape(n_docs, n_langs)
+                best = counts.argmax(axis=1)  # first max wins = dict order
+                names = np.asarray(self.lang_names, dtype=object)
+                nonzero = counts.max(axis=1) > 0
+                preds[nonzero] = names[best[nonzero]]
         out = pa.table(
             {c: batch[c] for c in batch.column_names if c != "text"}
             | {"lang_pred": pa.array(preds, pa.string())}
@@ -107,7 +139,22 @@ class LangIdStage:
 
 
 def fingerprint(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
-    """128-bit content fingerprint (murmur3 h1/h2 hex) per document."""
+    """128-bit content fingerprint (murmur3 h1/h2 hex) per document.
+
+    Hex encoding is vectorized: big-endian (h1, h2) bytes → one
+    ``binascii.hexlify`` over the whole batch, sliced into 32-char
+    strings via a zero-copy Arrow offsets buffer.
+    """
+    import binascii
+
     h1, h2 = hash_strings(batch[text_column])
-    fp = [f"{int(a):016x}{int(b):016x}" for a, b in zip(h1, h2)]
-    return pa.table({id_column: batch[id_column], "fingerprint": pa.array(fp, pa.string())})
+    n = len(h1)
+    be = np.empty((n, 2), dtype=">u8")
+    be[:, 0] = h1
+    be[:, 1] = h2
+    hexbytes = binascii.hexlify(be.tobytes())
+    offsets = (np.arange(n + 1, dtype=np.int32) * 32).tobytes()
+    fp = pa.Array.from_buffers(
+        pa.utf8(), n, [None, pa.py_buffer(offsets), pa.py_buffer(hexbytes)]
+    )
+    return pa.table({id_column: batch[id_column], "fingerprint": fp})

@@ -97,12 +97,23 @@ def run_dedup(
         pages_slim = pages.select_columns(["url", "html"]).map_batches(
             extract, batch_format="pyarrow"
         )
+    import os
+    import sys
+    import time
+
+    timing = os.environ.get("RAYDEDUP_TIMING")
+    t0 = time.time()
     sigs = build_signatures(pages_slim, cfg, concurrency=concurrency)
     # signatures feed two consumers (banding and the verify attach) —
     # materialize once so the actor stage runs a single time.
     sigs = sigs.materialize()
+    t1 = time.time()
     cands = candidate_pairs(sigs, cfg, n_buckets=n_buckets, salt_hot=salt_hot).materialize()
+    t2 = time.time()
     verified = verify_pairs(cands, sigs, cfg, num_partitions=num_join_partitions).materialize()
+    t3 = time.time()
+    if timing:
+        print(f"[run_dedup] sig {t1-t0:.2f} cand {t2-t1:.2f} ver {t3-t2:.2f}", file=sys.stderr)
     dup_pairs = verified.filter(expr="is_dup")
     # assign over the materialized signatures (same url universe as the
     # corpus) so the raw input isn't re-read a second time

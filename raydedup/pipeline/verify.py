@@ -77,53 +77,106 @@ def _pack_payload(batch: pa.Table) -> pa.Table:
     """(url, theta, shingles, sig) → (uh, url, vpay binary).
 
     vpay layout: [theta u64][n_sh u64][shingles n_sh*u64][sig P*u64].
+    Fully vectorized: one scatter into a single u64 buffer, wrapped as
+    a zero-copy large_binary array via offsets (no per-row Python).
     """
+    m = len(batch)
     sh = batch["shingles"].combine_chunks()
-    sh_off = sh.offsets.to_numpy(zero_copy_only=False)
+    sh_off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     sh_vals = sh.values.to_numpy(zero_copy_only=False).astype(U64, copy=False)
     sig = batch["sig"].combine_chunks()
     p = sig.type.list_size
-    sig_vals = sig.flatten().to_numpy(zero_copy_only=False).astype(U64, copy=False).reshape(len(batch), p)
+    sig_vals = sig.flatten().to_numpy(zero_copy_only=False).astype(U64, copy=False).reshape(m, p)
     theta = batch["theta"].to_numpy(zero_copy_only=False).astype(U64, copy=False)
-    blobs = []
     base = sh_off[0]
-    for i in range(len(batch)):
-        seg = sh_vals[sh_off[i] - base : sh_off[i + 1] - base]
-        head = np.array([theta[i], len(seg)], dtype=U64)
-        blobs.append(head.tobytes() + seg.tobytes() + sig_vals[i].tobytes())
+    lens = sh_off[1:] - sh_off[:-1]
+    o = np.zeros(m + 1, np.int64)
+    np.cumsum(2 + lens + p, out=o[1:])  # u64 words per doc
+    out = np.empty(o[-1], U64)
+    heads = o[:-1]
+    out[heads] = theta
+    out[heads + 1] = lens.astype(U64)
+    total_sh = int(lens.sum())
+    if total_sh:
+        cum = np.zeros(m, np.int64)
+        np.cumsum(lens[:-1], out=cum[1:])
+        within = np.arange(total_sh, dtype=np.int64) - np.repeat(cum, lens)
+        out[np.repeat(heads + 2, lens) + within] = sh_vals[base : base + total_sh]
+    if m:
+        out[(heads + 2 + lens)[:, None] + np.arange(p, dtype=np.int64)[None, :]] = sig_vals
+    vpay = pa.Array.from_buffers(
+        pa.large_binary(),
+        m,
+        [None, pa.py_buffer((o * 8).tobytes()), pa.py_buffer(out.tobytes())],
+    )
     return pa.table(
         {
             "uh": pa.array(_url_hashes(batch["url"]), pa.uint64()),
             "url": batch["url"],
-            "vpay": pa.array(blobs, pa.binary()),
+            "vpay": vpay,
         }
     )
 
 
-def _unpack(blob: bytes, num_perms: int):
-    a = np.frombuffer(blob, dtype=U64)
-    theta, n_sh = a[0], int(a[1])
-    return theta, a[2 : 2 + n_sh], a[2 + n_sh : 2 + n_sh + num_perms]
+def _concat_blobs(pays) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of payload bytes → (u64 buffer, word offsets[m+1])."""
+    m = len(pays)
+    lens = np.fromiter((len(p) >> 3 for p in pays), dtype=np.int64, count=m)
+    off = np.zeros(m + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    buf = np.frombuffer(b"".join(pays), dtype=U64)
+    return buf, off
 
 
 def _metrics_from_payloads(url_a, url_b, pay_a, pay_b, num_perms: int, threshold: float) -> pd.DataFrame:
+    """Vectorized pair verification (no per-pair Python).
+
+    Signature agreement is one (m, P) matrix compare; shingle-set
+    intersections are counted by concatenating both sides' entry arrays
+    tagged with pair ids, one lexsort, and run counting on adjacent
+    equal (pair, hash) positions — entries are unique within a side, so
+    every adjacent duplicate is exactly one cross-side intersection hit.
+    """
     m = len(url_a)
-    agree = np.zeros(m)
-    ex = np.zeros(m)
-    cont = np.zeros(m)
-    for i in range(m):  # per-pair C-speed set ops on presorted arrays
-        ta, a, sa = _unpack(pay_a[i], num_perms)
-        tb, b, sb = _unpack(pay_b[i], num_perms)
-        agree[i] = np.count_nonzero(sa == sb) / num_perms
-        t = min(ta, tb)
-        if t != U64(MAX_THETA):
-            a = a[a < t]
-            b = b[b < t]
-        if len(a) == 0 or len(b) == 0:
-            continue
-        inter = len(np.intersect1d(a, b, assume_unique=True))
-        ex[i] = inter / (len(a) + len(b) - inter)
-        cont[i] = inter / min(len(a), len(b))
+    if m == 0:
+        return _EMPTY_METRICS
+    buf_a, off_a = _concat_blobs(pay_a)
+    buf_b, off_b = _concat_blobs(pay_b)
+    ha, hb = off_a[:-1], off_b[:-1]
+    ta, tb = buf_a[ha], buf_b[hb]
+    na, nb = buf_a[ha + 1].astype(np.int64), buf_b[hb + 1].astype(np.int64)
+    cols = np.arange(num_perms, dtype=np.int64)[None, :]
+    sa = buf_a[(ha + 2 + na)[:, None] + cols]
+    sb = buf_b[(hb + 2 + nb)[:, None] + cols]
+    agree = (sa == sb).mean(axis=1)
+
+    t = np.minimum(ta, tb)  # pairwise min-theta screen (theta/intersection.rs:64-196)
+    est_mode = t != U64(MAX_THETA)  # exact sets (full-range u64) are never screened
+
+    def entries(buf, heads, n):
+        tot = int(n.sum())
+        pid = np.repeat(np.arange(m, dtype=np.int64), n)
+        cum = np.zeros(m, np.int64)
+        np.cumsum(n[:-1], out=cum[1:])
+        idx = np.repeat(heads + 2, n) + (np.arange(tot, dtype=np.int64) - np.repeat(cum, n))
+        v = buf[idx]
+        keep = ~est_mode[pid] | (v < t[pid])
+        return v[keep], pid[keep]
+
+    va, pa_id = entries(buf_a, ha, na)
+    vb, pb_id = entries(buf_b, hb, nb)
+    na_s = np.bincount(pa_id, minlength=m)
+    nb_s = np.bincount(pb_id, minlength=m)
+    allv = np.concatenate([va, vb])
+    allp = np.concatenate([pa_id, pb_id])
+    order = np.lexsort((allv, allp))
+    av, ap = allv[order], allp[order]
+    dup = (av[1:] == av[:-1]) & (ap[1:] == ap[:-1])
+    inter = np.bincount(ap[1:][dup], minlength=m)
+    union = na_s + nb_s - inter
+    ex = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    mn = np.minimum(na_s, nb_s)
+    cont = np.where(mn > 0, inter / np.maximum(mn, 1), 0.0)
     is_dup = ex >= threshold
     url_a = np.asarray(url_a, dtype=object)
     url_b = np.asarray(url_b, dtype=object)
@@ -156,28 +209,82 @@ _EMPTY_METRICS = pd.DataFrame(
 )
 
 
-class _VerifyBroadcast:
-    """Verify pairs against a broadcast {url_hash: (url, payload)} map."""
+_BCAST_CACHE: dict = {}
 
-    def __init__(self, ref, num_perms: int, threshold: float):
-        self.lookup = ray.get(ref)
-        self.num_perms = num_perms
-        self.threshold = threshold
 
-    def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        if len(batch) == 0:
-            return _EMPTY_METRICS
-        ha, hb = _pair_hashes(batch)
-        lk = self.lookup
-        rows = [(lk.get(a), lk.get(b)) for a, b in zip(ha.tolist(), hb.tolist())]
-        kept = [(ra, rb) for ra, rb in rows if ra is not None and rb is not None]
-        if not kept:
-            return _EMPTY_METRICS
-        ua = [r[0][0] for r in kept]
-        ub = [r[1][0] for r in kept]
-        pay_a = [r[0][1] for r in kept]
-        pay_b = [r[1][1] for r in kept]
-        return _metrics_from_payloads(ua, ub, pay_a, pay_b, self.num_perms, self.threshold)
+def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float) -> pd.DataFrame:
+    """Verify pairs against broadcast sorted (hashes, urls, payloads)
+    arrays — vectorized searchsorted resolution, no per-row dict.
+
+    Task form with a process-global ``ray.get`` cache: Ray reuses
+    worker processes, so the broadcast resolves once per worker without
+    paying an actor pool's spawn/ramp latency (same rationale as
+    ``lsh.signature_batch_fn``)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    got = _BCAST_CACHE.get(key)
+    if got is None:
+        if len(_BCAST_CACHE) > 8:  # old broadcasts from finished runs
+            _BCAST_CACHE.clear()
+        got = _BCAST_CACHE[key] = ray.get(ref)
+    hashes, urls, pays = got
+    if len(batch) == 0 or len(hashes) == 0:
+        return _EMPTY_METRICS
+
+    def resolve(h: np.ndarray) -> np.ndarray:
+        pos = np.minimum(np.searchsorted(hashes, h), len(hashes) - 1)
+        return np.where(hashes[pos] == h, pos, -1)
+
+    ha, hb = _pair_hashes(batch)
+    ia, ib = resolve(ha), resolve(hb)
+    keep = (ia >= 0) & (ib >= 0)
+    ia, ib = ia[keep], ib[keep]
+    if len(ia) == 0:
+        return _EMPTY_METRICS
+    return _metrics_from_payloads(urls[ia], urls[ib], pays[ia], pays[ib], num_perms, threshold)
+
+
+def _candidate_bloom(pairs, expected: int, fpp: float = 0.005, max_bits: int = 1 << 33):
+    """Distributed Bloom pre-filter over candidate-pair tokens.
+
+    Per-block Bloom partials (bounded O(m) state each) are OR-folded on
+    the driver — driver memory is ONE filter image regardless of
+    candidate count, unlike an exact token set. False positives only
+    cost a few extra payloads through the cogroup shuffle (dropped at
+    attach); no false negatives, so verified output is unchanged.
+    ``max_bits`` caps the broadcast image at 1 GiB; past that fpp
+    degrades gracefully instead of memory growing.
+    """
+    from raydedup.sketches.bloom import BloomFilter, optimal_bits, optimal_hashes
+
+    n = max(expected, 1024)
+    m = min(optimal_bits(n, fpp), max_bits)
+    m = ((m + 63) // 64) * 64
+    k = optimal_hashes(n, m)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m, k)
+        if len(batch):
+            bf.insert(np.union1d(*_pair_hashes(batch)))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    acc = np.zeros(m // 64, U64)
+    for b in pairs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["bits"].to_pylist():
+            acc |= np.frombuffer(blob, U64)
+    return BloomFilter(m, k, bits=acc)
+
+
+def _bloom_filter_fn(batch: pa.Table, ref) -> pa.Table:
+    """Keep signature rows whose url-hash passes the broadcast Bloom."""
+    from raydedup.sketches.bloom import BloomFilter
+
+    if len(batch) == 0:
+        return batch
+    num_bits, num_hashes, seed, bits = ray.get(ref)
+    bf = BloomFilter(num_bits, num_hashes, seed, bits=bits)
+    return batch.filter(pa.array(bf.contains(_url_hashes(batch["url"]))))
 
 
 def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
@@ -290,78 +397,113 @@ def verify_pairs(
     """pairs (ha, hb uint64) × signatures → verified pair metrics Dataset.
 
     ``pairs`` should be materialized by the caller (it is consumed
-    twice: once to build the candidate token set, once to verify).
+    twice: once to build the pre-filter, once to verify).
+
+    The broadcast path (small candidate sets) collects the exact
+    semi-filtered payload table to the driver once; the cogroup/join
+    paths pre-filter payloads with a *distributed Bloom* image
+    (``_candidate_bloom``) so driver memory stays O(filter bits)
+    regardless of candidate count — the scale-safe shape.
     """
-    cand = pairs.map_batches(
-        lambda b: {"h": np.union1d(*_pair_hashes(b))} if len(b) else {"h": np.empty(0, U64)},
-        batch_format="pyarrow",
-    )
-    chunks = [b["h"] for b in cand.iter_batches(batch_format="numpy")]
-    cand_hashes = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, U64)
-    ref = ray.put(cand_hashes)
+    import os
+    import sys
+    import time
+
+    timing = os.environ.get("RAYDEDUP_TIMING")
+    _t0 = time.time()
+    n_pairs = pairs.count()
+    if strategy == "auto":
+        strategy = "broadcast" if n_pairs <= broadcast_limit else "cogroup"
+    if timing:
+        print(f"[verify] count {time.time()-_t0:.2f} strategy={strategy}", file=sys.stderr)
 
     sig_cols = signatures.select_columns(["url", "shingles", "theta", "sig"])
-    packed = sig_cols.map_batches(
-        _semi_filter_fn, fn_args=(ref,), batch_format="pyarrow"
-    ).map_batches(_pack_payload, batch_format="pyarrow")
 
-    if strategy == "auto":
-        strategy = "broadcast" if len(cand_hashes) <= broadcast_limit else "cogroup"
+    if strategy == "broadcast":
+        _t1 = time.time()
+        cand = pairs.map_batches(
+            lambda b: {"h": np.union1d(*_pair_hashes(b))} if len(b) else {"h": np.empty(0, U64)},
+            batch_format="pyarrow",
+        )
+        chunks = [b["h"] for b in cand.iter_batches(batch_format="numpy")]
+        cand_hashes = np.unique(np.concatenate(chunks)) if chunks else np.empty(0, U64)
+        ref = ray.put(cand_hashes)
+        if timing:
+            print(f"[verify] token set {time.time()-_t1:.2f}", file=sys.stderr)
+        _t1 = time.time()
+        packed = sig_cols.map_batches(
+            _semi_filter_fn, fn_args=(ref,), batch_format="pyarrow"
+        ).map_batches(_pack_payload, batch_format="pyarrow")
+        hs_parts, url_parts, pay_parts = [], [], []
+        for b in packed.iter_batches(batch_format="pyarrow"):
+            hs_parts.append(b["uh"].to_numpy(zero_copy_only=False))
+            url_parts.append(b["url"].to_numpy(zero_copy_only=False))
+            pay_parts.append(b["vpay"].to_numpy(zero_copy_only=False))
+        if hs_parts:
+            hs = np.concatenate(hs_parts)
+            order = np.argsort(hs)
+            payload = (
+                hs[order],
+                np.concatenate(url_parts)[order],
+                np.concatenate(pay_parts)[order],
+            )
+        else:
+            payload = (np.empty(0, U64), np.empty(0, object), np.empty(0, object))
+        lref = ray.put(payload)
+        if timing:
+            print(f"[verify] pack+collect {time.time()-_t1:.2f}", file=sys.stderr)
+        return pairs.map_batches(
+            _verify_broadcast_fn,
+            fn_args=(lref, cfg.num_perms, cfg.threshold),
+            batch_format="pyarrow",
+        )
+
+    # distributed paths: Bloom pre-filter instead of an exact driver set
+    bf = _candidate_bloom(pairs, expected=2 * max(n_pairs, 1))
+    bref = ray.put((bf.num_bits, bf.num_hashes, bf.seed, bf.bits))
+    packed = sig_cols.map_batches(
+        _bloom_filter_fn, fn_args=(bref,), batch_format="pyarrow"
+    ).map_batches(_pack_payload, batch_format="pyarrow")
 
     if strategy == "cogroup":
         return _verify_cogroup(pairs, packed, cfg, n_buckets=max(16, num_partitions * 8))
 
-    if strategy == "broadcast":
-        lookup = {}
-        for b in packed.iter_batches(batch_format="pyarrow"):
-            hs = b["uh"].to_numpy(zero_copy_only=False)
-            urls = b["url"].to_numpy(zero_copy_only=False)
-            pays = b["vpay"].to_numpy(zero_copy_only=False)
-            lookup.update(zip(hs.tolist(), zip(urls, pays)))
-        lref = ray.put(lookup)
-        return pairs.map_batches(
-            _VerifyBroadcast,
-            fn_constructor_args=(lref, cfg.num_perms, cfg.threshold),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+    # join strategy (parity/benchmark path): urls travel through the
+    # joins as per-side columns — no driver-side url map
+    def rename_side(suffix: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"uh": b["uh"], f"url_{suffix}": b["url"], f"vpay_{suffix}": b["vpay"]}
+            )
 
-    # join strategy (parity/benchmark path)
+        return f
+
     joined = pairs.join(
-        packed.drop_columns(["url"]),
+        packed.map_batches(rename_side("a"), batch_format="pyarrow"),
         join_type="inner",
         num_partitions=num_partitions,
         on=("ha",),
         right_on=("uh",),
-        right_suffix="_a",
+        right_suffix="_ra",
     ).join(
-        packed.drop_columns(["url"]),
+        packed.map_batches(rename_side("b"), batch_format="pyarrow"),
         join_type="inner",
         num_partitions=num_partitions,
         on=("hb",),
         right_on=("uh",),
-        right_suffix="_b",
+        right_suffix="_rb",
     )
-
-    # re-resolve urls for the output via a broadcast of the (small)
-    # candidate url table
-    urlmap = {}
-    for b in packed.iter_batches(batch_format="pyarrow"):
-        urlmap.update(
-            zip(b["uh"].to_numpy(zero_copy_only=False).tolist(), b["url"].to_numpy(zero_copy_only=False))
-        )
-    uref = ray.put(urlmap)
 
     def _kernel(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return _EMPTY_METRICS
-        um = ray.get(uref)
-        pa_col = "vpay" if "vpay" in df.columns else "vpay_a"
-        pb_col = "vpay_1" if "vpay_1" in df.columns else "vpay_b"
-        ua = [um[int(h)] for h in df["ha"].to_numpy()]
-        ub = [um[int(h)] for h in df["hb"].to_numpy()]
         return _metrics_from_payloads(
-            ua, ub, df[pa_col].to_numpy(), df[pb_col].to_numpy(), cfg.num_perms, cfg.threshold
+            df["url_a"].to_numpy(),
+            df["url_b"].to_numpy(),
+            df["vpay_a"].to_numpy(),
+            df["vpay_b"].to_numpy(),
+            cfg.num_perms,
+            cfg.threshold,
         )
 
     return joined.map_batches(_kernel, batch_format="pandas")
