@@ -760,7 +760,36 @@ def oracle_sql() -> dict[str, str]:
                    round((total - ws) / greatest(ws + 1.0, 1.0), 6) AS mean_word_len
             FROM counted ORDER BY doc_id
         """,
-        # fingerprints / dedup_assignments / quantity_quantiles /
+        "dedup_assignments": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            )
+            SELECT node AS url, min(label) AS cluster_id
+            FROM cc GROUP BY node ORDER BY url
+        """,
+        # fingerprints / quantity_quantiles /
         # simhash_pairs / langid / image_features: murmur3- or
         # sketch-based (or no SQL-visible input), driver records
         # rows-only checks
