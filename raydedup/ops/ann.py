@@ -135,14 +135,21 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
     ``n_planes``-bit sign fingerprint against a broadcast Gaussian
     plane matrix; the fingerprint splits into ``bands`` chunks used as
     groupby keys (P[chunk match] = (1 - theta/pi)^(planes/bands));
-    candidate pairs inside a chunk bucket are verified by exact cosine.
-    Recall at tau=0.9 (theta ~= 25.8°, 8-bit chunks, 8 bands) is
+    candidate pairs are then verified by exact cosine. Recall at
+    tau=0.9 (theta ~= 25.8°, 8-bit chunks, 8 bands) is
     ~1-(1-0.30)^8 ≈ 0.94 per pair; raise ``bands``/lower ``n_planes``
-    per band for higher recall. For the exactness-checked query the
-    verification is exact, so precision is 1.
+    per band for higher recall. Verification is exact, so precision
+    is 1.
+
+    Shuffle shape (the 100TB lens): band rows carry ONLY (chunk key,
+    id) — embeddings are re-attached to the surviving candidate pairs
+    by a bucketed cogroup on id (the token pattern of
+    ``pipeline/lsh.py``/``verify.py``), never replicated ×bands
+    through the wide band shuffle.
     """
     import pandas as pd
 
+    from raydedup.ops.pairs import dedup_pairs
     from raydedup.sketches.hashing import fmix64
 
     rng = np.random.default_rng(seed)
@@ -151,78 +158,183 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
     pref = ray.put(np.ascontiguousarray(planes))
 
     width = n_planes // bands
+    U = np.uint64
 
     def fingerprint(batch: pa.Table) -> pa.Table:
         P = ray.get(pref)
         emb = _normalize(_emb_matrix(batch, column))
         bits = (emb @ P) > 0  # (n, n_planes)
         # pack each band's bits into one uint64 chunk key
-        weights = np.uint64(1) << np.arange(width, dtype=np.uint64)
+        weights = U(1) << np.arange(width, dtype=U)
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         n = len(batch)
-        chunks = np.zeros((n, bands), dtype=np.uint64)
+        chunks = np.zeros((n, bands), dtype=U)
         for b in range(bands):
-            chunks[:, b] = (bits[:, b * width : (b + 1) * width] * weights).sum(axis=1, dtype=np.uint64)
+            chunks[:, b] = (bits[:, b * width : (b + 1) * width] * weights).sum(axis=1, dtype=U)
         band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
         flat = chunks.reshape(-1)
-        bucket = (fmix64(flat ^ fmix64(band_ids.astype(np.uint64))) % np.uint64(n_buckets)).astype(np.int64)
-        pay = np.array([emb[i].astype(np.float32).tobytes() for i in range(n)], dtype=object)
+        bucket = (fmix64(flat ^ fmix64(band_ids.astype(U))) % U(n_buckets)).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array(bucket),
                 "band": pa.array(band_ids.astype(np.int32)),
                 "chunk": pa.array(flat, pa.uint64()),
                 "id": pa.array(np.repeat(ids, bands)),
-                "emb_pay": pa.array(np.repeat(pay, bands), pa.binary()),
             }
         )
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         band = df["band"].to_numpy()
-        chunk = df["chunk"].to_numpy().astype(np.uint64)
+        chunk = df["chunk"].to_numpy().astype(U)
         ids = df["id"].to_numpy()
-        pays = df["emb_pay"].to_numpy()
         order = np.lexsort((ids, chunk, band))
-        band, chunk, ids, pays = band[order], chunk[order], ids[order], pays[order]
+        band, chunk, ids = band[order], chunk[order], ids[order]
         new = np.ones(len(df), dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
         run_start = np.zeros(len(run_len), dtype=np.int64)
         np.cumsum(run_len[:-1], out=run_start[1:])
-        out_a, out_b, out_s = [], [], []
+        out_a, out_b = [], []
         for s in np.unique(run_len[run_len >= 2]):
             starts = run_start[run_len == s]
             members = starts[:, None] + np.arange(s)[None, :]
             ia, ib = np.triu_indices(int(s), k=1)
-            a_idx = members[:, ia].reshape(-1)
-            b_idx = members[:, ib].reshape(-1)
-            ea = np.stack([np.frombuffer(p, np.float32) for p in pays[a_idx]]).astype(np.float64)
-            eb = np.stack([np.frombuffer(p, np.float32) for p in pays[b_idx]]).astype(np.float64)
-            cos = (ea * eb).sum(axis=1)
-            keep = cos >= tau
-            out_a.append(ids[a_idx][keep])
-            out_b.append(ids[b_idx][keep])
-            out_s.append(cos[keep])
+            out_a.append(ids[members[:, ia].reshape(-1)])
+            out_b.append(ids[members[:, ib].reshape(-1)])
         if not out_a:
             return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64), "cosine": pd.Series([], dtype=float)}
+                {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
             )
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
-        s_ = np.concatenate(out_s)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         keep = lo != hi
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "cosine": s_[keep]}).drop_duplicates(
-            ["id_a", "id_b"]
-        )
-
-    from raydedup.ops.pairs import dedup_pairs
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
 
     rows = ds.map_batches(fingerprint, batch_format="pyarrow")
-    pairs = rows.groupby("bucket").map_groups(emit, batch_format="pandas")
-    return dedup_pairs(pairs, n_buckets=n_buckets)
+    cand = dedup_pairs(
+        rows.groupby("bucket").map_groups(emit, batch_format="pandas"),
+        n_buckets=n_buckets,
+    )
+    return _verify_cosine_pairs(cand, ds, tau, id_column, column, n_buckets)
+
+
+def _verify_cosine_pairs(pairs, ds, tau: float, id_column: str, column: str, n_buckets: int):
+    """Attach embeddings to candidate id pairs via bucketed cogroup on
+    id and keep pairs with exact cosine >= tau. Both sides distributed;
+    embedding bytes travel once per (pair-side), not once per band."""
+    import pandas as pd
+
+    from raydedup.sketches.hashing import fmix64
+
+    U = np.uint64
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_id = fmix64(a.astype(U) ^ fmix64(b.astype(U)))
+        ids = np.concatenate([a, b])
+        return pa.table(
+            {
+                "bucket": pa.array((fmix64(ids.astype(U)) % U(n_buckets)).astype(np.int64)),
+                "id": pa.array(ids),
+                "pair_id": pa.array(np.tile(pair_id, 2), pa.uint64()),
+                "side": pa.array(np.repeat(np.array([0, 1], np.uint8), m)),
+                "pay": pa.array([None] * (2 * m), pa.large_binary()),
+            }
+        )
+
+    def tag_payloads(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalize(_emb_matrix(batch, column))  # float64 rows
+        row_bytes = emb.shape[1] * 8
+        pay = pa.Array.from_buffers(
+            pa.large_binary(),
+            n,
+            [
+                None,
+                pa.py_buffer((np.arange(n + 1, dtype=np.int64) * row_bytes).tobytes()),
+                pa.py_buffer(np.ascontiguousarray(emb).tobytes()),
+            ],
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((fmix64(ids.astype(U)) % U(n_buckets)).astype(np.int64)),
+                "id": pa.array(ids),
+                "pair_id": pa.array(np.zeros(n, U), pa.uint64()),
+                "side": pa.array(np.full(n, 255, np.uint8)),
+                "pay": pay,
+            }
+        )
+
+    requests = pairs.map_batches(to_requests, batch_format="pyarrow")
+    payloads = ds.map_batches(tag_payloads, batch_format="pyarrow")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_pay = df["side"].to_numpy() == 255
+        req = df[~is_pay]
+        pay = df[is_pay]
+        if len(req) == 0 or len(pay) == 0:
+            return pd.DataFrame(
+                {
+                    "pbucket": pd.Series([], dtype=np.int64),
+                    "pair_id": pd.Series([], dtype=np.uint64),
+                    "side": pd.Series([], dtype=np.uint8),
+                    "id": pd.Series([], dtype=np.int64),
+                    "pay": pd.Series([], dtype=object),
+                }
+            )
+        merged = req[["pair_id", "side", "id"]].merge(
+            pay[["id", "pay"]], on="id", how="inner"
+        )
+        merged["pbucket"] = (merged["pair_id"].to_numpy().astype(U) % U(n_buckets)).astype(np.int64)
+        return merged[["pbucket", "pair_id", "side", "id", "pay"]]
+
+    attached = requests.union(payloads).groupby("bucket").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=float),
+        }
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["pair_id", "side"], kind="stable")
+        pid = df["pair_id"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = pid[1:] != pid[:-1]
+        run_id = np.cumsum(new) - 1
+        cnt = np.bincount(run_id)
+        df = df[cnt[run_id] == 2]  # both sides resolved
+        if len(df) == 0:
+            return empty
+        a = df[df["side"].to_numpy() == 0]
+        b = df[df["side"].to_numpy() == 1]
+        ea = np.frombuffer(b"".join(a["pay"].to_numpy()), np.float64).reshape(len(a), -1)
+        eb = np.frombuffer(b"".join(b["pay"].to_numpy()), np.float64).reshape(len(b), -1)
+        cos = (ea * eb).sum(axis=1)
+        keep = cos >= tau
+        ia = a["id"].to_numpy()[keep]
+        ib = b["id"].to_numpy()[keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine": cos[keep],
+            }
+        )
+
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +382,13 @@ class IVFIndex:
         self.centroids = None
 
     def build(self, ds, sample_size: int = 2048):
-        sample = ds.limit(sample_size).to_pandas()
+        # uniform seeded sample across ALL blocks (ds.limit would take
+        # the first blocks only — biased when the input is ordered)
+        n = ds.count()
+        frac = min(1.0, (sample_size * 1.25) / max(n, 1))
+        sample = ds.random_sample(frac, seed=self.seed).limit(sample_size).to_pandas()
+        if len(sample) == 0:
+            sample = ds.limit(sample_size).to_pandas()
         emb = np.stack(sample[self.column].to_numpy())
         self.centroids = _kmeans(emb, self.n_clusters, seed=self.seed)
         cref = ray.put(self.centroids)

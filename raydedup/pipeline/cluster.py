@@ -219,17 +219,12 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
             break
     if spill_to_distributed:
         # edge list exceeds the driver budget → distributed min-label
-        # propagation, then the same broadcast-assignment step over the
-        # (much smaller) clustered-node label table
-        labels = label_propagation_components(edges).to_pandas()
-        nodes = labels["url"].to_numpy()
-        from raydedup.sketches.hashing import hash_strings
-
-        h, _ = hash_strings(list(nodes))
-        order = np.argsort(h)
-        lab = labels["cluster_id"].to_numpy().astype(np.str_)
-        payload = (h[order], np.arange(len(nodes), dtype=np.int64), lab[order])
-        return _assign_over(corpus, payload)
+        # propagation, then a distributed cogroup join of labels back
+        # over the corpus: if the edges overflowed the driver, the
+        # clustered-node label table plausibly does too, so nothing
+        # here may materialize it (no to_pandas / broadcast map)
+        labels = label_propagation_components(edges)
+        return _assign_distributed(corpus, labels)
     ea = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=object)
     eb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=object)
     nodes, root_of = connected_components_arrays(ea, eb)
@@ -242,6 +237,53 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
     else:
         payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
     return _assign_over(corpus, payload)
+
+
+def _assign_distributed(corpus, labels, n_buckets: int = 64):
+    """Left-join cluster labels over the corpus as a bucketed cogroup
+    (the engine's standard union+groupby shape) — both sides stay
+    distributed; unmatched docs keep their own url as cluster id."""
+    from raydedup.sketches.hashing import hash_strings
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        h, _ = hash_strings(batch["url"])
+        n = len(batch)
+        return pa.table(
+            {
+                "bucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "url": batch["url"],
+                "cluster_id": pa.nulls(n, pa.string()),
+                "is_label": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        h, _ = hash_strings(batch["url"])
+        n = len(batch)
+        return pa.table(
+            {
+                "bucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "url": batch["url"],
+                "cluster_id": batch["cluster_id"],
+                "is_label": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    tagged_c = corpus.select_columns(["url"]).map_batches(tag_corpus, batch_format="pyarrow")
+    tagged_l = labels.map_batches(tag_labels, batch_format="pyarrow")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        is_lab = df["is_label"].to_numpy()
+        cor = df[~is_lab]
+        lab = df[is_lab]
+        merged = cor[["url"]].merge(lab[["url", "cluster_id"]], on="url", how="left")
+        miss = merged["cluster_id"].isna()
+        merged.loc[miss, "cluster_id"] = merged.loc[miss, "url"]
+        return merged[["url", "cluster_id"]]
+
+    return tagged_c.union(tagged_l).groupby("bucket").map_groups(
+        assign, batch_format="pandas"
+    )
 
 
 def _assign_over(corpus, payload):

@@ -49,3 +49,22 @@ def test_cluster_assignments_distributed_fallback(ray_session):
     for u, c in truth.items():
         assert got[u] == c
     assert got["lonely_doc"] == "lonely_doc"
+
+
+def test_fallback_assignments_match_driver_path(ray_session):
+    """Over-budget (distributed cogroup assignment) output is identical
+    to the driver union-find + broadcast path."""
+    import pandas as pd
+
+    ea, eb = _graph()
+    pairs = rd.from_arrow(pa.table({"url_a": ea.tolist(), "url_b": eb.tolist()}))
+    corpus_urls = sorted(set(ea) | set(eb) | {"lonely_doc"})
+    corpus = rd.from_arrow(pa.table({"url": corpus_urls}))
+    drv = cluster_assignments(pairs, corpus).to_pandas().sort_values("url").reset_index(drop=True)
+    dist = (
+        cluster_assignments(pairs, corpus, max_driver_edges=10)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(drv, dist)

@@ -178,3 +178,41 @@ def test_video_frame_sampling_plumbing(ray_session):
     assert (out.frame_payload.str.len() == 256).all()
     with pytest.raises(NotImplementedError):
         SampleFramesStage(mode="real")(tbl)
+
+
+def test_srp_cosine_pairs_vs_bruteforce(ray_session):
+    """SRP-LSH candidate gen + cogroup cosine verify: precision 1
+    (exact verify) and high recall vs the brute-force oracle."""
+    from raydedup.ops.ann import cosine_dup_pairs, cosine_dup_pairs_bruteforce
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 16))
+    rows, k = [base], 0
+    # plant near-duplicates (small perturbations → cosine near 1)
+    dup_of = {}
+    for i in range(0, 60, 4):
+        v = base[i] + rng.normal(size=16) * 0.02
+        dup_of[60 + k] = i
+        rows.append(v[None, :])
+        k += 1
+    emb = np.concatenate(rows).astype(np.float32)
+    ids = np.arange(len(emb), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 16),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    tau = 0.98
+    exact = cosine_dup_pairs_bruteforce(ds, tau=tau).to_pandas()
+    srp = cosine_dup_pairs(ds, tau=tau, bands=16, n_planes=64, n_buckets=8).to_pandas()
+    exact_set = {(a, b) for a, b in exact[["id_a", "id_b"]].itertuples(index=False)}
+    srp_set = {(a, b) for a, b in srp[["id_a", "id_b"]].itertuples(index=False)}
+    assert srp_set <= exact_set  # exact verification → precision 1
+    assert len(exact_set) >= 10
+    recall = len(srp_set & exact_set) / len(exact_set)
+    assert recall >= 0.95, recall
+    # cosine values are exact float64 on the pairs found
+    m = srp.merge(exact, on=["id_a", "id_b"], suffixes=("_s", "_e"))
+    assert np.allclose(m.cosine_s, m.cosine_e)
