@@ -14,12 +14,17 @@ different lg_k fold together by elementwise max over slot groups —
 exactly why the reference's union supports heterogeneous lg_k
 (``hll/union.rs:110-151``).
 
-Estimator: the classic HLL harmonic-mean estimator with linear
-counting for the low range (Flajolet et al., + HyperLogLog++ alpha) —
-statistically equivalent to the reference's composite/HIP estimators
-(~1.6% RSE at lg_k=12, ``hll/sketch.rs:73-75``) without porting its
-4.8k-line interpolation tables; accuracy is asserted against the same
-tolerances the reference's tests use.
+Estimator: the reference's composite estimator — raw HLL with small-k
+correction factors, cubic interpolation over the composite X tables,
+linear counting (harmonic numbers) for the low range, with the same
+crossover blending (``hll/estimator.rs:211-263``, tables in
+``hll_estimator.py`` / ``_hll_tables.npz``). Engine sketches are
+built per-partition and merged, so they are permanently in the
+out-of-order regime — the exact path the reference dispatches to
+after any union (``hll/estimator.rs:115-121``); the sequential HIP
+accumulator (in-order-only, invalidated by merge) is intentionally
+not simulated. Bounds use the reference's RSE factors and the
+lg_k<=12 empirical quantile tables.
 """
 
 from __future__ import annotations
@@ -88,25 +93,25 @@ class HllSketch:
         return self.update_coupons(*coupons_for_ints(values, seed))
 
     def estimate(self) -> float:
-        m = len(self.regs)
-        zeros = int(np.count_nonzero(self.regs == 0))
-        # linear counting for the low range
-        if zeros > 0:
-            lc = m * np.log(m / zeros)
-            if lc <= 2.5 * m:
-                return float(lc)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        raw = alpha * m * m / float(np.sum(np.exp2(-self.regs.astype(np.float64))))
-        return float(raw)
+        """Reference composite estimate (hll/estimator.rs:211-263) —
+        the out-of-order path, which is what the reference itself uses
+        for every merged or deserialized sketch."""
+        from .hll_estimator import composite_estimate, kxq_from_regs
 
-    def _rse(self) -> float:
-        return 1.04 / np.sqrt(len(self.regs))
+        zeros = int(np.count_nonzero(self.regs == 0))
+        return float(
+            composite_estimate(self.lg_k, kxq_from_regs(self.regs), 0, zeros)
+        )
 
     def upper_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() * (1 + num_std_dev * self._rse())
+        from .hll_estimator import rel_err
+
+        return self.estimate() / (1.0 + rel_err(self.lg_k, True, True, num_std_dev))
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
-        return self.estimate() * (1 - num_std_dev * self._rse())
+        from .hll_estimator import rel_err
+
+        return self.estimate() / (1.0 + rel_err(self.lg_k, False, True, num_std_dev))
 
     def merge(self, other: "HllSketch") -> "HllSketch":
         return hll_union([self, other])
@@ -153,26 +158,165 @@ def hll_to_java_bytes(sk: HllSketch, out_of_order: bool = True) -> bytes:
     return head + regs.tobytes()
 
 
+_EMPTY_FLAG, _COMPACT_FLAG, _OOO_FLAG = 4, 8, 16  # hll/serialization.rs:27-31
+
+
+def _regs_from_coupons(lg_k: int, coupons: np.ndarray) -> np.ndarray:
+    """Replay raw u32 coupons (slot:26 low bits, value:6 high bits —
+    hll/mod.rs:238-246) into a dense HLL8 register array; EMPTY (0)
+    sentinels are skipped."""
+    regs = np.zeros(1 << lg_k, dtype=np.uint8)
+    coupons = coupons[coupons != 0]
+    if len(coupons):
+        slot = (coupons & np.uint32((1 << 26) - 1)) & np.uint32((1 << lg_k) - 1)
+        value = (coupons >> np.uint32(26)).astype(np.uint8)
+        np.maximum.at(regs, slot, value)
+    return regs
+
+
 def hll_from_java_bytes(buf: bytes) -> HllSketch:
-    """Decode a DataSketches HLL image in HLL mode with HLL8 registers
-    (the shape this engine writes; List/Set/HLL4/HLL6 modes raise)."""
+    """Decode any DataSketches HLL image into a dense HLL8 sketch.
+
+    All serialized modes are accepted (``hll/sketch.rs:302-400``):
+
+    - LIST / SET coupon images (compact or full hash array,
+      ``list.rs:78-108``, ``hash_set.rs:96-143``) — coupons replayed
+      into registers;
+    - HLL mode with HLL8 (raw bytes), HLL6 (6-bit packed,
+      ``array6.rs:70-82``) or HLL4 registers (nibbles offset by
+      cur_min with AUX_TOKEN=15 exceptions resolved from the aux map,
+      ``array4.rs:74-104``, ``aux_map.rs:87-219``).
+    """
     import struct
 
-    if len(buf) < 40:
-        raise ValueError(f"insufficient data: {len(buf)} < 40")
-    preints, ver, family, lg_k, _, flags, cur_min, mode_byte = struct.unpack_from("<BBBBBBBB", buf, 0)
+    if len(buf) < 8:
+        raise ValueError(f"insufficient data: {len(buf)} < 8")
+    preints, ver, family, lg_k, lg_arr, flags, state, mode_byte = struct.unpack_from(
+        "<BBBBBBBB", buf, 0
+    )
     if family != 7:
         raise ValueError(f"family mismatch: expected 7, got {family}")
     if ver != 1:
         raise ValueError(f"unsupported HLL serial version {ver}")
+    if not MIN_LG_K <= lg_k <= MAX_LG_K:
+        raise ValueError(f"lg_k must be in [4, 21], got {lg_k}")
     cur_mode = mode_byte & 0x3
     tgt_type = (mode_byte >> 2) & 0x3
-    if cur_mode != 2 or tgt_type != 2:
-        raise NotImplementedError(
-            f"only HLL-mode HLL8 images supported (cur_mode={cur_mode}, tgt={tgt_type})"
+    empty = bool(flags & _EMPTY_FLAG)
+    compact = bool(flags & _COMPACT_FLAG)
+
+    if cur_mode == 0:  # LIST (preamble 8 bytes; state = coupon count)
+        if preints != 2:
+            raise ValueError(f"LIST preamble: expected 2 ints, got {preints}")
+        n = 0 if empty else (state if compact else (1 << lg_arr))
+        coupons = np.frombuffer(buf, dtype="<u4", count=n, offset=8)
+        return HllSketch(lg_k, _regs_from_coupons(lg_k, coupons))
+
+    if cur_mode == 1:  # SET (preamble 12 bytes; u32 count at offset 8)
+        if preints != 3:
+            raise ValueError(f"SET preamble: expected 3 ints, got {preints}")
+        (count,) = struct.unpack_from("<I", buf, 8)
+        n = count if compact else (1 << lg_arr)
+        coupons = np.frombuffer(buf, dtype="<u4", count=n, offset=12)
+        return HllSketch(lg_k, _regs_from_coupons(lg_k, coupons))
+
+    if cur_mode != 2:
+        raise ValueError(f"invalid HLL mode {cur_mode}")
+    if preints != 10 or len(buf) < 40:
+        raise ValueError(f"HLL-mode preamble: expected 10 ints / 40 bytes")
+    k = 1 << lg_k
+    if tgt_type == 2:  # HLL8: raw register bytes
+        regs = np.frombuffer(buf, dtype=np.uint8, count=k, offset=40).copy()
+        return HllSketch(lg_k, regs)
+    if tgt_type == 1:  # HLL6: 6-bit packed, little-endian bit stream
+        num_bytes = ((k * 3) >> 2) + 1  # array6.rs:278-281
+        data = np.frombuffer(buf, dtype=np.uint8, count=num_bytes, offset=40)
+        slots = np.arange(k, dtype=np.int64)
+        start_bit = slots * 6
+        byte_idx = start_bit >> 3
+        shift = (start_bit & 7).astype(np.uint16)
+        window = data[byte_idx].astype(np.uint16) | (
+            data[byte_idx + 1].astype(np.uint16) << np.uint16(8)
         )
-    regs = np.frombuffer(buf, dtype=np.uint8, count=1 << lg_k, offset=40).copy()
-    return HllSketch(lg_k, regs)
+        regs = ((window >> shift) & np.uint16(0x3F)).astype(np.uint8)
+        return HllSketch(lg_k, regs)
+    if tgt_type == 0:  # HLL4: nibbles + cur_min offset + aux exceptions
+        cur_min = state
+        (aux_count,) = struct.unpack_from("<I", buf, 36)
+        num_bytes = 1 << (lg_k - 1)
+        data = np.frombuffer(buf, dtype=np.uint8, count=num_bytes, offset=40)
+        lo = data & np.uint8(0x0F)
+        hi = data >> np.uint8(4)
+        raw = np.empty(k, dtype=np.uint8)
+        raw[0::2] = lo
+        raw[1::2] = hi
+        regs = (raw + np.uint8(cur_min)).astype(np.uint8)
+        is_aux = raw == 15  # AUX_TOKEN (array4.rs:41)
+        if aux_count:
+            aux = np.frombuffer(buf, dtype="<u4", count=aux_count, offset=40 + num_bytes)
+            slot = (aux & np.uint32((1 << 26) - 1)) & np.uint32(k - 1)
+            value = (aux >> np.uint32(26)).astype(np.uint8)
+            regs[slot] = value
+            resolved = np.zeros(k, dtype=bool)
+            resolved[slot] = True
+            is_aux &= ~resolved
+        # unresolved AUX_TOKEN slots fall back to cur_min (array4.rs:98-104)
+        regs[is_aux] = cur_min
+        return HllSketch(lg_k, regs)
+    raise ValueError(f"invalid HLL target type {tgt_type}")
+
+
+def hll_to_java_hll6_bytes(sk: HllSketch, out_of_order: bool = True) -> bytes:
+    """Serialize as an HLL6 image (6-bit packed registers,
+    ``array6.rs:233-275``) — readable by Java/C++/Rust."""
+    import struct
+
+    regs = sk.regs
+    k = len(regs)
+    num_bytes = ((k * 3) >> 2) + 1
+    packed = np.zeros(num_bytes, dtype=np.uint8)
+    slots = np.arange(k, dtype=np.int64)
+    start_bit = slots * 6
+    byte_idx = start_bit >> 3
+    shift = (start_bit & 7).astype(np.uint16)
+    window = regs.astype(np.uint16) << shift
+    np.bitwise_or.at(packed, byte_idx, (window & np.uint16(0xFF)).astype(np.uint8))
+    np.bitwise_or.at(packed, byte_idx + 1, (window >> np.uint16(8)).astype(np.uint8))
+    pow2 = np.exp2(-regs.astype(np.float64))
+    kxq0 = float(pow2[regs < 32].sum())
+    kxq1 = float(pow2[regs >= 32].sum())
+    flags = _OOO_FLAG if out_of_order else 0
+    head = struct.pack("<BBBBBBBB", 10, 1, 7, sk.lg_k, 0, flags, 0, (2 & 0x3) | ((1 & 0x3) << 2))
+    head += struct.pack("<ddd", 0.0, kxq0, kxq1)
+    head += struct.pack("<II", int(np.count_nonzero(regs == 0)), 0)
+    return head + packed.tobytes()
+
+
+def hll_to_java_hll4_bytes(sk: HllSketch, out_of_order: bool = True) -> bytes:
+    """Serialize as an HLL4 image (nibbles offset by cur_min, values
+    past cur_min+14 spilled to the aux coupon map —
+    ``array4.rs:370-470``, ``aux_map.rs``)."""
+    import struct
+
+    regs = sk.regs
+    k = len(regs)
+    cur_min = int(regs.min())
+    delta = regs.astype(np.int64) - cur_min
+    is_aux = delta >= 15
+    raw = np.where(is_aux, 15, delta).astype(np.uint8)
+    packed = (raw[0::2] | (raw[1::2] << np.uint8(4))).astype(np.uint8)
+    aux_slots = np.nonzero(is_aux)[0].astype(np.uint32)
+    aux = (aux_slots | (regs[aux_slots].astype(np.uint32) << np.uint32(26))).astype("<u4")
+    pow2 = np.exp2(-regs.astype(np.float64))
+    kxq0 = float(pow2[regs < 32].sum())
+    kxq1 = float(pow2[regs >= 32].sum())
+    flags = _OOO_FLAG if out_of_order else 0
+    head = struct.pack(
+        "<BBBBBBBB", 10, 1, 7, sk.lg_k, 0, flags, cur_min, (2 & 0x3) | ((0 & 0x3) << 2)
+    )
+    head += struct.pack("<ddd", 0.0, kxq0, kxq1)
+    head += struct.pack("<II", int(np.count_nonzero(regs == cur_min)), len(aux))
+    return head + packed.tobytes() + aux.tobytes()
 
 
 def downsample(regs: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:

@@ -359,3 +359,73 @@ def test_hll_java_wire_format():
     rt = hll_from_java_bytes(buf)
     np.testing.assert_array_equal(rt.regs, sk.regs)
     assert rt.estimate() == sk.estimate()
+
+
+def test_hll_composite_estimator_reference_tables():
+    """Composite estimator (estimator.rs:211-263 + interpolation
+    tables): accuracy across decades at several lg_k, and bound
+    ordering with the reference RSE factors / quantile tables."""
+    for lg_k, tol in ((4, 0.8), (8, 0.2), (12, 0.05), (16, 0.013), (21, 0.005)):
+        for n in (10, 100, 10_000, 1_000_000):
+            if n > 40 * (1 << lg_k):
+                continue
+            sk = HllSketch(lg_k)
+            sk.update_ints(np.arange(n, dtype=np.int64))
+            est = sk.estimate()
+            assert abs(est - n) / n < max(tol, 0.05), (lg_k, n, est)
+            lb1, ub1 = sk.lower_bound(1), sk.upper_bound(1)
+            lb3, ub3 = sk.lower_bound(3), sk.upper_bound(3)
+            assert lb3 <= lb1 <= est <= ub1 <= ub3
+
+
+def test_hll_mode_decode_roundtrips():
+    """HLL8 / HLL6 / HLL4(+aux) images round-trip bit-identically
+    (hll/array4.rs, array6.rs, array8.rs layouts)."""
+    from raydedup.sketches.hll import (
+        hll_from_java_bytes,
+        hll_to_java_bytes,
+        hll_to_java_hll4_bytes,
+        hll_to_java_hll6_bytes,
+    )
+
+    sk = HllSketch(10)
+    sk.update_ints(np.arange(20_000, dtype=np.int64))
+    for enc in (hll_to_java_bytes, hll_to_java_hll6_bytes, hll_to_java_hll4_bytes):
+        back = hll_from_java_bytes(enc(sk))
+        assert np.array_equal(back.regs, sk.regs), enc.__name__
+    # aux path: tiny k + huge n forces cur_min > 0 and spilled values
+    sk2 = HllSketch(4)
+    sk2.update_ints(np.arange(3_000_000, dtype=np.int64))
+    assert sk2.regs.min() > 0
+    back = hll_from_java_bytes(hll_to_java_hll4_bytes(sk2))
+    assert np.array_equal(back.regs, sk2.regs)
+
+
+def test_hll_list_and_set_mode_decode():
+    """LIST/SET coupon images (list.rs:78-108, hash_set.rs:96-143)
+    decode into registers equal to a direct coupon replay."""
+    import struct
+
+    from raydedup.sketches.hll import hll_from_java_bytes
+
+    lg_k = 11
+    vals = np.arange(9, dtype=np.int64)
+    slot, value = coupons_for_ints(vals)
+    coupons = (slot.astype(np.uint32) | (value.astype(np.uint32) << np.uint32(26))).astype("<u4")
+    expect = HllSketch(lg_k)
+    expect.update_coupons(slot, value)
+
+    # LIST mode, compact: preints 2, lg_arr 3, flags COMPACT, state = count
+    list_img = struct.pack("<BBBBBBBB", 2, 1, 7, lg_k, 3, 8, len(coupons), 0 | (2 << 2))
+    list_img += coupons.tobytes()
+    got = hll_from_java_bytes(list_img)
+    assert got.lg_k == lg_k and np.array_equal(got.regs, expect.regs)
+
+    # SET mode, full hash array with EMPTY sentinels: preints 3
+    lg_arr = 5
+    arr = np.zeros(1 << lg_arr, dtype="<u4")
+    arr[: len(coupons)] = coupons  # position is irrelevant to replay
+    set_img = struct.pack("<BBBBBBBB", 3, 1, 7, lg_k, lg_arr, 0, 0, 1 | (2 << 2))
+    set_img += struct.pack("<I", len(coupons)) + arr.tobytes()
+    got = hll_from_java_bytes(set_img)
+    assert np.array_equal(got.regs, expect.regs)
