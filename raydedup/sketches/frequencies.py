@@ -112,6 +112,90 @@ class FrequentItemsSketch:
         rows.sort(key=lambda r: (-r[1], str(r[0])))
         return rows
 
+    # -- DataSketches family-10 wire format --------------------------------
+
+    def to_java_bytes(self, item_type: str = "string") -> bytes:
+        """Serialize in the DataSketches FREQUENCY (family 10) layout
+        (``frequencies/sketch.rs:408-453``, constants
+        ``frequencies/serialization.rs:25-33``): preamble byte 0 is
+        pre-longs (1 empty / 4 non-empty), then serVer 1, family 10,
+        lg_max_map_size, lg_cur_map_size, flags; non-empty adds
+        active-item count, stream weight, offset, the raw stored
+        counts (u64 each) and the items encoded per
+        ``FrequentItemValue`` (i64/u64 fixed 8 bytes; string as
+        u32-length-prefixed utf-8, ``serialization.rs:45-95``)."""
+        import math
+        import struct
+
+        lg_max = max(1, math.ceil(math.log2(max(self.max_map_size, 2))))
+        active = len(self.counts)
+        lg_cur = min(max(3, math.ceil(math.log2(max(active / LOAD_FACTOR, 1) + 1))), lg_max)
+        if active == 0:
+            return struct.pack("<BBBBBBH", 1, 1, 10, lg_max, lg_cur, 5, 0)
+        out = struct.pack("<BBBBBBH", 4, 1, 10, lg_max, lg_cur, 0, 0)
+        out += struct.pack("<II", active, 0)
+        out += struct.pack("<QQ", self.total_weight, self.offset)
+        items = list(self.counts.keys())
+        vals = np.fromiter(self.counts.values(), dtype=np.uint64, count=active)
+        out += vals.tobytes()
+        if item_type == "i64":
+            out += np.asarray(items, dtype="<i8").tobytes()
+        elif item_type == "u64":
+            out += np.asarray(items, dtype="<u8").tobytes()
+        elif item_type == "string":
+            parts = []
+            for it in items:
+                bs = str(it).encode()
+                parts.append(struct.pack("<I", len(bs)) + bs)
+            out += b"".join(parts)
+        else:
+            raise ValueError(f"unsupported item_type {item_type}")
+        return out
+
+    @classmethod
+    def from_java_bytes(cls, buf: bytes, item_type: str = "string") -> "FrequentItemsSketch":
+        """Decode a DataSketches family-10 image
+        (``frequencies/sketch.rs:455-526`` validation semantics)."""
+        import struct
+
+        if len(buf) < 8:
+            raise ValueError(f"insufficient data: {len(buf)} < 8")
+        pre, ver, family, lg_max, lg_cur, flags, _ = struct.unpack_from("<BBBBBBH", buf, 0)
+        pre &= 0x3F
+        if family != 10:
+            raise ValueError(f"family mismatch: expected 10, got {family}")
+        if ver != 1:
+            raise ValueError(f"unsupported FI serial version {ver}")
+        if lg_cur > lg_max:
+            raise ValueError("lg_cur_map_size exceeds lg_max_map_size")
+        if flags & 5:
+            if pre != 1:
+                raise ValueError(f"empty image preamble longs {pre} != 1")
+            return cls(1 << lg_max)
+        if pre != 4:
+            raise ValueError(f"non-empty image preamble longs {pre} != 4")
+        active, _ = struct.unpack_from("<II", buf, 8)
+        stream_weight, offset = struct.unpack_from("<QQ", buf, 16)
+        vals = np.frombuffer(buf, dtype="<u8", count=active, offset=32).astype(np.int64)
+        pos = 32 + active * 8
+        if item_type == "i64":
+            items = np.frombuffer(buf, dtype="<i8", count=active, offset=pos).tolist()
+        elif item_type == "u64":
+            items = np.frombuffer(buf, dtype="<u8", count=active, offset=pos).tolist()
+        elif item_type == "string":
+            items = []
+            for _ in range(active):
+                (n,) = struct.unpack_from("<I", buf, pos)
+                pos += 4
+                items.append(buf[pos : pos + n].decode())
+                pos += n
+        else:
+            raise ValueError(f"unsupported item_type {item_type}")
+        if len(items) != active:
+            raise ValueError("item count mismatch during deserialization")
+        sk = cls(1 << lg_max, dict(zip(items, vals.tolist())), int(offset), int(stream_weight))
+        return sk
+
     # -- serde (string/int items) -----------------------------------------
 
     def to_bytes(self) -> bytes:

@@ -286,6 +286,81 @@ def theta_from_java_v4_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, expect_seed_h
     return ThetaSketch(lg_k, int(theta), entries, seed_hash, empty)
 
 
+def _check_entries(entries: np.ndarray, theta: int) -> np.ndarray:
+    """read_entries validation (theta/sketch.rs:632-648): every retained
+    hash must satisfy 0 < h < theta."""
+    if len(entries) and ((entries == 0).any() or (entries >= U64(theta)).any()):
+        raise codec.CodecError("corrupted: invalid retained hash value")
+    return entries
+
+
+def theta_from_java_v1_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Decode legacy serVer-1 (theta/sketch.rs:648-684): no stored seed
+    hash (computed from the expected seed), theta at offset 16, entries
+    from offset 24."""
+    import struct
+
+    if len(buf) < 24:
+        raise codec.CodecError(f"insufficient data: {len(buf)} < 24")
+    (n,) = struct.unpack_from("<I", buf, 8)
+    (theta,) = struct.unpack_from("<Q", buf, 16)
+    seed_hash = compute_seed_hash(seed)
+    if n == 0 and theta == MAX_THETA:
+        return ThetaSketch(lg_k, MAX_THETA, np.empty(0, U64), seed_hash, True)
+    entries = _check_entries(np.frombuffer(buf, dtype=U64, count=n, offset=24).copy(), theta)
+    return ThetaSketch(lg_k, int(theta), entries, seed_hash, False)
+
+
+def theta_from_java_v2_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Decode legacy serVer-2 (theta/sketch.rs:686-731): stored seed
+    hash at offset 6; preamble length selects empty (1), precise (2,
+    theta = MAX) or estimate (3, explicit theta) layout. Matches the
+    reference's quirk of flagging precise-mode images empty."""
+    import struct
+
+    if len(buf) < 8:
+        raise codec.CodecError(f"insufficient data: {len(buf)} < 8")
+    pre = buf[0]
+    (seed_hash,) = struct.unpack_from("<H", buf, 6)
+    expect = compute_seed_hash(seed)
+    if seed_hash != expect:
+        raise codec.CodecError(f"incompatible seed hash: expected {expect}, got {seed_hash}")
+    if pre == 1:  # empty
+        return ThetaSketch(lg_k, MAX_THETA, np.empty(0, U64), seed_hash, True)
+    if pre == 2:  # precise (exact mode)
+        (n,) = struct.unpack_from("<I", buf, 8)
+        entries = _check_entries(np.frombuffer(buf, dtype=U64, count=n, offset=16).copy(), MAX_THETA)
+        return ThetaSketch(lg_k, MAX_THETA, entries, seed_hash, True)
+    if pre == 3:  # estimate (explicit theta)
+        (n,) = struct.unpack_from("<I", buf, 8)
+        (theta,) = struct.unpack_from("<Q", buf, 16)
+        entries = _check_entries(np.frombuffer(buf, dtype=U64, count=n, offset=24).copy(), theta)
+        empty = n == 0 and theta == MAX_THETA
+        return ThetaSketch(lg_k, int(theta), entries, seed_hash, empty)
+    raise codec.CodecError(f"invalid v2 preamble longs {pre} (expected 1, 2, or 3)")
+
+
+def theta_from_java_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
+    """Version-dispatching decoder for DataSketches compact theta
+    images, serVer 1-4 (theta/sketch.rs:598-630)."""
+    if len(buf) < 3:
+        raise codec.CodecError(f"insufficient data: {len(buf)} < 3")
+    ver = buf[1]
+    family = buf[2]
+    if family != codec.FAMILY_THETA:
+        raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+    expect_hash = compute_seed_hash(seed)
+    if ver == 1:
+        return theta_from_java_v1_bytes(buf, lg_k, seed)
+    if ver == 2:
+        return theta_from_java_v2_bytes(buf, lg_k, seed)
+    if ver == 3:
+        return ThetaSketch.from_java_v3_bytes(buf, lg_k, expect_seed_hash=expect_hash)
+    if ver == 4:
+        return theta_from_java_v4_bytes(buf, lg_k, expect_seed_hash=expect_hash)
+    raise codec.CodecError(f"unsupported serial version: expected 1, 2, 3, or 4, got {ver}")
+
+
 def _rebuild(entries: np.ndarray, theta: int, lg_k: int) -> tuple[np.ndarray, int]:
     """Apply the k-th-smallest rebuild rule; returns (sorted entries, theta)."""
     k = 1 << lg_k

@@ -429,3 +429,35 @@ def test_hll_list_and_set_mode_decode():
     set_img += struct.pack("<I", len(coupons)) + arr.tobytes()
     got = hll_from_java_bytes(set_img)
     assert np.array_equal(got.regs, expect.regs)
+
+
+def test_frequent_items_java_wire_format():
+    """Family-10 layout round-trips for i64/u64/string items, byte
+    positions per frequencies/sketch.rs:408-453."""
+    import struct
+
+    from raydedup.sketches.frequencies import FrequentItemsSketch
+
+    sk = FrequentItemsSketch(64)
+    for i in range(200):
+        sk.update(f"item{i % 17}", 1 + i % 3)
+    buf = sk.to_java_bytes("string")
+    pre, ver, family, lg_max, lg_cur, flags = struct.unpack_from("<BBBBBB", buf, 0)
+    assert (pre, ver, family) == (4, 1, 10)
+    assert lg_max == 6 and flags == 0
+    back = FrequentItemsSketch.from_java_bytes(buf, "string")
+    assert back.counts == sk.counts
+    assert back.offset == sk.offset and back.total_weight == sk.total_weight
+
+    ints = FrequentItemsSketch(32)
+    ints.update_batch(np.arange(100, dtype=np.int64) % 7)
+    for t in ("i64", "u64"):
+        rt = FrequentItemsSketch.from_java_bytes(ints.to_java_bytes(t), t)
+        assert rt.counts == {int(k): v for k, v in ints.counts.items()}
+
+    # empty image
+    empty = FrequentItemsSketch(64)
+    img = empty.to_java_bytes("i64")
+    assert img[0] == 1 and img[5] & 5
+    rt = FrequentItemsSketch.from_java_bytes(img, "i64")
+    assert len(rt.counts) == 0 and rt.max_map_size == 64

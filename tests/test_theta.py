@@ -259,3 +259,89 @@ def test_java_v4_compressed_wire_format():
     # empty falls back to v3
     e = ThetaSketch.from_hashes(np.empty(0, dtype=np.uint64))
     assert theta_to_java_v4_bytes(e)[1] == 3
+
+
+def test_theta_legacy_v1_v2_decode():
+    """Version-matrix decode: serVer 1 and 2 legacy images
+    (theta/sketch.rs:648-731 layouts) produce the same entries/theta
+    as the modern v3 path."""
+    import struct
+
+    import numpy as np
+
+    from raydedup.sketches.theta import (
+        DEFAULT_SEED,
+        MAX_THETA,
+        ThetaSketch,
+        compute_seed_hash,
+        hashes_for_ints,
+        theta_from_java_bytes,
+    )
+
+    sk = ThetaSketch.from_hashes(hashes_for_ints(np.arange(5000, dtype=np.int64)), lg_k=10)
+    entries = np.sort(sk.entries)
+    theta = sk.theta
+    sh = compute_seed_hash(DEFAULT_SEED)
+
+    # v1: [pre, ver, family, unused, u32 unused, u32 n, u32 unused, u64 theta, entries]
+    v1 = struct.pack("<BBBBI", 3, 1, 3, 0, 0)
+    v1 += struct.pack("<II", len(entries), 0)
+    v1 += struct.pack("<Q", theta) + entries.tobytes()
+    got = theta_from_java_bytes(v1, lg_k=10)
+    assert got.theta == theta and np.array_equal(np.sort(got.entries), entries)
+    assert abs(got.estimate() - sk.estimate()) < 1e-9
+
+    # v2 estimate layout (pre_longs 3): seed hash at offset 6
+    v2 = struct.pack("<BBBBHH", 3, 2, 3, 0, 0, sh)
+    v2 += struct.pack("<II", len(entries), 0)
+    v2 += struct.pack("<Q", theta) + entries.tobytes()
+    got = theta_from_java_bytes(v2, lg_k=10)
+    assert got.theta == theta and np.array_equal(np.sort(got.entries), entries)
+
+    # v2 precise layout (pre_longs 2): exact mode, theta = MAX
+    exact = ThetaSketch.from_hashes(hashes_for_ints(np.arange(100, dtype=np.int64)), lg_k=12)
+    e2 = np.sort(exact.entries)
+    v2p = struct.pack("<BBBBHH", 2, 2, 3, 0, 0, sh)
+    v2p += struct.pack("<II", len(e2), 0) + e2.tobytes()
+    got = theta_from_java_bytes(v2p, lg_k=12)
+    assert got.theta == MAX_THETA and np.array_equal(np.sort(got.entries), e2)
+
+    # v2 empty layout (pre_longs 1)
+    v2e = struct.pack("<BBBBHH", 1, 2, 3, 0, 0, sh)
+    got = theta_from_java_bytes(v2e)
+    assert got.empty and len(got.entries) == 0
+
+    # wrong seed hash rejected
+    bad = struct.pack("<BBBBHH", 1, 2, 3, 0, 0, sh ^ 1)
+    import pytest
+
+    from raydedup.sketches.codec import CodecError
+
+    with pytest.raises(CodecError):
+        theta_from_java_bytes(bad)
+
+    # corrupted entry (>= theta) rejected
+    crooked = entries.copy()
+    crooked[0] = np.uint64(theta)
+    v1bad = struct.pack("<BBBBI", 3, 1, 3, 0, 0) + struct.pack("<II", len(crooked), 0)
+    v1bad += struct.pack("<Q", theta) + crooked.tobytes()
+    with pytest.raises(CodecError):
+        theta_from_java_bytes(v1bad, lg_k=10)
+
+
+def test_theta_dispatch_v3_v4():
+    """The unified decoder dispatches to the existing v3/v4 paths."""
+    import numpy as np
+
+    from raydedup.sketches.theta import (
+        ThetaSketch,
+        hashes_for_ints,
+        theta_from_java_bytes,
+        theta_to_java_v4_bytes,
+    )
+
+    sk = ThetaSketch.from_hashes(hashes_for_ints(np.arange(3000, dtype=np.int64)), lg_k=9)
+    for img in (sk.to_java_v3_bytes(), theta_to_java_v4_bytes(sk)):
+        got = theta_from_java_bytes(img, lg_k=9)
+        assert got.theta == sk.theta
+        assert np.array_equal(np.sort(got.entries), np.sort(sk.entries))
