@@ -132,6 +132,88 @@ class TDigest:
         return cls(int(k), means, weights, float(mn), float(mx))
 
 
+def to_java_bytes(td: TDigest) -> bytes:
+    """Serialize in the DataSketches TDIGEST (family 20) little-endian
+    layout (``tdigest/sketch.rs:404-475``; constants
+    ``serialization.rs:18-23``): empty and single-value images are one
+    preamble long; multi-centroid images add centroid count, min/max
+    and (f64 mean, u64 weight) pairs. A reference consumer's
+    ``TDigestMut::deserialize`` reads these bytes directly."""
+    import struct
+
+    n = len(td.means)
+    if n == 0:
+        return struct.pack("<BBBHBH", 1, 1, 20, td.k, 1, 0)  # FLAGS_IS_EMPTY
+    if n == 1 and td.weights[0] == 1:
+        head = struct.pack("<BBBHBH", 1, 1, 20, td.k, 2, 0)  # FLAGS_IS_SINGLE_VALUE
+        return head + struct.pack("<d", float(td.means[0]))
+    head = struct.pack("<BBBHBH", 2, 1, 20, td.k, 0, 0)
+    head += struct.pack("<II", n, 0)
+    head += struct.pack("<dd", td.min, td.max)
+    cent = np.empty(2 * n, dtype=np.uint64)
+    cent[0::2] = np.asarray(td.means, np.float64).view(np.uint64)
+    cent[1::2] = np.rint(td.weights).astype(np.uint64)
+    return head + cent.tobytes()
+
+
+def from_java_bytes(buf: bytes, is_f32: bool = False) -> TDigest:
+    """Decode a DataSketches family-20 image
+    (``tdigest/sketch.rs:497-600``; f32 variant supported); reference-
+    implementation big-endian images (zero preamble) auto-detect and
+    route to ``from_compat_bytes``."""
+    import struct
+
+    pre, ver, family = struct.unpack_from("<BBB", buf, 0)
+    if family != 20:
+        if pre == 0 and ver == 0 and family == 0:
+            return from_compat_bytes(buf)
+        raise ValueError(f"family mismatch: expected 20, got {family}")
+    if ver != 1:
+        raise ValueError(f"unsupported tdigest serial version {ver}")
+    (k,) = struct.unpack_from("<H", buf, 3)
+    if k < 10:
+        raise ValueError(f"k must be at least 10, got {k}")
+    flags = buf[5]
+    is_empty, is_single = bool(flags & 1), bool(flags & 2)
+    if is_empty:
+        return TDigest(k)
+    if is_single:
+        if is_f32:
+            (v,) = struct.unpack_from("<f", buf, 8)
+        else:
+            (v,) = struct.unpack_from("<d", buf, 8)
+        return TDigest(k, np.array([v]), np.array([1.0]), v, v)
+    n, _ = struct.unpack_from("<II", buf, 8)
+    if is_f32:
+        mn, mx = struct.unpack_from("<ff", buf, 16)
+        arr = np.frombuffer(buf, dtype="<u4", count=2 * n, offset=24)
+        means = arr[0::2].view("<f4").astype(np.float64)
+        weights = arr[1::2].astype(np.float64)
+    else:
+        mn, mx = struct.unpack_from("<dd", buf, 16)
+        arr = np.frombuffer(buf, dtype="<u8", count=2 * n, offset=32)
+        means = arr[0::2].copy().view("<f8").astype(np.float64)
+        weights = arr[1::2].astype(np.float64)
+    return TDigest(int(k), means, weights, float(mn), float(mx))
+
+
+def to_compat_bytes(td: TDigest) -> bytes:
+    """Encode the reference-implementation big-endian COMPAT_DOUBLE
+    (type 1, ``asBytes``) image (``tdigest/sketch.rs:627-676``) —
+    round-trippable into tdunning/t-digest consumers and back through
+    ``from_compat_bytes``."""
+    import struct
+
+    n = len(td.means)
+    head = struct.pack(">I", 1)
+    head += struct.pack(">ddd", td.min if n else float("inf"), td.max if n else float("-inf"), float(td.k))
+    head += struct.pack(">I", n)
+    arr = np.empty((n, 2), dtype=">f8")
+    arr[:, 0] = td.weights
+    arr[:, 1] = td.means
+    return head + arr.tobytes()
+
+
 def from_compat_bytes(buf: bytes) -> TDigest:
     """Decode the t-digest reference-implementation big-endian formats
     (``tdigest/sketch.rs:628-720``): COMPAT_DOUBLE (type 1, asBytes)

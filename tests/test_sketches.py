@@ -461,3 +461,81 @@ def test_frequent_items_java_wire_format():
     assert img[0] == 1 and img[5] & 5
     rt = FrequentItemsSketch.from_java_bytes(img, "i64")
     assert len(rt.counts) == 0 and rt.max_map_size == 64
+
+
+def test_tdigest_java_and_compat_encode_roundtrip():
+    """Family-20 LE encode/decode (tdigest/sketch.rs:404-600) and
+    reference big-endian COMPAT_DOUBLE encode — including the
+    committed reference golden file decoding through the same
+    dispatcher (zero-preamble auto-detect)."""
+    from raydedup.sketches.tdigest import (
+        TDigest,
+        from_compat_bytes,
+        from_java_bytes,
+        TDigest as _TD,
+        to_compat_bytes,
+        to_java_bytes,
+    )
+
+    rng = np.random.default_rng(3)
+    td = TDigest.from_values(rng.normal(size=50_000), k=200)
+    back = from_java_bytes(to_java_bytes(td))
+    assert back.k == td.k and np.array_equal(back.means, td.means)
+    assert np.array_equal(back.weights, td.weights)
+    assert back.min == td.min and back.max == td.max
+
+    # compat big-endian round trip
+    c = from_compat_bytes(to_compat_bytes(td))
+    assert np.allclose(np.sort(c.means), np.sort(td.means))
+    assert c.min == td.min and c.max == td.max
+
+    # zero-preamble auto-detect routes compat bytes through from_java_bytes
+    c2 = from_java_bytes(to_compat_bytes(td))
+    assert np.allclose(sorted(c2.means), sorted(td.means))
+
+    # empty + single-value layouts
+    assert from_java_bytes(to_java_bytes(TDigest(100))).is_empty()
+    one = TDigest.from_values(np.array([42.0]), k=100)
+    rt = from_java_bytes(to_java_bytes(one))
+    assert rt.quantile(0.5) == 42.0 and len(rt.means) == 1
+
+
+def test_binomial_bounds_bit_exact_vs_reference():
+    """Ports the reference's own conformance check
+    (binomial_bounds.rs:565-700, the max_num_samples=20/min_p=1e-3
+    rows of STD): 57,750 bound computations per CI must reproduce the
+    reference's logged aggregate sums to 1e-15 relative — covering the
+    equivalence-table band, the exact Bayesian band, and both tail
+    formulas."""
+    import math
+
+    from raydedup.sketches.binomial_bounds import lower_bound, upper_bound
+
+    STD = [
+        [7.083330682531043e04, 8.530373642825481e04, 3.273647725073409e04, 3.734024243699785e04, 57750.0],
+        [6.539415269641498e04, 8.945522372568645e04, 3.222302546497840e04, 3.904738469737429e04, 57750.0],
+        [6.006043493107306e04, 9.318105731423477e04, 3.186269956585285e04, 4.096466221922520e04, 57750.0],
+    ]
+
+    def run_aux(max_ns, ci, min_p):
+        ns = 0
+        s = [0.0, 0.0, 0.0, 0.0]
+        count = 0
+        while ns <= max_ns:
+            p = 1.0
+            while p >= min_p:
+                s[0] += math.log(lower_bound(ns, p, ci) + 1.0)
+                s[1] += math.log(upper_bound(ns, p, ci) + 1.0)
+                count += 2
+                if p < 1.0:
+                    s[2] += math.log(lower_bound(ns, 1.0 - p, ci) + 1.0)
+                    s[3] += math.log(upper_bound(ns, 1.0 - p, ci) + 1.0)
+                    count += 2
+                p *= 0.99
+            ns = max(ns + 1, (1001 * ns) // 1000)
+        return [*s, float(count)]
+
+    for i, ci in enumerate((1, 2, 3)):
+        arr = run_aux(20, ci, 1e-3)
+        for j in range(5):
+            assert abs(arr[j] / STD[i][j] - 1.0) < 1e-15, (ci, j)
