@@ -75,18 +75,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     n_docs = rd.read_parquet(page_files).count()  # warm page cache + count
 
-    # warm the WORKER POOL untimed: small batches fan across every
-    # worker process (imports + kernel buffer faults land in ALL of
-    # them, not just one), then a mini end-to-end run exercises every
-    # stage's code path — the steady-state regime a long-running
-    # cluster operates in (measure compute + shuffle, not one-time
-    # process spin-up).
-    from raydedup.pipeline.lsh import signature_batch_fn
+    # warm the WORKER POOL untimed. `limit(n).map_batches(...)` only
+    # touches a handful of workers; a cold worker spawned mid-benchmark
+    # pays numpy/pyarrow/raydedup imports + allocator faults INSIDE the
+    # measured phase (measured: the same stage runs ~2.5x slower at 32
+    # CPUs when most of the pool is cold). Warm EVERY worker
+    # deterministically with blocking remote tasks — 2x num_cpus
+    # concurrent tasks force the pool to its full size — then a mini
+    # end-to-end run warms each stage's code path. This measures the
+    # steady-state regime a long-running cluster operates in (compute +
+    # shuffle, not one-time process spin-up).
+    @ray.remote
+    def _warm_worker():
+        import numpy as _np
+        import pyarrow as _pa
 
-    warm_pages = rd.read_parquet(page_files[:1], columns=["url", "text"]).limit(300 * num_cpus)
-    warm_pages.map_batches(
-        signature_batch_fn, fn_kwargs={"cfg": cfg}, batch_format="pyarrow", batch_size=300
-    ).count()
+        from raydedup.pipeline.lsh import signature_batch_fn as _sig
+        from raydedup.pipeline import verify as _v  # noqa: F401
+        from raydedup.ops.simhash import simhash_batch_fn as _sh
+
+        b = _pa.table(
+            {
+                "url": _pa.array([f"w{i}" for i in range(64)]),
+                "text": _pa.array(["warm up text one two three four five six"] * 64),
+            }
+        )
+        _sig(b, cfg)
+        _sh(b)
+        return 1
+
+    ray.get([_warm_worker.remote() for _ in range(2 * num_cpus)])
     run_dedup(
         rd.read_parquet(page_files[:1], columns=["url", "text"]).limit(2000),
         cfg, n_buckets=32, concurrency=(1, num_cpus),

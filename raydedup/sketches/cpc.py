@@ -19,9 +19,11 @@ solved for n by bisection — statistically sound on the OR-merged
 matrix (every merge order gives the same matrix, hence the same
 estimate), with RSE comparable to the reference's ICON estimator
 (asserted at the reference's tested operating point lg_k=11, n=1e4,
-``cpc_update_test.rs:27,57-60``) but without porting its ~13k lines
-of generated compression/ICON tables. Compression is likewise
-skipped: serialized form is the raw bit matrix (``codec.py`` header).
+``cpc_update_test.rs:27,57-60``). The compressed DataSketches wire
+format (flavors, Golomb pair coding, high-entropy window tables) is
+implemented in ``cpc_codec.py`` (``cpc_to_java_bytes`` /
+``cpc_from_java_bytes``); the internal fast format remains the raw
+bit matrix (``codec.py`` header).
 """
 
 from __future__ import annotations

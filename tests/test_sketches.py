@@ -539,3 +539,56 @@ def test_binomial_bounds_bit_exact_vs_reference():
         arr = run_aux(20, ci, 1e-3)
         for j in range(5):
             assert abs(arr[j] / STD[i][j] - 1.0) < 1e-15, (ci, j)
+
+
+def test_cpc_compressed_wire_roundtrip_all_flavors():
+    """CPC compressed wire format (compression.rs + serialization.rs):
+    bit-exact matrix round-trip through every flavor — Empty, Sparse,
+    Hybrid, Pinned (window offset 0, pairs shifted by 8) and Sliding
+    (offset > 0, rotated+permuted pair columns)."""
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.cpc_codec import (
+        cpc_from_java_bytes,
+        cpc_to_java_bytes,
+        determine_flavor,
+        _popcount,
+    )
+
+    seen_flavors = set()
+    for lg_k, ns in ((4, (16, 640)), (8, (0, 1, 16, 64, 256, 2560)), (11, (128, 512, 2048, 20480, 81920))):
+        for n in ns:
+            sk = CpcSketch(lg_k)
+            if n:
+                sk.update_ints(np.arange(n, dtype=np.int64))
+            c = _popcount(sk.matrix)
+            seen_flavors.add(determine_flavor(lg_k, c))
+            back = cpc_from_java_bytes(cpc_to_java_bytes(sk))
+            assert back.lg_k == lg_k
+            assert np.array_equal(back.matrix, sk.matrix), (lg_k, n)
+            # estimates identical since the matrix is identical
+            assert back.estimate() == sk.estimate()
+    assert seen_flavors == {0, 1, 2, 3, 4}
+
+
+def test_cpc_compressed_wire_header_layout():
+    """Header byte positions per cpc/sketch.rs:455-513."""
+    import struct
+
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.cpc_codec import cpc_from_java_bytes, cpc_to_java_bytes
+    from raydedup.sketches.hashing import DEFAULT_SEED, compute_seed_hash
+
+    sk = CpcSketch(10)
+    sk.update_ints(np.arange(5000, dtype=np.int64))
+    buf = cpc_to_java_bytes(sk)
+    pre, ver, family, lg_k, fic, flags = struct.unpack_from("<BBBBBB", buf, 0)
+    (seed_hash,) = struct.unpack_from("<H", buf, 6)
+    assert (ver, family, lg_k) == (1, 16, 10)
+    assert flags & 0b10  # FLAG_COMPRESSED
+    assert not (flags & 0b100)  # no HIP: engine sketches are merge-semantics
+    assert seed_hash == compute_seed_hash(DEFAULT_SEED)
+    # seed-hash enforcement on decode
+    import pytest
+
+    with pytest.raises(ValueError):
+        cpc_from_java_bytes(buf, expect_seed_hash=seed_hash ^ 1)
