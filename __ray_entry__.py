@@ -789,8 +789,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
         """,
+        "langid": r"""
+            WITH m(lang, pri, w) AS (VALUES
+              ('en',0,'the'),('en',0,'and'),('en',0,'of'),('en',0,'to'),
+              ('en',0,'a'),('en',0,'in'),('en',0,'is'),('en',0,'that'),
+              ('en',0,'it'),('en',0,'for'),
+              ('de',1,'der'),('de',1,'die'),('de',1,'das'),('de',1,'und'),
+              ('de',1,'ist'),('de',1,'nicht'),('de',1,'ein'),('de',1,'mit'),
+              ('de',1,'auf'),('de',1,'von'),
+              ('fr',2,'le'),('fr',2,'la'),('fr',2,'les'),('fr',2,'et'),
+              ('fr',2,'est'),('fr',2,'un'),('fr',2,'une'),('fr',2,'dans'),
+              ('fr',2,'pour'),('fr',2,'que'),
+              ('es',3,'el'),('es',3,'la'),('es',3,'los'),('es',3,'y'),
+              ('es',3,'es'),('es',3,'un'),('es',3,'una'),('es',3,'en'),
+              ('es',3,'por'),('es',3,'que')
+            ), words AS (
+              SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents
+            ), hits AS (
+              SELECT words.doc_id, m.lang, m.pri, count(DISTINCT m.w) AS n
+              FROM words JOIN m ON words.w = m.w
+              GROUP BY 1, 2, 3
+            ), best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pri) AS rn
+              FROM hits WHERE n > 0
+            )
+            SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+            ORDER BY d.doc_id
+        """,
         # fingerprints / quantity_quantiles /
-        # simhash_pairs / langid / image_features: murmur3- or
+        # simhash_pairs / image_features: murmur3- or
         # sketch-based (or no SQL-visible input), driver records
         # rows-only checks
     }

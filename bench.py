@@ -117,6 +117,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         pages,
         cfg,
         n_buckets=8 * num_cpus,
+        num_join_partitions=num_cpus,  # verify cogroup buckets = 8x this
         concurrency=(1, num_cpus),
         salt_hot=True,  # MG hot-band detection + salted repartitioning live
     )

@@ -88,16 +88,18 @@ class LangIdStage:
 
     def __init__(self):
         self.lang_names = list(_LANG_MARKERS)  # order = tie-break priority
-        words, lang_of, marker_id = [], [], []
+        # one entry per DISTINCT marker word, with a language bitmask —
+        # words shared across languages ("la", "un", "que") must credit
+        # every language that lists them
+        mask_of: dict[str, int] = {}
         for li, (_, ms) in enumerate(_LANG_MARKERS.items()):
-            for w in sorted(ms):
-                words.append(w)
-                lang_of.append(li)
-                marker_id.append(len(marker_id))
+            for w in ms:
+                mask_of[w] = mask_of.get(w, 0) | (1 << li)
+        words = sorted(mask_of)
         h, _ = hash_strings(pa.array(words, pa.string()))
         order = np.argsort(h)
         self.marker_hashes = h[order]
-        self.marker_lang = np.asarray(lang_of, np.int64)[order]
+        self.marker_mask = np.asarray([mask_of[w] for w in words], np.int64)[order]
         self.n_markers = len(words)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -120,13 +122,16 @@ class LangIdStage:
             if hit.any():
                 docs = doc_of_word[hit]
                 midx = pos[hit]
-                # distinct (doc, marker) pairs → per-(doc, lang) counts
+                # distinct (doc, marker-word) pairs → per-(doc, lang)
+                # counts, crediting every language in the word's mask
                 key = np.unique(docs * np.int64(self.n_markers) + midx)
                 d = key // self.n_markers
-                lang = self.marker_lang[key % self.n_markers]
-                counts = np.bincount(
-                    d * np.int64(n_langs) + lang, minlength=n_docs * n_langs
-                ).reshape(n_docs, n_langs)
+                masks = self.marker_mask[key % self.n_markers]
+                counts = np.zeros((n_docs, n_langs), np.int64)
+                for li in range(n_langs):
+                    sel = (masks >> li) & 1 == 1
+                    if sel.any():
+                        counts[:, li] = np.bincount(d[sel], minlength=n_docs)
                 best = counts.argmax(axis=1)  # first max wins = dict order
                 names = np.asarray(self.lang_names, dtype=object)
                 nonzero = counts.max(axis=1) > 0

@@ -104,8 +104,14 @@ def run_dedup(
     timing = os.environ.get("RAYDEDUP_TIMING")
     t0 = time.time()
     sigs = build_signatures(pages_slim, cfg, concurrency=concurrency)
-    # signatures feed two consumers (banding and the verify attach) —
-    # materialize once so the actor stage runs a single time.
+    # Coalesce the (read-block-sized) signature outputs into big blocks
+    # before the wide band/verify shuffles: a near-free identity map
+    # whose bundling happens opportunistically behind the expensive
+    # signature stage. Then materialize once — signatures feed two
+    # consumers (banding and the verify attach).
+    sigs = sigs.map_batches(
+        lambda b: b, batch_size=cfg.coalesce_rows, batch_format="pyarrow"
+    )
     sigs = sigs.materialize()
     t1 = time.time()
     cands = candidate_pairs(sigs, cfg, n_buckets=n_buckets, salt_hot=salt_hot).materialize()

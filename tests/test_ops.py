@@ -216,3 +216,38 @@ def test_srp_cosine_pairs_vs_bruteforce(ray_session):
     # cosine values are exact float64 on the pairs found
     m = srp.merge(exact, on=["id_a", "id_b"], suffixes=("_s", "_e"))
     assert np.allclose(m.cosine_s, m.cosine_e)
+
+
+def test_langid_matches_per_row_reference(ray_session):
+    """Vectorized marker matching == the per-row set-intersection
+    definition, including marker words shared across languages
+    ('la', 'un', 'que' are listed for both fr and es)."""
+    import pyarrow as pa
+
+    from raydedup.ops.text_stats import _LANG_MARKERS, LangIdStage
+
+    texts = [
+        "the cat and the dog is in that house for a while",
+        "der hund ist nicht mit der katze auf dem sofa und",
+        "le chat est dans la maison pour que les amis",
+        "el gato es un animal en la casa por que los",
+        "la un que",          # only shared fr/es markers: tie -> fr (dict order)
+        "xyzzy plugh 42",     # no markers -> unknown
+        "",
+    ]
+
+    def reference(text):
+        ws = set(text.lower().split())
+        best, best_n = "unknown", 0
+        for lang, markers in _LANG_MARKERS.items():
+            hits = len(ws & markers)
+            if hits > best_n:
+                best, best_n = lang, hits
+        return best
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = LangIdStage()(batch)
+    got = out["lang_pred"].to_pylist()
+    expect = [reference(t) for t in texts]
+    assert got == expect, (got, expect)
+    assert got[4] == "fr"  # shared markers credit BOTH langs; tie -> first
