@@ -496,6 +496,15 @@ def _q_langid(sf_dir: str):
     return ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4)).sort("doc_id")
 
 
+def _q_regex_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import regex_token_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: regex_token_stats(b, "doc_id"), batch_format="pyarrow").sort("doc_id")
+
+
 def _q_quality_scores(sf_dir: str):
     import ray.data as rd
 
@@ -551,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
+        "regex_token_stats": _q_regex_token_stats,
         "quality_scores": _q_quality_scores,
         "image_features": _q_image_features,
     }
@@ -717,6 +727,11 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id
             ) <= 10
             ORDER BY query_id, vec_id
+        """,
+        "regex_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+            FROM documents ORDER BY doc_id
         """,
         "quality_scores": r"""
             WITH t AS (

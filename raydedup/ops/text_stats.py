@@ -46,6 +46,26 @@ def token_stats(batch: pa.Table, id_column: str, text_column: str = "text") -> p
     )
 
 
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_stats(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
+    """BPE-ish regex token counts per doc: runs of letters, runs of
+    digits, and single punctuation marks each count as one token (the
+    usual pre-tokenization shape of byte-pair encoders). Vectorized via
+    one Arrow re2 kernel over the whole column."""
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.count_substring_regex(text, _BPEISH)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "n_bpeish_tokens": n.cast(pa.int64()),
+        }
+    )
+
+
 def quality_scores(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
     """Heuristic quality features per doc:
     (id, punct_ratio, digit_ratio, mean_word_len)."""

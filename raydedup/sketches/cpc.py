@@ -88,7 +88,9 @@ class CpcSketch:
         c = np.arange(64, dtype=np.float64)
         return float(k * np.sum(-np.expm1(-n * np.exp2(-(c + 1.0)) / k)))
 
-    def estimate(self) -> float:
+    def estimate_mom(self) -> float:
+        """Method-of-moments inversion of E[C](n) — estimator-agnostic
+        cross-check used by the accuracy tests."""
         c = self.num_coupons
         if c == 0:
             return 0.0
@@ -102,6 +104,24 @@ class CpcSketch:
             else:
                 hi = mid
         return (lo + hi) / 2
+
+    def estimate(self) -> float:
+        """The reference's ICON estimate (cpc/estimator.rs:388-429) —
+        the merge-surviving estimator, which is what the reference
+        itself uses for every merged/deserialized sketch."""
+        from .cpc_estimator import icon_estimate
+
+        return icon_estimate(self.lg_k, self.num_coupons)
+
+    def lower_bound(self, num_std_dev: int = 2) -> float:
+        from .cpc_estimator import icon_confidence_lb
+
+        return icon_confidence_lb(self.lg_k, self.num_coupons, num_std_dev)
+
+    def upper_bound(self, num_std_dev: int = 2) -> float:
+        from .cpc_estimator import icon_confidence_ub
+
+        return icon_confidence_ub(self.lg_k, self.num_coupons, num_std_dev)
 
     def merge(self, other: "CpcSketch") -> "CpcSketch":
         return cpc_union([self, other])

@@ -592,3 +592,31 @@ def test_cpc_compressed_wire_header_layout():
 
     with pytest.raises(ValueError):
         cpc_from_java_bytes(buf, expect_seed_hash=seed_hash ^ 1)
+
+
+def test_cpc_icon_estimator_reference_parity():
+    """ICON estimate (cpc/estimator.rs:388-429 polynomial +
+    exponential regimes) — accuracy across decades, agreement with the
+    estimator-agnostic method-of-moments inversion, bound ordering
+    with the empirical lg_k<=14 tables, and exact small-count values."""
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.cpc_estimator import icon_estimate
+
+    assert icon_estimate(11, 0) == 0.0
+    assert icon_estimate(11, 1) == 1.0
+    for lg_k in (8, 11, 14):
+        for n in (10, 100, 10_000):
+            sk = CpcSketch(lg_k)
+            sk.update_ints(np.arange(n, dtype=np.int64))
+            est = sk.estimate()
+            assert abs(est - n) / n < max(0.05, 3 * 0.5887 / np.sqrt(1 << lg_k))
+            # ICON and MoM invert the same coupon count: close agreement
+            assert abs(est - sk.estimate_mom()) / max(est, 1) < 0.02
+            lb1, ub1 = sk.lower_bound(1), sk.upper_bound(1)
+            lb3, ub3 = sk.lower_bound(3), sk.upper_bound(3)
+            assert lb3 <= lb1 <= est <= ub1 <= ub3
+    # exponential regime (C > 5.7K)
+    sk = CpcSketch(8)
+    sk.update_ints(np.arange(200_000, dtype=np.int64))
+    est = sk.estimate()
+    assert abs(est - 200_000) / 200_000 < 0.25  # tiny k, huge n: wide but sane
