@@ -532,6 +532,17 @@ def _q_image_features(sf_dir: str):
     return feats.sort("image_id")
 
 
+def _q_audio_features(sf_dir: str):
+    """Multimodal audio plumbing demo: deterministic fake PCM corpus +
+    framed RMS/zero-crossing features (rows-only)."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import audio_features, synth_audio_table
+
+    ds = rd.from_arrow(synth_audio_table(200, seed=42))
+    return audio_features(ds, frame_len=400).sort(["audio_id", "frame_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": _q_regex_token_stats,
         "quality_scores": _q_quality_scores,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
     }
 
 

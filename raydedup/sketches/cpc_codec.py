@@ -354,6 +354,27 @@ def cpc_to_java_bytes(sk, seed_hash: int | None = None) -> bytes:
     return out
 
 
+def cpc_peek_estimate(buf: bytes) -> float:
+    """Estimate from a compressed CPC image WITHOUT decompressing the
+    body — the reference's ``CpcWrapper`` pattern
+    (``cpc/wrapper.rs:49-182``). ICON needs only (lg_k, num_coupons),
+    both in the first 12 header bytes, so metrics readers can inspect
+    checkpoints at O(header) cost."""
+    from .cpc_estimator import icon_estimate
+
+    if len(buf) < 8:
+        raise ValueError(f"insufficient data: {len(buf)} < 8")
+    _, ver, family, lg_k, _, flags, _ = struct.unpack_from("<BBBBBBH", buf, 0)
+    if family != 16 or ver != 1:
+        raise ValueError("not a CPC serVer-1 image")
+    has_table = bool(flags & (1 << _FLAG_HAS_TABLE))
+    has_window = bool(flags & (1 << _FLAG_HAS_WINDOW))
+    if not (has_table or has_window):
+        return 0.0
+    (c,) = struct.unpack_from("<I", buf, 8)
+    return icon_estimate(lg_k, c)
+
+
 def cpc_from_java_bytes(buf: bytes, expect_seed_hash: int | None = None):
     """Decode a compressed DataSketches CPC image into an engine
     CpcSketch (full bit matrix)."""

@@ -251,3 +251,33 @@ def test_langid_matches_per_row_reference(ray_session):
     expect = [reference(t) for t in texts]
     assert got == expect, (got, expect)
     assert got[4] == "fr"  # shared markers credit BOTH langs; tie -> first
+
+
+def test_audio_feature_stage(ray_session):
+    """Audio plumbing: framed RMS/zero-crossing features over PCM16
+    payloads; deterministic, covers every input with >= 1 full frame."""
+    import pyarrow as pa
+
+    from raydedup.ops.multimodal import AudioFeatureStage, audio_features, synth_audio_table
+
+    tbl = synth_audio_table(40, seed=7)
+    ds = rd.from_arrow(tbl)
+    out = audio_features(ds, frame_len=400).to_pandas()
+    n_samples = dict(zip(tbl["audio_id"].to_pylist(), tbl["n_samples"].to_pylist()))
+    for aid, g in out.groupby("audio_id"):
+        assert len(g) == n_samples[aid] // 400
+        assert (g.rms >= 0).all() and (g.rms <= 1.0).all()
+        assert (g.zero_cross >= 0).all() and (g.zero_cross < 400).all()
+    # deterministic across runs
+    out2 = audio_features(rd.from_arrow(tbl), frame_len=400).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values(["audio_id", "frame_idx"]).reset_index(drop=True),
+        out2.sort_values(["audio_id", "frame_idx"]).reset_index(drop=True),
+    )
+    # real mode documents its integration point
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(mode="real")(tbl)

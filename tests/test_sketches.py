@@ -620,3 +620,17 @@ def test_cpc_icon_estimator_reference_parity():
     sk.update_ints(np.arange(200_000, dtype=np.int64))
     est = sk.estimate()
     assert abs(est - 200_000) / 200_000 < 0.25  # tiny k, huge n: wide but sane
+
+
+def test_cpc_peek_estimate_without_decompress():
+    """CpcWrapper pattern: estimate from the compressed image header
+    only — must equal the full decode's estimate exactly."""
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.cpc_codec import cpc_from_java_bytes, cpc_peek_estimate, cpc_to_java_bytes
+
+    for n in (0, 1, 500, 20_000):
+        sk = CpcSketch(11)
+        if n:
+            sk.update_ints(np.arange(n, dtype=np.int64))
+        buf = cpc_to_java_bytes(sk)
+        assert cpc_peek_estimate(buf) == cpc_from_java_bytes(buf).estimate()
