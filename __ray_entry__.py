@@ -532,6 +532,26 @@ def _q_image_features(sf_dir: str):
     return feats.sort("image_id")
 
 
+def _q_sig_distance_quantiles(sf_dir: str):
+    """KLL quantiles of candidate-pair signature distances — the
+    north_star's partition-parallel telemetry sketch over the verify
+    output (rows-only; KLL accuracy asserted in pytest)."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+    from raydedup.sketches.kll import signature_distance_digest
+
+    pages = _documents_as_pages(sf_dir)
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    sk = signature_distance_digest(res.verified)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "sig_distance": pa.array([float(sk.quantile(q)) for q in qs], pa.float64()),
+        }
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio plumbing demo: deterministic fake PCM corpus +
     framed RMS/zero-crossing features (rows-only)."""
@@ -575,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        "sig_distance_quantiles": _q_sig_distance_quantiles,
     }
 
 
