@@ -76,3 +76,50 @@ def test_kll_rank_monotone_and_bounded(values, splits):
     assert (np.diff(qs) >= 0).all()
     assert qs[0] == v.min() and qs[-1] == v.max()
     assert 0.0 <= sk.rank(float(np.median(v))) <= 1.0
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lg_k=st.integers(min_value=4, max_value=12),
+    density=st.floats(min_value=0.0, max_value=0.9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_cpc_compressed_roundtrip_random_matrices(lg_k, density, seed):
+    """Any bit matrix (its popcount determines flavor/offset/phase)
+    round-trips bit-exactly through the compressed wire format —
+    property coverage beyond the structured update-path tests."""
+    from raydedup.sketches.cpc import CpcSketch
+    from raydedup.sketches.cpc_codec import cpc_from_java_bytes, cpc_to_java_bytes
+
+    rng = np.random.default_rng(seed)
+    k = 1 << lg_k
+    # geometric-ish column distribution like real coupons, scaled by density
+    cols = np.minimum(rng.geometric(0.5, size=int(density * k * 8)), 63)
+    rows = rng.integers(0, k, size=len(cols))
+    matrix = np.zeros(k, dtype=np.uint64)
+    if len(cols):
+        np.bitwise_or.at(matrix, rows, np.uint64(1) << cols.astype(np.uint64))
+    sk = CpcSketch(lg_k, matrix)
+    back = cpc_from_java_bytes(cpc_to_java_bytes(sk))
+    assert np.array_equal(back.matrix, matrix)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lg_k=st.integers(min_value=4, max_value=14),
+    n=st.integers(min_value=0, max_value=50_000),
+)
+def test_hll_mode_roundtrip_property(lg_k, n):
+    """HLL4/6/8 wire round-trips hold for arbitrary (lg_k, n)."""
+    from raydedup.sketches.hll import (
+        HllSketch,
+        hll_from_java_bytes,
+        hll_to_java_bytes,
+        hll_to_java_hll4_bytes,
+        hll_to_java_hll6_bytes,
+    )
+
+    sk = HllSketch(lg_k)
+    if n:
+        sk.update_ints(np.arange(n, dtype=np.int64))
+    for enc in (hll_to_java_bytes, hll_to_java_hll6_bytes, hll_to_java_hll4_bytes):
+        assert np.array_equal(hll_from_java_bytes(enc(sk)).regs, sk.regs)
