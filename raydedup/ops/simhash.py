@@ -38,7 +38,10 @@ def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray, slab: int =
         return out
     counts = np.diff(offsets)
     ne_idx = np.nonzero(counts > 0)[0]
-    buf = np.empty((slab, 16), dtype=np.int32)
+    # int16 halves the slab's memory traffic vs int32; reduceat
+    # accumulates in-dtype, safe while per-doc shingle counts < 2^15
+    # (the signature stage KMV-caps docs at 4096 shingles)
+    buf = np.empty((slab, 16), dtype=np.int16)
     lo = 0
     while lo < len(ne_idx):
         base = offsets[ne_idx[lo]]
@@ -55,8 +58,8 @@ def simhash_from_shingles(shingles: np.ndarray, offsets: np.ndarray, slab: int =
             if len(sl) <= slab:
                 bits = buf[: len(sl)]
                 np.bitwise_and(sl[:, None] >> shifts[None, :], U64(1), out=bits, casting="unsafe")
-            else:  # single giant doc: one-off buffer
-                bits = ((sl[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)
+            else:  # single giant doc: one-off buffer (int64 sums, no overflow)
+                bits = ((sl[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
             sums = np.add.reduceat(bits, starts, axis=0)
             maj = sums > half
             weights = (U64(1) << shifts)[None, :]
