@@ -158,8 +158,8 @@ def _metrics_from_payloads(url_a, url_b, pay_a, pay_b, num_perms: int, threshold
         pid = np.repeat(np.arange(m, dtype=np.int64), n)
         cum = np.zeros(m, np.int64)
         np.cumsum(n[:-1], out=cum[1:])
-        idx = np.repeat(heads + 2, n) + (np.arange(tot, dtype=np.int64) - np.repeat(cum, n))
-        v = buf[idx]
+        # segments are contiguous: one repeated shift instead of two
+        v = buf[np.arange(tot, dtype=np.int64) + np.repeat(heads + 2 - cum, n)]
         keep = ~est_mode[pid] | (v < t[pid])
         return v[keep], pid[keep]
 
@@ -167,12 +167,20 @@ def _metrics_from_payloads(url_a, url_b, pay_a, pay_b, num_perms: int, threshold
     vb, pb_id = entries(buf_b, hb, nb)
     na_s = np.bincount(pa_id, minlength=m)
     nb_s = np.bincount(pb_id, minlength=m)
-    allv = np.concatenate([va, vb])
-    allp = np.concatenate([pa_id, pb_id])
-    order = np.lexsort((allv, allp))
-    av, ap = allv[order], allp[order]
-    dup = (av[1:] == av[:-1]) & (ap[1:] == ap[:-1])
-    inter = np.bincount(ap[1:][dup], minlength=m)
+    # per-pair intersection counts via a hashed sort-merge join: combine
+    # (pair, hash) into ONE u64 key (collision odds ~ n^2/2^64 — noise
+    # far below the 128-slot signature resolution) and binary-search A's
+    # keys in B's sorted keys — ~5x faster than a 2-key lexsort over the
+    # concatenated sides at these sizes.
+    ka = fmix64(va ^ fmix64(pa_id.astype(U64) + U64(1)))
+    kb = fmix64(vb ^ fmix64(pb_id.astype(U64) + U64(1)))
+    if len(kb):
+        kb.sort()
+        pos = np.minimum(np.searchsorted(kb, ka), len(kb) - 1)
+        hit = kb[pos] == ka
+        inter = np.bincount(pa_id[hit], minlength=m)
+    else:
+        inter = np.zeros(m, np.int64)
     union = na_s + nb_s - inter
     ex = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     mn = np.minimum(na_s, nb_s)
@@ -241,6 +249,32 @@ def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float)
     if len(ia) == 0:
         return _EMPTY_METRICS
     return _metrics_from_payloads(urls[ia], urls[ib], pays[ia], pays[ib], num_perms, threshold)
+
+
+def _estimate_unique_tokens(pairs, lg_k: int = 14) -> int:
+    """Approximate count of distinct url-hash tokens across both pair
+    sides via per-block theta partials + a driver fold (~1% error at
+    lg_k=14 — plenty for a plan-selection threshold)."""
+    from raydedup.sketches.theta import ThetaSketch, theta_union
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = ThetaSketch.new_empty(lg_k)
+        if len(batch):
+            sk = ThetaSketch.from_hashes(
+                fmix64(np.union1d(*_pair_hashes(batch))) >> U64(1), lg_k=lg_k
+            )
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    parts = []
+    for b in pairs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        from raydedup.sketches.theta import ThetaSketch as _T
+
+        parts.extend(_T.from_bytes(blob) for blob in b["sk"].to_pylist())
+    if not parts:
+        return 0
+    return int(round(theta_union(parts).estimate()))
 
 
 def _candidate_bloom(pairs, expected: int, fpp: float = 0.005, max_bits: int = 1 << 33):
@@ -412,8 +446,26 @@ def verify_pairs(
     timing = os.environ.get("RAYDEDUP_TIMING")
     _t0 = time.time()
     n_pairs = pairs.count()
+    # Pair rows are tiny (two u64 tokens) but downstream verify tasks
+    # parallelize per BLOCK; a groupby upstream can emit very few
+    # blocks (its output block count follows its input's). Repartition
+    # the pairs to a task-friendly width — a few MB of shuffle that
+    # buys cluster-wide verify parallelism.
+    target_blocks = max(32, num_partitions * 8)
+    try:
+        nb = pairs.num_blocks()
+    except Exception:
+        nb = None
+    if n_pairs > 10_000 and (nb is None or nb < target_blocks):
+        pairs = pairs.repartition(target_blocks).materialize()
     if strategy == "auto":
-        strategy = "broadcast" if n_pairs <= broadcast_limit else "cogroup"
+        # broadcast cost scales with UNIQUE candidate docs, not pairs
+        # (dup clusters are dense: the 60k bench corpus has 154k pairs
+        # over 28k docs). Estimate the token count with the engine's
+        # own theta sketch — one bounded-state partial per block,
+        # folded on the driver; never an exact driver-side token set.
+        est_tokens = _estimate_unique_tokens(pairs)
+        strategy = "broadcast" if est_tokens <= broadcast_limit else "cogroup"
     if timing:
         print(f"[verify] count {time.time()-_t0:.2f} strategy={strategy}", file=sys.stderr)
 
