@@ -451,13 +451,12 @@ def verify_pairs(
     # blocks (its output block count follows its input's). Repartition
     # the pairs to a task-friendly width — a few MB of shuffle that
     # buys cluster-wide verify parallelism.
-    target_blocks = max(32, num_partitions * 8)
     try:
         nb = pairs.num_blocks()
     except Exception:
         nb = None
-    if n_pairs > 10_000 and (nb is None or nb < target_blocks):
-        pairs = pairs.repartition(target_blocks).materialize()
+    if n_pairs > 10_000 and nb is not None and nb < num_partitions:
+        pairs = pairs.repartition(max(32, num_partitions * 4)).materialize()
     if strategy == "auto":
         # broadcast cost scales with UNIQUE candidate docs, not pairs
         # (dup clusters are dense: the 60k bench corpus has 154k pairs
