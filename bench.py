@@ -188,6 +188,8 @@ def run_scaling(sf_dir: str) -> dict:
         4 * max(2000, 600_000 * _sf_from_dir(sf_dir))
     )
     trials = int(os.environ.get("RAYDEDUP_SCALE_TRIALS", "2"))
+    cooldown = int(os.environ.get("RAYDEDUP_SCALE_COOLDOWN", "90"))
+    first = True
     for ncpu in (8, 32):
         env = dict(
             os.environ,
@@ -197,6 +199,12 @@ def run_scaling(sf_dir: str) -> dict:
         )
         best = None
         for _ in range(trials):  # best-of-N: the VM is noisy-neighbor prone
+            # the host throttles under sustained load (2-3x slowdowns that
+            # recover after idle); without a cool-down the later leg is
+            # systematically measured in a throttled window
+            if not first:
+                time.sleep(cooldown)
+            first = False
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
                 env=env,
