@@ -122,3 +122,44 @@ class BloomFilter:
         num_bits = int(np.frombuffer(buf, np.int64, 1, codec.HEADER_SIZE)[0])
         bits = np.frombuffer(buf, U64, num_bits // 64, codec.HEADER_SIZE + 8).copy()
         return cls(num_bits, int(num_hashes), seed, bits)
+
+    # -- DataSketches BLOOMFILTER (family 21, serVer 1) wire format ---------
+
+    def to_java_bytes(self) -> bytes:
+        """Serialize in the DataSketches layout (``bloom/sketch.rs:
+        339-380``): [pre-longs 1 empty / 3 non-empty, serVer 1,
+        family 21, flags][u16 num_hashes][u64 seed][i32 num_longs]
+        then (non-empty) u64 bits-set count + the bit array words."""
+        import struct
+
+        bits_set = self.bits_used()
+        empty = bits_set == 0
+        head = struct.pack("<BBBBHH", 1 if empty else 3, 1, 21, 4 if empty else 0, self.num_hashes, 0)
+        head += struct.pack("<Q", self.seed)
+        head += struct.pack("<iI", len(self.bits), 0)
+        if empty:
+            return head
+        return head + struct.pack("<Q", bits_set) + self.bits.astype("<u8").tobytes()
+
+    @classmethod
+    def from_java_bytes(cls, buf: bytes) -> "BloomFilter":
+        """Decode the family-21 image (``bloom/sketch.rs:397-470``
+        validation semantics: family, version, empty flag)."""
+        import struct
+
+        if len(buf) < 24:
+            raise ValueError(f"insufficient data: {len(buf)} < 24")
+        pre, ver, family, flags, num_hashes, _ = struct.unpack_from("<BBBBHH", buf, 0)
+        if family != 21:
+            raise ValueError(f"family mismatch: expected 21, got {family}")
+        if ver != 1:
+            raise ValueError(f"unsupported bloom serial version {ver}")
+        (seed,) = struct.unpack_from("<Q", buf, 8)
+        (num_longs,) = struct.unpack_from("<i", buf, 16)
+        empty = bool(flags & 4)
+        bits = (
+            np.zeros(num_longs, U64)
+            if empty
+            else np.frombuffer(buf, "<u8", num_longs, 32).astype(U64)
+        )
+        return cls(num_longs * 64, int(num_hashes), int(seed), bits)

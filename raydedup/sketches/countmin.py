@@ -110,6 +110,52 @@ class CountMinSketch:
         self.total_weight //= 2
         return self
 
+    # -- DataSketches COUNTMIN (family 18, serVer 1) wire format -----------
+
+    def to_java_bytes(self) -> bytes:
+        """Serialize in the DataSketches layout
+        (``countmin/sketch.rs:273-304``, constants
+        ``countmin/serialization.rs:18-20``): [pre-longs 2, serVer 1,
+        family 18, flags, u32 unused][u32 num_buckets, u8 num_hashes,
+        u16 seed_hash, u8 unused] then (non-empty) i64 total weight +
+        the row-major i64 count matrix."""
+        import struct
+
+        empty = self.total_weight == 0
+        out = struct.pack("<BBBBI", 2, 1, 18, 1 if empty else 0, 0)
+        out += struct.pack("<IBHB", self.num_buckets, self.num_hashes, self.seed_hash, 0)
+        if empty:
+            return out
+        out += struct.pack("<q", self.total_weight)
+        return out + self.counts.astype("<i8").reshape(-1).tobytes()
+
+    @classmethod
+    def from_java_bytes(cls, buf: bytes, seed: int = DEFAULT_SEED) -> "CountMinSketch":
+        """Decode the family-18 image (``countmin/sketch.rs:306-380``
+        validation semantics incl. seed-hash enforcement)."""
+        import struct
+
+        if len(buf) < 16:
+            raise ValueError(f"insufficient data: {len(buf)} < 16")
+        pre, ver, family, flags, _ = struct.unpack_from("<BBBBI", buf, 0)
+        if family != 18:
+            raise ValueError(f"family mismatch: expected 18, got {family}")
+        if ver != 1:
+            raise ValueError(f"unsupported countmin serial version {ver}")
+        num_buckets, num_hashes, seed_hash, _ = struct.unpack_from("<IBHB", buf, 8)
+        expect = compute_seed_hash(seed)
+        if seed_hash != expect:
+            raise ValueError(f"incompatible seed hash: expected {expect}, got {seed_hash}")
+        if flags & 1:
+            return cls(int(num_hashes), int(num_buckets), seed)
+        (total_w,) = struct.unpack_from("<q", buf, 16)
+        counts = (
+            np.frombuffer(buf, "<i8", int(num_hashes) * int(num_buckets), 24)
+            .reshape(int(num_hashes), int(num_buckets))
+            .copy()
+        )
+        return cls(int(num_hashes), int(num_buckets), seed, counts, int(total_w))
+
     def to_bytes(self) -> bytes:
         head = codec.pack_header(codec.FAMILY_COUNTMIN, self.num_hashes, 0, self.seed_hash)
         meta = np.array([self.num_buckets, self.total_weight], dtype=np.int64)

@@ -634,3 +634,51 @@ def test_cpc_peek_estimate_without_decompress():
             sk.update_ints(np.arange(n, dtype=np.int64))
         buf = cpc_to_java_bytes(sk)
         assert cpc_peek_estimate(buf) == cpc_from_java_bytes(buf).estimate()
+
+
+def test_bloom_and_countmin_java_wire_formats():
+    """Family-21 (Bloom) and family-18 (Count-Min) layouts round-trip
+    with header bytes at the reference's positions."""
+    import struct
+
+    from raydedup.sketches.bloom import BloomFilter
+    from raydedup.sketches.countmin import CountMinSketch
+    from raydedup.sketches.hashing import DEFAULT_SEED, compute_seed_hash
+
+    bf = BloomFilter.with_accuracy(5000, 0.01)
+    bf.insert(np.arange(3000, dtype=np.uint64))
+    buf = bf.to_java_bytes()
+    pre, ver, family, flags, num_hashes, _ = struct.unpack_from("<BBBBHH", buf, 0)
+    assert (pre, ver, family, flags) == (3, 1, 21, 0)
+    assert num_hashes == bf.num_hashes
+    (seed,) = struct.unpack_from("<Q", buf, 8)
+    assert seed == DEFAULT_SEED
+    back = BloomFilter.from_java_bytes(buf)
+    assert np.array_equal(back.bits, bf.bits)
+    assert back.contains(np.arange(3000, dtype=np.uint64)).all()
+    # empty image
+    empty = BloomFilter.with_accuracy(100, 0.01)
+    img = empty.to_java_bytes()
+    assert img[0] == 1 and (img[3] & 4)
+    rt = BloomFilter.from_java_bytes(img)
+    assert rt.num_bits == empty.num_bits and rt.bits_used() == 0
+
+    cm = CountMinSketch(5, 64)
+    cm.update([f"item{i % 13}" for i in range(500)])
+    buf = cm.to_java_bytes()
+    pre, ver, family, flags, _ = struct.unpack_from("<BBBBI", buf, 0)
+    assert (pre, ver, family, flags) == (2, 1, 18, 0)
+    nb, nh, sh, _ = struct.unpack_from("<IBHB", buf, 8)
+    assert (nb, nh) == (64, 5) and sh == compute_seed_hash(DEFAULT_SEED)
+    back = CountMinSketch.from_java_bytes(buf)
+    assert np.array_equal(back.counts, cm.counts)
+    assert back.total_weight == cm.total_weight
+    # wrong-seed rejection + empty image
+    import pytest
+
+    with pytest.raises(ValueError):
+        CountMinSketch.from_java_bytes(buf, seed=123)
+    img = CountMinSketch(3, 32).to_java_bytes()
+    assert img[3] & 1 and len(img) == 16
+    rt = CountMinSketch.from_java_bytes(img)
+    assert rt.total_weight == 0 and rt.counts.sum() == 0
