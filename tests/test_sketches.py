@@ -682,3 +682,45 @@ def test_bloom_and_countmin_java_wire_formats():
     assert img[3] & 1 and len(img) == 16
     rt = CountMinSketch.from_java_bytes(img)
     assert rt.total_weight == 0 and rt.counts.sum() == 0
+
+
+def test_hll_union_reference_scenarios():
+    """Mirrors the reference's hll_union_test.rs scenario matrix with
+    its own tolerances: overlapping large-cardinality union at lg_k=14
+    (<5% rel err), mixed lg_k folding, bound ordering/widening at
+    lg_k=12, commutativity/associativity/idempotency identities."""
+    from raydedup.sketches.hll import HllSketch, hll_union
+
+    # large cardinality with overlap (hll_union_test.rs:519-551)
+    def mk(lo, hi, lg_k=14):
+        sk = HllSketch(lg_k)
+        sk.update_ints(np.arange(lo, hi, dtype=np.int64))
+        return sk
+
+    u = hll_union([mk(0, 100_000), mk(50_000, 150_000), mk(100_000, 200_000)])
+    assert abs(u.estimate() - 200_000) / 200_000 < 0.05
+
+    # bounds ordering + widening (hll_union_test.rs:293-340)
+    u2 = hll_union([mk(0, 500, 12), mk(400, 900, 12)])
+    est = u2.estimate()
+    lb = [u2.lower_bound(s) for s in (1, 2, 3)]
+    ub = [u2.upper_bound(s) for s in (1, 2, 3)]
+    assert lb[0] <= est <= ub[0]
+    assert lb[2] <= lb[1] <= lb[0] and ub[0] <= ub[1] <= ub[2]
+    assert lb[2] > est * 0.5 and ub[2] < est * 1.5
+
+    # mixed lg_k folds to the smaller config (union.rs:176-238 semantics)
+    mixed = hll_union([mk(0, 5000, 14), mk(2500, 7500, 10)])
+    assert mixed.lg_k == 10
+    assert abs(mixed.estimate() - 7500) / 7500 < 0.10
+
+    # algebraic identities (hll_union_test.rs:408-517)
+    a, b, c = mk(0, 3000, 12), mk(1000, 4000, 12), mk(2000, 6000, 12)
+    ab = hll_union([a, b]).estimate()
+    ba = hll_union([b, a]).estimate()
+    assert ab == ba  # commutative
+    abc1 = hll_union([hll_union([a, b]), c]).estimate()
+    abc2 = hll_union([a, hll_union([b, c])]).estimate()
+    assert abc1 == abc2  # associative
+    aa = hll_union([a, a]).estimate()
+    assert aa == hll_union([a]).estimate()  # idempotent
