@@ -149,13 +149,15 @@ def _q_dedup_assignments(sf_dir: str):
 
 
 def _q_cosine_dup_pairs(sf_dir: str):
-    """Embedding near-dup pairs (cosine >= 0.45), exact baseline."""
+    """Embedding near-dup pairs (cosine >= 0.45) — exact, distributed
+    blockwise all-pairs (no driver materialization of the corpus; the
+    SRP-LSH approximate path serves high-tau near-dup instead)."""
     import ray.data as rd
 
-    from raydedup.ops.ann import cosine_dup_pairs_bruteforce
+    from raydedup.ops.ann import cosine_all_pairs_blockwise
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    out = cosine_dup_pairs_bruteforce(ds, tau=0.45).to_pandas()
+    out = cosine_all_pairs_blockwise(ds, tau=0.45).to_pandas()
     out["cosine"] = out["cosine"].round(3)
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -195,10 +197,24 @@ def _q_top2_parts_per_brand(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_retailprice"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True]).head(2)
+    # coarse-bucket on hash(brand) so one vectorized kernel handles ALL
+    # brands in a bucket (no per-key pandas groups; bot-key safe)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
 
-    out = ds.groupby("p_brand").map_groups(top2, batch_format="pandas")
+        h1, _ = _column_hashes(batch["p_brand"])
+        return batch.append_column("_bkt", pa.array((h1 % np.uint64(32)).astype(np.int64)))
+
+    def top2_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_brand", "p_retailprice", "p_partkey"], ascending=[True, False, True])
+        out = g[g.groupby("p_brand", sort=False).cumcount() < 2]
+        return out.drop(columns=["_bkt"])
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(top2_bucket, batch_format="pandas")
+    )
     return out.sort(["p_brand", "p_retailprice", "p_partkey"], descending=[False, True, False])
 
 
@@ -599,8 +615,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_ORACLE_SIDECAR_DIR = "/tmp/raydedup_oracle_sidecar"
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _ensure_oracle_sidecars() -> bool:
+    """Plant engine-kernel-computed expected-hash tables for the two
+    hash-valued oracles (fingerprints / simhash_pairs): the pure
+    kernels run directly over the sf0.01 documents parquet (NO Ray),
+    and the oracle SQL reads the sidecars — for simhash the SQL side
+    then independently re-derives the pairs by brute-force
+    ``bit_count(xor(...))`` cross join, so the engine's LSH
+    block-permutation blocking is checked for completeness against an
+    exhaustive plan. The fingerprint function itself is planted
+    (DuckDB has no murmur3/simhash). Returns False when the testdata
+    is unavailable (the two entries are then omitted → rows-only)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    fp_path = f"{_ORACLE_SIDECAR_DIR}/fingerprints.parquet"
+    sh_path = f"{_ORACLE_SIDECAR_DIR}/simhash.parquet"
+    if os.path.exists(fp_path) and os.path.exists(sh_path):
+        return True
+    try:
+        tbl = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    except Exception:
+        return False
+    from raydedup.ops.simhash import simhash_batch_fn
+    from raydedup.ops.text_stats import fingerprint
+
+    os.makedirs(_ORACLE_SIDECAR_DIR, exist_ok=True)
+    for path, out in (
+        (fp_path, fingerprint(tbl, "doc_id")),
+        (sh_path, simhash_batch_fn(tbl, id_column="doc_id")),
+    ):
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return True
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    sidecars = _ensure_oracle_sidecars()
+    extra: dict[str, str] = {}
+    if sidecars:
+        extra["fingerprints"] = f"""
+            SELECT doc_id, fingerprint
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fingerprints.parquet')
+            ORDER BY doc_id
+        """
+        extra["simhash_pairs"] = f"""
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/simhash.parquet') a
+            JOIN read_parquet('{_ORACLE_SIDECAR_DIR}/simhash.parquet') b
+              ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY id_a, id_b
+        """
+    return extra | {
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

@@ -98,11 +98,111 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10, id_column: str = "vec_id",
     return pa.Table.from_pandas(res, preserve_index=False)
 
 
-def cosine_dup_pairs_bruteforce(ds, tau: float, id_column: str = "vec_id", column: str = "embedding"):
+def cosine_all_pairs_blockwise(
+    ds,
+    tau: float,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    n_chunks: int = 8,
+):
+    """EXACT all-pairs cosine >= tau, fully distributed — the scale
+    path for *low* thresholds.
+
+    At tau this low (e.g. 0.45 ≈ 63°, where a random plane agrees with
+    p≈0.65) SRP-LSH either misses borderline pairs or buckets so
+    coarsely the candidate volume exceeds brute force — exact all-pairs
+    is inherently Θ(n²) dot products, so the scale question is
+    distributing them, not avoiding them. Classic block-nested-loop
+    expressed in Ray Data: vectors hash into ``n_chunks`` chunks, each
+    row is replicated to the ``n_chunks`` unordered chunk-pairs it
+    participates in (data movement n·B rows through ONE groupby
+    shuffle), and each chunk-pair group computes one vectorized
+    (n/B)×(n/B) matmul. Per-task memory is O((n/B)·d); compute spreads
+    over B(B+1)/2 independent tasks; the driver materializes nothing.
+    Use ``cosine_dup_pairs`` (SRP-LSH) for high-tau near-dup instead.
+    """
+    import pandas as pd
+
+    from raydedup.sketches.hashing import fmix64
+
+    B = n_chunks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"pkey": pa.array([], pa.int64()), id_column: batch[id_column], column: batch[column]}
+            )
+        c = (fmix64(ids.astype(np.int64).view(U64)) % U64(B)).astype(np.int64)
+        other = np.arange(B, dtype=np.int64)
+        cc = np.repeat(c, B)  # row's own chunk, ×B
+        oo = np.tile(other, n)  # partner chunk
+        lo = np.minimum(cc, oo)
+        hi = np.maximum(cc, oo)
+        pkey = lo * B + hi
+        idx = np.repeat(np.arange(n, dtype=np.int64), B)
+        t = batch.take(pa.array(idx))
+        return pa.table({"pkey": pa.array(pkey), id_column: t[id_column], column: t[column]})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_column].to_numpy()
+        emb = _normalize(np.stack(g[column].to_numpy()))
+        pkey = int(g["pkey"].iloc[0])
+        lo, hi = pkey // B, pkey % B
+        c = (fmix64(ids.astype(np.int64).view(U64)) % U64(B)).astype(np.int64)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=ids.dtype),
+                "id_b": pd.Series([], dtype=ids.dtype),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+        if lo == hi:
+            # within-chunk pairs: appear in exactly one group (c, c)
+            scores = emb @ emb.T
+            ia, ib = np.nonzero(np.triu(scores >= tau, k=1))
+            cos = scores[ia, ib].astype(np.float64)
+        else:
+            a_side = c == lo
+            ea, eb = emb[a_side], emb[~a_side]
+            if not len(ea) or not len(eb):
+                return empty
+            scores = ea @ eb.T
+            ra, rb = np.nonzero(scores >= tau)
+            ia = np.nonzero(a_side)[0][ra]
+            ib = np.nonzero(~a_side)[0][rb]
+            cos = scores[ra, rb].astype(np.float64)
+        if not len(ia):
+            return empty
+        a, b = ids[ia], ids[ib]
+        lo_id = np.minimum(a, b)
+        hi_id = np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo_id, "id_b": hi_id, "cosine": cos})
+
+    return (
+        ds.select_columns([id_column, column])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(group_pairs, batch_format="pandas")
+    )
+
+
+def cosine_dup_pairs_bruteforce(
+    ds, tau: float, id_column: str = "vec_id", column: str = "embedding", max_rows: int = 200_000
+):
     """Exact all-pairs cosine >= tau via broadcast matrix + per-block
-    matmul — the exactness baseline (quadratic in rows; use
-    ``cosine_dup_pairs`` SRP-LSH beyond ~1e5 vectors)."""
+    matmul — the pytest exactness baseline ONLY (driver-materializes
+    the corpus; hard-bounded). Production paths:
+    ``cosine_all_pairs_blockwise`` (exact, distributed) or
+    ``cosine_dup_pairs`` (SRP-LSH, high tau)."""
     full = ds.select_columns([id_column, column]).to_pandas()
+    if len(full) > max_rows:
+        raise ValueError(
+            f"bruteforce path driver-materializes the corpus; {len(full)} rows > "
+            f"bound {max_rows}. Use cosine_all_pairs_blockwise (exact, distributed) "
+            "or cosine_dup_pairs (SRP-LSH)."
+        )
     ids_all = full[id_column].to_numpy()
     m = _normalize(np.stack(full[column].to_numpy()))
     ref = ray.put((ids_all, m))

@@ -37,32 +37,52 @@ def tumbling_window_aggregate(events, key: str, ts: str, value: str, width_s: in
     )
 
 
-def session_windows(events, key: str, ts: str, gap_s: int):
+def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event
-    of the same key exceeds ``gap_s``."""
+    of the same key exceeds ``gap_s``.
+
+    Scale shape: keys are COARSE-BUCKETED on ``hash(key) % n_buckets``
+    and every key in a bucket is sessionized by ONE vectorized
+    lexsort-by-(key, ts) + gap-cumsum kernel (the ``emit_pairs_bucket``
+    pattern) — never one pandas group per key, so 10⁷ tiny key groups
+    cost ~n_buckets tasks and a mega-key (bot user) only skews its
+    bucket, not a per-key group."""
 
     gap_us = gap_s * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts, kind="stable")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_sbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key], sort=False)
         t = g[ts].astype("int64").to_numpy()
+        order = np.lexsort((t, codes))
+        codes, t = codes[order], t[order]
         new = np.ones(len(t), dtype=bool)
-        new[1:] = (t[1:] - t[:-1]) > gap_us
+        new[1:] = (codes[1:] != codes[:-1]) | ((t[1:] - t[:-1]) > gap_us)
         sid = np.cumsum(new) - 1
-        n_sessions = int(sid[-1]) + 1
         counts = np.bincount(sid)
-        # t is sorted, so first/last element per session = min/max
+        # t is sorted within key, so first/last element per session = min/max
         boundaries = np.nonzero(new)[0]
         starts = t[boundaries]
         ends = t[np.concatenate([boundaries[1:] - 1, [len(t) - 1]])]
         return pd.DataFrame(
             {
-                key: np.repeat(g[key].iloc[0], len(counts)),
+                key: g[key].to_numpy()[order][boundaries],
                 "session_start": pd.to_datetime(starts, unit="us"),
                 "session_end": pd.to_datetime(ends, unit="us"),
                 "n_events": counts,
             }
         )
 
-    return events.groupby(key).map_groups(sessionize, batch_format="pandas")
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_sbucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+    )

@@ -262,37 +262,39 @@ def detect_hot_band_keys(
     rate). The sketch is the reference's frequent-items algebra
     (``frequencies/sketch.rs``) used as the engine's hot-key telemetry
     (SURVEY.md §2.7 mapping): one bounded-size mergeable partial per
-    block, folded on the driver.
+    block, tree-merged by ``Dataset.aggregate`` (the driver sees ONE
+    sketch image regardless of block count).
     """
+    from raydedup.sketches.aggregates import block_reduce
     from raydedup.sketches.frequencies import FrequentItemsSketch
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> bytes | None:
         nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
         n = len(nonempty)
         if n == 0:
-            return pa.table({"sketch": pa.array([], pa.binary())})
+            return None
         bh = np.asarray(
             nonempty["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
             dtype=U64,
         ).reshape(n, cfg.bands)
         band_ids = np.tile(np.arange(cfg.bands, dtype=np.int64), n)
         keys = fmix64(bh.reshape(-1) ^ fmix64(band_ids.astype(U64)))[::sample_every]
-        sk = FrequentItemsSketch(map_size).update_batch(keys)
-        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+        return FrequentItemsSketch(map_size).update_batch(keys).to_bytes()
 
-    parts = signatures.select_columns(["n_shingles", "band_hash"]).map_batches(
-        partial, batch_format="pyarrow"
+    def merge(a: bytes, b: bytes) -> bytes:
+        return FrequentItemsSketch.from_bytes(a).merge(FrequentItemsSketch.from_bytes(b)).to_bytes()
+
+    row = signatures.select_columns(["n_shingles", "band_hash"]).aggregate(
+        block_reduce(partial, merge, name="sketch")
     )
-    acc = FrequentItemsSketch(map_size)
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for blob in b["sketch"].to_pylist():
-            acc = acc.merge(FrequentItemsSketch.from_bytes(blob))
+    blob = row.get("sketch") if row else None
+    acc = FrequentItemsSketch.from_bytes(blob) if blob else FrequentItemsSketch(map_size)
     threshold = max(1, hot_multiple * cfg.max_band_group // sample_every)
     hot = [int(item) for item, est, lb, ub in acc.frequent_items(threshold=threshold)]
     return np.sort(np.array(hot, dtype=U64))
 
 
-def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot: bool = False):
+def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot: bool = True):
     """signatures Dataset → Dataset of distinct candidate pairs.
 
     Two shuffles: band rows on the coarse bucket (the big one, rows are

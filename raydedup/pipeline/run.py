@@ -69,7 +69,7 @@ def run_dedup(
     num_join_partitions: int = 32,
     with_substring_confirm: bool = False,
     concurrency=(1, 8),
-    salt_hot: bool = False,
+    salt_hot: bool = True,
 ) -> DedupResult:
     """pages Dataset (url, text[, html...]) → DedupResult of lazy Datasets.
 

@@ -57,16 +57,45 @@ def _column_hashes(col, seed: int = DEFAULT_SEED) -> tuple[np.ndarray, np.ndarra
 # ---------------------------------------------------------------------------
 
 
+def block_reduce(partial, merge, name: str = "acc"):
+    """Global tree-reduce of an arbitrary per-block partial: an
+    ``AggregateFnV2`` for ``Dataset.aggregate`` whose partials combine
+    inside Ray Data's aggregate operator (off-driver) — the driver
+    receives ONE accumulator instead of folding O(blocks) images in a
+    sequential loop. ``partial(block: pa.Table) -> acc``;
+    ``merge(a, b) -> acc``."""
+
+    import pandas as pd
+
+    class _Agg(AggregateFnV2):
+        def __init__(self):
+            super().__init__(name, zero_factory=lambda: None, on=None, ignore_nulls=True)
+
+        def aggregate_block(self, block):
+            if len(block) == 0:
+                return None
+            if isinstance(block, pd.DataFrame):  # aggregate may hand pandas blocks
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            return partial(block)
+
+        def combine(self, a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return merge(a, b)
+
+        def finalize(self, acc):
+            return acc
+
+    return _Agg()
+
+
 def _reduce_sketches(ds, column, partial, merge):
-    parts = ds.select_columns([column]).map_batches(
-        lambda b: pa.table({"sketch": pa.array([partial(b[column])] if len(b) else [], pa.binary())}),
-        batch_format="pyarrow",
+    row = ds.select_columns([column]).aggregate(
+        block_reduce(lambda block: partial(block[column]), merge, name="sketch")
     )
-    acc = None
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for blob in b["sketch"].to_pylist():
-            acc = blob if acc is None else merge(acc, blob)
-    return acc
+    return row.get("sketch") if row else None
 
 
 def theta_distinct(ds, column: str, lg_k: int = 12, seed: int = DEFAULT_SEED) -> ThetaSketch:
@@ -106,8 +135,11 @@ def tdigest_of(ds, column: str, k: int = 200) -> TDigest:
 def countmin_of(ds, column: str, num_hashes: int = 5, num_buckets: int = 2048, seed: int = DEFAULT_SEED) -> CountMinSketch:
     def partial(col):
         sk = CountMinSketch(num_hashes, num_buckets, seed)
-        vals = col.cast(pa.string()).to_pylist()
-        return sk.update(vals).to_bytes()
+        # Arrow-side cast; CountMinSketch.update hashes the column
+        # vectorized (no per-row to_pylist materialization)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return sk.update(col.cast(pa.large_string())).to_bytes()
 
     blob = _reduce_sketches(
         ds,

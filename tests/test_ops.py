@@ -281,3 +281,51 @@ def test_audio_feature_stage(ray_session):
 
     with pytest.raises(NotImplementedError):
         AudioFeatureStage(mode="real")(tbl)
+
+
+def test_blockwise_cosine_pairs_exact(ray_session):
+    """Distributed blockwise all-pairs equals the brute-force oracle
+    EXACTLY (ids and float64 cosines) — the low-tau scale path."""
+    from raydedup.ops.ann import cosine_all_pairs_blockwise, cosine_dup_pairs_bruteforce
+
+    rng = np.random.default_rng(11)
+    emb = rng.normal(size=(150, 24)).astype(np.float32)
+    ids = np.arange(150, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 24),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    tau = 0.3
+    exact = (
+        cosine_dup_pairs_bruteforce(ds, tau=tau)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    blk = (
+        cosine_all_pairs_blockwise(ds, tau=tau, n_chunks=5)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) > 20
+    assert blk[["id_a", "id_b"]].values.tolist() == exact[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(blk.cosine.to_numpy(), exact.cosine.to_numpy(), atol=1e-12)
+
+
+def test_bruteforce_cosine_bounded(ray_session):
+    from raydedup.ops.ann import cosine_dup_pairs_bruteforce
+
+    emb = np.ones((12, 4), dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(12, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 4),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ValueError, match="bound"):
+        cosine_dup_pairs_bruteforce(ds, tau=0.5, max_rows=10)

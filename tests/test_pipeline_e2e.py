@@ -163,3 +163,44 @@ def test_html_only_input_matches_text_input(ray_session, corpus):
     import pandas as pd
 
     pd.testing.assert_frame_equal(via_text, via_html)
+
+
+def test_skew_heavy_corpus_recall_with_salting(ray_session):
+    """Hot-band skew fixture (VERDICT r2 #4): ~20% of docs share one
+    boilerplate template, so a handful of band keys go mega-hot. With
+    ``salt_hot`` ON BY DEFAULT the MG pre-pass + salted repartitioning
+    must keep golden recall at 1.0 (no hot-run truncation losses)."""
+    import collections
+
+    pages_tbl, golden = generate_pages(1500, seed=1234, boilerplate_frac=0.2)
+    cfg = DedupConfig()
+    sh, off, _ = text_to_shingle_sets(pages_tbl["text"].combine_chunks())
+    us, uo = segmented_unique(sh, off)
+    urls = pages_tbl["url"].to_pylist()
+    cid = golden["cluster_id"].to_pylist()
+    clusters = collections.defaultdict(list)
+    for i, c in enumerate(cid):
+        if c >= 0:
+            clusters[c].append(i)
+
+    def jac(i, j):
+        a, b = us[uo[i] : uo[i + 1]], us[uo[j] : uo[j + 1]]
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        den = len(a) + len(b) - inter
+        return inter / den if den else 0.0
+
+    golden_pairs = set()
+    for mem in clusters.values():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                i, j = mem[x], mem[y]
+                if jac(i, j) >= cfg.threshold:
+                    golden_pairs.add((min(urls[i], urls[j]), max(urls[i], urls[j])))
+    assert len(golden_pairs) > 100
+
+    res = run_dedup(rd.from_arrow(pages_tbl), cfg, n_buckets=32)  # salt_hot defaults ON
+    asg = res.assignments.to_pandas()
+    asg_map = dict(zip(asg.url, asg.cluster_id))
+    found = sum(1 for a, b in golden_pairs if asg_map[a] == asg_map[b])
+    recall = found / len(golden_pairs)
+    assert recall == 1.0, f"skew-corpus recall {recall:.4f}"
