@@ -105,6 +105,35 @@ def simhash_batch_fn(batch: pa.Table, id_column: str = "url", text_column: str =
     return SimHashStage(id_column, text_column, k, seed)(batch)
 
 
+def simhash_from_signatures(signatures, id_column: str = "url"):
+    """MinHash-signature Dataset (id, shingles, ...) → (id, simhash).
+
+    When the MinHash dedup pipeline and the SimHash fingerprint both
+    run over one corpus, the shingle computation (tokenize + k-gram
+    murmur — the dominant per-doc cost) should be paid ONCE: this stage
+    reads the signature stage's stored per-doc shingle sets instead of
+    re-parsing text. The stored set is unique + KMV-trimmed (uniform
+    sample of the shingle set above the cap), so the bit-majority is
+    taken over the set rather than the raw multiset — an unbiased
+    estimate of the same majority; identical whenever a doc's shingles
+    are distinct and below the cap.
+    """
+
+    def fp(batch: pa.Table) -> pa.Table:
+        col = batch["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False).astype(U64, copy=False)
+        base = off[0]
+        sh = simhash_from_shingles(vals[base : off[-1]], off - base)
+        return pa.table({id_column: batch[id_column], "simhash": pa.array(sh, pa.uint64())})
+
+    return signatures.select_columns([id_column, "shingles"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
 def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: int = 4, n_buckets: int = 64):
     """fingerprints Dataset (id, simhash) → pairs within hamming distance.
 
@@ -140,7 +169,11 @@ def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: 
         chunk = df["chunk"].to_numpy().astype(U64)
         ids = df["id"].to_numpy()
         sh = df["simhash"].to_numpy().astype(U64)
-        order = np.lexsort((ids, chunk, block))
+        # tiebreak on a u64 id hash, not the id itself: string ids would
+        # make the lexsort a Python-compare sort (the ordering inside a
+        # run only affects emission order, never which pairs survive)
+        idh = pd.util.hash_array(ids)
+        order = np.lexsort((idh, chunk, block))
         block, chunk, ids, sh = block[order], chunk[order], ids[order], sh[order]
         new = np.ones(len(df), dtype=bool)
         new[1:] = (block[1:] != block[:-1]) | (chunk[1:] != chunk[:-1])

@@ -70,11 +70,17 @@ def run_dedup(
     with_substring_confirm: bool = False,
     concurrency=(1, 8),
     salt_hot: bool = True,
+    timings: dict | None = None,
 ) -> DedupResult:
     """pages Dataset (url, text[, html...]) → DedupResult of lazy Datasets.
 
     Consumers drive execution: ``result.assignments.write_parquet(...)``
     or ``.to_pandas()`` on the small outputs.
+
+    ``timings``, when given, is filled with per-stage wall seconds
+    (sig/cand/verify) and the byte volumes entering each shuffle
+    (sig_bytes feeds the band shuffle, cand_bytes the verify attach) —
+    the inputs the scaling-decomposition bench records.
     """
     cfg = cfg or DedupConfig()
     names = pages.schema().names
@@ -120,6 +126,15 @@ def run_dedup(
     t3 = time.time()
     if timing:
         print(f"[run_dedup] sig {t1-t0:.2f} cand {t2-t1:.2f} ver {t3-t2:.2f}", file=sys.stderr)
+    if timings is not None:
+        timings["sig_sec"] = round(t1 - t0, 3)
+        timings["cand_sec"] = round(t2 - t1, 3)
+        timings["verify_sec"] = round(t3 - t2, 3)
+        for name, d in (("sig", sigs), ("cand", cands), ("verified", verified)):
+            try:
+                timings[f"{name}_bytes"] = int(d.size_bytes())
+            except Exception:
+                pass
     dup_pairs = verified.filter(expr="is_dup")
     # assign over the materialized signatures (same url universe as the
     # corpus) so the raw input isn't re-read a second time

@@ -15,6 +15,7 @@ def __getattr__(name):
         "theta_union": ("raydedup.sketches.theta", "theta_union"),
         "theta_intersect": ("raydedup.sketches.theta", "theta_intersect"),
         "HllSketch": ("raydedup.sketches.hll", "HllSketch"),
+        "HllHipSketch": ("raydedup.sketches.hll", "HllHipSketch"),
         "hll_union": ("raydedup.sketches.hll", "hll_union"),
         "CpcSketch": ("raydedup.sketches.cpc", "CpcSketch"),
         "cpc_union": ("raydedup.sketches.cpc", "cpc_union"),

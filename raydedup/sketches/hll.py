@@ -340,3 +340,219 @@ def hll_union(sketches: list[HllSketch]) -> HllSketch:
     for s in sketches:
         np.maximum(out, downsample(s.regs, s.lg_k, lg_min), out=out)
     return HllSketch(lg_min, out)
+
+
+# ---------------------------------------------------------------------------
+# In-order (sequential) sketch with HIP estimator
+# ---------------------------------------------------------------------------
+
+# Coupon-count → cardinality interpolation tables
+# (hll/coupon_mapping.rs:24-74; published Apache DataSketches constants)
+_COUPON_X = np.array(
+    [0.0, 1.0, 20.0, 400.0, 8000.0, 160000.0]
+    + [300000.0 + 300000.0 * i for i in range(34)]
+)
+_COUPON_Y = np.array(
+    [
+        0.0,
+        1.0,
+        20.00000094374026,
+        400.0003963713384,
+        8000.158929460209,
+        160063.60677637596,
+        300223.70715976635,
+        600895.593385617,
+        902016.8065120955,
+        1203588.498319951,
+        1505611.8245524743,
+        1808087.9449319066,
+        2111018.0231759353,
+        2414403.22701425,
+        2718244.728205189,
+        3022543.702552454,
+        3327301.329921909,
+        3632518.794258454,
+        3938197.283602969,
+        4244337.990109356,
+        4550942.110061649,
+        4858010.843891189,
+        5165545.396193897,
+        5473546.975747645,
+        5782016.7955296505,
+        6090956.072734016,
+        6400366.028789296,
+        6710247.889376201,
+        7020602.884445314,
+        7331432.248234972,
+        7642737.219289148,
+        7954519.0404754765,
+        8266778.959003342,
+        8579518.226442046,
+        8892738.098739047,
+        9206439.836238328,
+        9520624.703698829,
+        9835293.97031292,
+        10150448.909725029,
+        10466090.800050326,
+    ]
+)
+
+
+def _interp_coupon_count(n: float) -> float:
+    """Cubic interpolation over the coupon mapping tables
+    (hll/cubic_interpolation.rs:24-46): 4-point Lagrange window chosen
+    by the straddle position."""
+    from .hll_estimator import _cubic_interpolate
+
+    x_arr, y_arr = _COUPON_X, _COUPON_Y
+    last = len(x_arr) - 1
+    if n >= x_arr[last]:
+        return float(y_arr[last])
+    offset = int(np.searchsorted(x_arr, n, side="right")) - 1
+    if offset == 0:
+        o = 0
+    elif offset == last - 1:
+        o = offset - 2
+    else:
+        o = offset - 1
+    return float(
+        _cubic_interpolate(
+            x_arr[o], y_arr[o], x_arr[o + 1], y_arr[o + 1],
+            x_arr[o + 2], y_arr[o + 2], x_arr[o + 3], y_arr[o + 3], n,
+        )
+    )
+
+
+_INV_POW2 = 2.0 ** -np.arange(64, dtype=np.float64)
+
+
+class HllHipSketch:
+    """Sequential (in-order) HLL with the HIP estimator — the reference's
+    unmerged-stream path (``hll/estimator.rs:40-115``).
+
+    State mirrors the reference: a coupon phase whose estimate is the
+    cubic coupon-count interpolation (``hll/container.rs:108-112``,
+    promotion point 3k/32 distinct coupons like the Set→Array rule,
+    ``hll/sketch.rs:222-232``), then dense registers plus the
+    (hip_accum, kxq0, kxq1) accumulator, ``hip += k/(kxq0+kxq1)`` per
+    register-raising update BEFORE applying it. Updates stream in
+    batches but the accumulator is bit-faithful to one-at-a-time
+    processing: per-slot running maxima extract the register-raising
+    EVENTS in stream order (a segmented-cummax trick), and the
+    sequential additions are replayed as f64 cumulative sums over the
+    event list. Merged / deserialized sketches must use ``HllSketch``
+    (composite estimate): the reference itself invalidates HIP after
+    any merge (``hll/estimator.rs:81-89``).
+    """
+
+    def __init__(self, lg_k: int = 12):
+        if not MIN_LG_K <= lg_k <= MAX_LG_K:
+            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}], got {lg_k}")
+        self.lg_k = lg_k
+        self.k = 1 << lg_k
+        self.regs = np.zeros(self.k, dtype=np.uint8)
+        self.hip_accum = 0.0
+        self.kxq0 = float(self.k)
+        self.kxq1 = 0.0
+        self._coupon_mode = True
+        self._coupons: "dict[int, None]" = {}  # insertion-ordered distinct set
+        self._promote_at = max(16, (3 * self.k) // 32)
+
+    # -- internals ----------------------------------------------------------
+
+    def _hip_update_events(self, slot: np.ndarray, value: np.ndarray) -> None:
+        """Apply register-raising events extracted from a coupon batch
+        (stream order preserved) to (regs, hip, kxq)."""
+        n = len(slot)
+        if n == 0:
+            return
+        idx = np.arange(n, dtype=np.int64)
+        order = np.lexsort((idx, slot))
+        s, v, i0 = slot[order], value[order].astype(np.int64), idx[order]
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = s[1:] != s[:-1]
+        run_id = np.cumsum(starts) - 1
+        # segmented running max: run_id*64+v is per-run monotone under
+        # cummax because a run boundary jumps the key past any prior run
+        cm = np.maximum.accumulate(run_id * 64 + v)
+        within_prev = np.empty(n, dtype=np.int64)
+        within_prev[0] = -1
+        within_prev[1:] = cm[:-1] - run_id[1:] * 64  # prev in-run max (or negative)
+        within_prev[starts] = -1
+        reg0 = self.regs[s].astype(np.int64)
+        old = np.maximum(reg0, within_prev)
+        ev = v > old
+        if not ev.any():
+            return
+        # back to stream order
+        ei = np.argsort(i0[ev], kind="stable")
+        es, eold, enew = s[ev][ei], old[ev][ei], v[ev][ei]
+        d0 = np.where(eold < 32, -_INV_POW2[eold], 0.0) + np.where(enew < 32, _INV_POW2[enew], 0.0)
+        d1 = np.where(eold >= 32, -_INV_POW2[eold], 0.0) + np.where(enew >= 32, _INV_POW2[enew], 0.0)
+        k0 = np.empty(len(d0))
+        k0[0] = self.kxq0
+        np.cumsum(d0[:-1], out=k0[1:])
+        k0[1:] += self.kxq0
+        k1 = np.empty(len(d1))
+        k1[0] = self.kxq1
+        np.cumsum(d1[:-1], out=k1[1:])
+        k1[1:] += self.kxq1
+        self.hip_accum += float(np.sum(self.k / (k0 + k1)))
+        self.kxq0 = float(k0[-1] + d0[-1])
+        self.kxq1 = float(k1[-1] + d1[-1])
+        np.maximum.at(self.regs, es, enew.astype(np.uint8))
+
+    # -- public API ---------------------------------------------------------
+
+    def update_coupons(self, slot26: np.ndarray, value: np.ndarray) -> "HllHipSketch":
+        value = np.asarray(value)
+        slot = (np.asarray(slot26).astype(np.int64)) & (self.k - 1)
+        if self._coupon_mode:
+            # coupon distinctness is at full 26-bit slot granularity
+            # (Coupon = value<<26 | slot26, hll/mod.rs:217-228); the
+            # lg_k mask applies only once registers exist
+            combined = (value.astype(np.int64) << 26) | np.asarray(slot26).astype(np.int64)
+            for pos, c in enumerate(combined.tolist()):
+                if c not in self._coupons:
+                    self._coupons[c] = None
+                    if len(self._coupons) > self._promote_at:
+                        # promote: replay stored coupons in insertion
+                        # order, then stream the rest of this batch
+                        self._coupon_mode = False
+                        replay = np.fromiter(self._coupons, dtype=np.int64)
+                        self._coupons = {}
+                        self._hip_update_events(
+                            (replay & ((1 << 26) - 1)) & (self.k - 1), replay >> 26
+                        )
+                        self._hip_update_events(slot[pos + 1 :], value[pos + 1 :])
+                        return self
+            return self
+        self._hip_update_events(slot, value)
+        return self
+
+    def update_strings(self, column, seed: int = DEFAULT_SEED) -> "HllHipSketch":
+        return self.update_coupons(*coupons_for_strings(column, seed))
+
+    def update_ints(self, values, seed: int = DEFAULT_SEED) -> "HllHipSketch":
+        return self.update_coupons(*coupons_for_ints(values, seed))
+
+    def estimate(self) -> float:
+        if self._coupon_mode:
+            n = float(len(self._coupons))
+            return max(n, _interp_coupon_count(n))
+        return self.hip_accum
+
+    def to_dense(self) -> HllSketch:
+        """Downgrade to the mergeable dense sketch (HIP is forfeited on
+        merge, exactly like the reference's out-of-order transition)."""
+        out = HllSketch(self.lg_k)
+        if self._coupon_mode:
+            arr = np.fromiter(self._coupons, dtype=np.int64)
+            if len(arr):
+                out.update_coupons(
+                    (arr & ((1 << 26) - 1)).astype(np.uint32),
+                    (arr >> 26).astype(np.uint8),
+                )
+            return out
+        out.regs = self.regs.copy()
+        return out

@@ -329,3 +329,30 @@ def test_bruteforce_cosine_bounded(ray_session):
     ds = rd.from_arrow(tbl)
     with pytest.raises(ValueError, match="bound"):
         cosine_dup_pairs_bruteforce(ds, tau=0.5, max_rows=10)
+
+
+def test_simhash_from_signatures_matches_text_path(ray_session):
+    """Fingerprints computed from the signature stage's stored shingle
+    sets equal the standalone text-path fingerprints whenever a doc's
+    shingles are distinct and under the KMV cap (the common case the
+    shared-shingle bench path relies on)."""
+    from raydedup.ops.simhash import simhash_batch_fn, simhash_from_signatures
+    from raydedup.pipeline.run import build_signatures
+    from raydedup.config import DedupConfig
+
+    # distinct words per doc -> shingle multiset == set, under the cap
+    texts = [
+        " ".join(f"w{d}x{i}" for i in range(30 + d)) for d in range(40)
+    ]
+    tbl = pa.table({"url": pa.array([f"u{d}" for d in range(40)]), "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    sigs = build_signatures(ds, DedupConfig())
+    via_sigs = (
+        simhash_from_signatures(sigs, id_column="url").to_pandas().sort_values("url")
+    )
+    direct = (
+        ds.map_batches(simhash_batch_fn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert (via_sigs["simhash"].to_numpy() == direct["simhash"].to_numpy()).all()

@@ -724,3 +724,97 @@ def test_hll_union_reference_scenarios():
     assert abc1 == abc2  # associative
     aa = hll_union([a, a]).estimate()
     assert aa == hll_union([a]).estimate()  # idempotent
+
+
+class TestHllHip:
+    """Sequential HIP estimator (hll/estimator.rs:40-115) — the
+    in-order unmerged-stream path."""
+
+    @staticmethod
+    def _naive_hip(lg_k, slots, values):
+        """One-coupon-at-a-time transcription of HipEstimator::update —
+        the ground truth the vectorized event extraction must match."""
+        k = 1 << lg_k
+        regs = np.zeros(k, dtype=np.int64)
+        hip, kxq0, kxq1 = 0.0, float(k), 0.0
+        for s, v in zip(slots & (k - 1), values.astype(np.int64)):
+            old = int(regs[s])
+            v = int(v)
+            if v > old:
+                hip += k / (kxq0 + kxq1)
+                if old < 32:
+                    kxq0 -= 2.0**-old
+                else:
+                    kxq1 -= 2.0**-old
+                if v < 32:
+                    kxq0 += 2.0**-v
+                else:
+                    kxq1 += 2.0**-v
+                regs[s] = v
+        return hip, kxq0, kxq1, regs
+
+    def test_event_extraction_matches_naive_sequential(self):
+        from raydedup.sketches.hll import HllHipSketch
+
+        rng = np.random.default_rng(5)
+        lg_k = 8
+        n = 5000
+        slots = rng.integers(0, 1 << 26, n).astype(np.uint32)
+        values = (rng.geometric(0.5, n).clip(1, 62)).astype(np.uint8)
+        sk = HllHipSketch(lg_k)
+        sk._coupon_mode = False  # force array path for the comparison
+        # split across uneven batches: state must equal one-shot AND naive
+        for lo, hi in [(0, 17), (17, 1000), (1000, 1001), (1001, n)]:
+            sk.update_coupons(slots[lo:hi], values[lo:hi])
+        hip, kxq0, kxq1, regs = self._naive_hip(lg_k, slots.astype(np.int64), values)
+        assert sk.hip_accum == pytest.approx(hip, rel=1e-12)
+        assert sk.kxq0 == pytest.approx(kxq0, rel=1e-12)
+        assert sk.kxq1 == pytest.approx(kxq1, abs=1e-18)
+        assert (sk.regs.astype(np.int64) == regs).all()
+
+    def test_coupon_mode_small_n_near_exact(self):
+        from raydedup.sketches.hll import HllHipSketch
+
+        sk = HllHipSketch(12)
+        sk.update_ints(np.arange(100, dtype=np.int64))
+        est = sk.estimate()
+        assert sk._coupon_mode  # 100 < 3k/32 = 384
+        assert abs(est - 100.0) < 1.0  # coupon interpolation is near-exact
+
+    def test_hip_mode_accuracy_and_duplicates(self):
+        from raydedup.sketches.hll import HllHipSketch
+
+        n = 100_000
+        sk = HllHipSketch(12)
+        vals = np.arange(n, dtype=np.int64)
+        sk.update_ints(vals)
+        est = sk.estimate()
+        assert not sk._coupon_mode
+        # HIP RSE ~= 0.836/sqrt(4096) ~ 1.3%; allow 3 sigma
+        assert abs(est - n) / n < 0.04, est
+        # duplicates must not move the estimate
+        before = sk.estimate()
+        sk.update_ints(vals[:5000])
+        assert sk.estimate() == before
+
+    def test_hip_beats_or_matches_composite_smalln(self):
+        """The point of HIP: unmerged streams estimate at least as well
+        as the composite path on the same registers (reference test
+        scenarios: n=600, 1000 within tight tolerance)."""
+        from raydedup.sketches.hll import HllHipSketch
+
+        for n, tol in [(600, 100.0), (1000, 150.0), (10_000, 400.0)]:
+            sk = HllHipSketch(12)
+            sk.update_ints(np.arange(n, dtype=np.int64))
+            assert abs(sk.estimate() - n) < tol, (n, sk.estimate())
+
+    def test_to_dense_roundtrip(self):
+        from raydedup.sketches.hll import HllHipSketch, hll_union
+
+        a = HllHipSketch(12).update_ints(np.arange(2000, dtype=np.int64))
+        b = HllHipSketch(12).update_ints(np.arange(1000, 3000, dtype=np.int64))
+        u = hll_union([a.to_dense(), b.to_dense()])
+        assert abs(u.estimate() - 3000) / 3000 < 0.05
+        # coupon-mode sketch densifies too
+        c = HllHipSketch(12).update_ints(np.arange(50, dtype=np.int64))
+        assert abs(c.to_dense().estimate() - 50) < 5
