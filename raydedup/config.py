@@ -27,8 +27,14 @@ class DedupConfig:
     rows: int = 4
     # near-dup decision threshold on exact shingle-set Jaccard
     threshold: float = 0.8
-    # hot-band handling: groups larger than this are salted/capped
-    max_band_group: int = 256
+    # hot-band handling: groups larger than this are salted/capped.
+    # Runs <= cap emit all pairs; larger runs emit sorted-neighbor
+    # CHAINS (sig_fp order puts near-identical docs adjacent), which
+    # keeps within-run connectivity for clustering while cutting the
+    # O(run^2) candidate volume of boilerplate-trap mega-runs — real
+    # dup clusters are far below the cap, so pair recall is unchanged
+    # (golden-recall + skew-fixture gates).
+    max_band_group: int = 64
     # theta sketches used for per-doc set summaries in the verify path
     theta_lg_k: int = 12
     # batch sizing for the signature map: None = Ray's natural

@@ -129,20 +129,34 @@ def _concat_blobs(pays) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _metrics_from_payloads(url_a, url_b, pay_a, pay_b, num_perms: int, threshold: float) -> pd.DataFrame:
+    """Vectorized pair verification from object arrays of payload
+    bytes (the cogroup/join attach shape): concatenate each side once,
+    then run the buffer kernel."""
+    if len(url_a) == 0:
+        return _EMPTY_METRICS
+    buf_a, off_a = _concat_blobs(pay_a)
+    buf_b, off_b = _concat_blobs(pay_b)
+    return _metrics_from_buffers(
+        url_a, url_b, buf_a, off_a[:-1], buf_b, off_b[:-1], num_perms, threshold
+    )
+
+
+def _metrics_from_buffers(
+    url_a, url_b, buf_a, ha, buf_b, hb, num_perms: int, threshold: float
+) -> pd.DataFrame:
     """Vectorized pair verification (no per-pair Python).
 
+    Each side arrives as a flat u64 payload buffer + per-pair word
+    HEAD offsets (need not be contiguous or ordered — the broadcast
+    path passes one shared buffer and gathers heads per pair).
     Signature agreement is one (m, P) matrix compare; shingle-set
-    intersections are counted by concatenating both sides' entry arrays
-    tagged with pair ids, one lexsort, and run counting on adjacent
-    equal (pair, hash) positions — entries are unique within a side, so
-    every adjacent duplicate is exactly one cross-side intersection hit.
+    intersections are counted by a hashed sort-merge join on
+    (pair, hash) keys — entries are unique within a side, so every
+    key hit is exactly one cross-side intersection.
     """
     m = len(url_a)
     if m == 0:
         return _EMPTY_METRICS
-    buf_a, off_a = _concat_blobs(pay_a)
-    buf_b, off_b = _concat_blobs(pay_b)
-    ha, hb = off_a[:-1], off_b[:-1]
     ta, tb = buf_a[ha], buf_b[hb]
     na, nb = buf_a[ha + 1].astype(np.int64), buf_b[hb + 1].astype(np.int64)
     cols = np.arange(num_perms, dtype=np.int64)[None, :]
@@ -220,9 +234,51 @@ _EMPTY_METRICS = pd.DataFrame(
 _BCAST_CACHE: dict = {}
 
 
+@ray.remote
+def _assemble_payload(*blocks):
+    """Concatenate + hash-sort the packed payload blocks into the
+    broadcast tuple. Runs as ONE remote task so the bytes never pass
+    through the driver: blocks arrive worker→worker via the object
+    store, the sorted result is stored once as the task output, and
+    the driver forwards only the ObjectRef.
+
+    The tuple is PURE NUMERIC numpy arrays — (sorted url-hashes, one
+    flat u64 payload buffer, per-doc word heads, utf8 url bytes, url
+    byte offsets) — so every worker's ``ray.get`` is a zero-copy view
+    into shared plasma memory. Round 3 measured the previous
+    object-array form (per-doc bytes/str objects) unpickling ~400 MB
+    *per worker process*: 32 verify workers thrashed one memory
+    controller reconstructing millions of Python objects each."""
+    tabs = [b for b in blocks if len(b)]
+    if not tabs:
+        return (
+            np.empty(0, U64),
+            np.empty(0, U64),
+            np.empty(0, np.int64),
+            np.empty(0, np.uint8),
+            np.zeros(1, np.int64),
+        )
+    t = pa.concat_tables(tabs).combine_chunks()
+    hs = t["uh"].to_numpy(zero_copy_only=False).astype(U64, copy=False)
+    order = np.argsort(hs)
+    t = t.take(pa.array(order))
+    def var_buffers(arr):
+        off = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
+        return np.frombuffer(arr.buffers()[2], np.uint8)[off[0] : off[-1]], off - off[0]
+
+    data, boff = var_buffers(t["vpay"].combine_chunks().cast(pa.large_binary()))
+    buf = data.view(U64)  # payloads are whole u64 words by construction
+    heads = boff[:-1] >> 3
+    url_data, uoff = var_buffers(t["url"].combine_chunks().cast(pa.large_string()))
+    return (hs[order], buf.copy(), heads, url_data.copy(), uoff.copy())
+
+
 def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float) -> pd.DataFrame:
-    """Verify pairs against broadcast sorted (hashes, urls, payloads)
-    arrays — vectorized searchsorted resolution, no per-row dict.
+    """Verify pairs against the broadcast numeric payload — vectorized
+    searchsorted resolution, no per-row dict, no per-doc Python
+    objects: ``ray.get`` returns zero-copy views into plasma, and urls
+    are rehydrated as ONE zero-copy Arrow string array, decoded only
+    for the pairs actually in this batch (``take``).
 
     Task form with a process-global ``ray.get`` cache: Ray reuses
     worker processes, so the broadcast resolves once per worker without
@@ -233,8 +289,14 @@ def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float)
     if got is None:
         if len(_BCAST_CACHE) > 8:  # old broadcasts from finished runs
             _BCAST_CACHE.clear()
-        got = _BCAST_CACHE[key] = ray.get(ref)
-    hashes, urls, pays = got
+        hashes, buf, heads, url_data, url_off = ray.get(ref)
+        urls = pa.Array.from_buffers(
+            pa.large_string(),
+            len(heads),
+            [None, pa.py_buffer(url_off), pa.py_buffer(url_data)],
+        )
+        got = _BCAST_CACHE[key] = (hashes, buf, heads, urls)
+    hashes, buf, heads, urls = got
     if len(batch) == 0 or len(hashes) == 0:
         return _EMPTY_METRICS
 
@@ -248,7 +310,11 @@ def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float)
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
         return _EMPTY_METRICS
-    return _metrics_from_payloads(urls[ia], urls[ib], pays[ia], pays[ib], num_perms, threshold)
+    url_a = urls.take(pa.array(ia)).to_numpy(zero_copy_only=False)
+    url_b = urls.take(pa.array(ib)).to_numpy(zero_copy_only=False)
+    return _metrics_from_buffers(
+        url_a, url_b, buf, heads[ia], buf, heads[ib], num_perms, threshold
+    )
 
 
 class _BlockReduce:
@@ -498,18 +564,26 @@ def verify_pairs(
     cfg: DedupConfig,
     num_partitions: int = 8,
     strategy: str = "auto",
-    broadcast_limit: int = 50_000,
+    broadcast_limit: int = 200_000,
 ):
     """pairs (ha, hb uint64) × signatures → verified pair metrics Dataset.
 
     ``pairs`` should be materialized by the caller (it is consumed
     twice: once to build the pre-filter, once to verify).
 
-    The broadcast path (small candidate sets) collects the exact
-    semi-filtered payload table to the driver once; the cogroup/join
+    The broadcast path assembles the exact semi-filtered payload table
+    in one remote task and broadcasts the ObjectRef; the cogroup/join
     paths pre-filter payloads with a *distributed Bloom* image
     (``_candidate_bloom``) so driver memory stays O(filter bits)
     regardless of candidate count — the scale-safe shape.
+
+    ``broadcast_limit`` (unique candidate DOCS) is a worker-memory
+    knob, not a driver one: the payload image is ~4 KB/doc, so the
+    default 200k caps the per-worker resident broadcast at ~800 MB.
+    Below it, broadcast wins big — the cogroup alternative ships each
+    doc's payload once per PAIR it appears in (dup-dense corpora
+    average ~10 pairs/doc), a payload×degree sort-shuffle. At 10^12-doc
+    scale candidate counts exceed any such limit and cogroup engages.
     """
     import os
     import sys
@@ -565,25 +639,16 @@ def verify_pairs(
         if timing:
             print(f"[verify] token set {time.time()-_t1:.2f}", file=sys.stderr)
         _t1 = time.time()
-        packed = sig_cols.map_batches(
-            _semi_filter_fn, fn_args=(ref,), batch_format="pyarrow"
-        ).map_batches(_pack_payload, batch_format="pyarrow")
-        hs_parts, url_parts, pay_parts = [], [], []
-        for b in packed.iter_batches(batch_format="pyarrow"):
-            hs_parts.append(b["uh"].to_numpy(zero_copy_only=False))
-            url_parts.append(b["url"].to_numpy(zero_copy_only=False))
-            pay_parts.append(b["vpay"].to_numpy(zero_copy_only=False))
-        if hs_parts:
-            hs = np.concatenate(hs_parts)
-            order = np.argsort(hs)
-            payload = (
-                hs[order],
-                np.concatenate(url_parts)[order],
-                np.concatenate(pay_parts)[order],
-            )
-        else:
-            payload = (np.empty(0, U64), np.empty(0, object), np.empty(0, object))
-        lref = ray.put(payload)
+        packed = (
+            sig_cols.map_batches(_semi_filter_fn, fn_args=(ref,), batch_format="pyarrow")
+            .map_batches(_pack_payload, batch_format="pyarrow")
+            .materialize()
+        )
+        # assemble + sort the broadcast payload in ONE remote task:
+        # packed blocks move worker→worker through the object store and
+        # the driver only handles the ref — no serial driver-side
+        # iterate/concat/argsort over the payload bytes
+        lref = _assemble_payload.remote(*packed.get_internal_block_refs())
         if timing:
             print(f"[verify] pack+collect {time.time()-_t1:.2f}", file=sys.stderr)
         return pairs.map_batches(
