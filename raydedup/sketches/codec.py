@@ -39,6 +39,7 @@ SERIAL_VERSION = 1
 FLAG_EMPTY = 1
 FLAG_ORDERED = 2
 FLAG_MERGED = 4
+FLAG_HAS_HIP = 8
 
 _HEADER = struct.Struct("<BBBBHH")
 HEADER_SIZE = _HEADER.size

@@ -55,12 +55,22 @@ def coupons_from_hashes(h1: np.ndarray, h2: np.ndarray, lg_k: int) -> tuple[np.n
 class CpcSketch:
     lg_k: int = 11
     matrix: np.ndarray = field(default=None)
+    # sequential HIP accumulator state (cpc/sketch.rs:83-85,250-256):
+    # valid only while the sketch is a single in-order stream. ``merged``
+    # mirrors the reference's merge_flag — any union/deserialize sets it
+    # and estimation falls back to ICON (cpc/estimator.rs:91-97), exactly
+    # as the reference invalidates HIP on merge.
+    kxp: float = field(default=None)
+    hip_est_accum: float = 0.0
+    merged: bool = False
 
     def __post_init__(self):
         if not MIN_LG_K <= self.lg_k <= MAX_LG_K:
             raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}]")
         if self.matrix is None:
             self.matrix = np.zeros(1 << self.lg_k, dtype=U64)
+        if self.kxp is None:
+            self.kxp = float(1 << self.lg_k)
 
     @property
     def num_coupons(self) -> int:
@@ -74,6 +84,26 @@ class CpcSketch:
 
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "CpcSketch":
         row, col = coupons_from_hashes(h1, h2, self.lg_k)
+        if not self.merged and len(row):
+            # sequential HIP fold (cpc/sketch.rs:250-256), replayed
+            # batched: novel coupons in STREAM order (first occurrence
+            # within the batch, not already in the matrix), then
+            #   hip += k/kxp;  kxp -= 2^-(col+1)
+            # per novel coupon. The running kxp values are the prefix
+            # sums of the decrements — cumsum matches the one-at-a-time
+            # f64 sequence to ~1e-16 rel (tested vs a transcribed loop).
+            key = (row << 6) | col
+            _, first = np.unique(key, return_index=True)
+            first.sort()
+            r, c = row[first], col[first]
+            novel = (self.matrix[r] >> c.astype(U64)) & U64(1) == 0
+            c_novel = c[novel]
+            if len(c_novel):
+                k = float(1 << self.lg_k)
+                dec = np.exp2(-(c_novel + 1).astype(np.float64))
+                kxp_before = self.kxp - np.concatenate(([0.0], np.cumsum(dec[:-1])))
+                self.hip_est_accum += float(np.sum(k / kxp_before))
+                self.kxp -= float(dec.sum())
         np.bitwise_or.at(self.matrix, row, U64(1) << col.astype(U64))
         return self
 
@@ -106,35 +136,53 @@ class CpcSketch:
         return (lo + hi) / 2
 
     def estimate(self) -> float:
-        """The reference's ICON estimate (cpc/estimator.rs:388-429) —
-        the merge-surviving estimator, which is what the reference
-        itself uses for every merged/deserialized sketch."""
+        """Estimator dispatch exactly as ``cpc/estimator.rs:91-97``:
+        the sequential HIP accumulator while the sketch is a single
+        in-order stream, ICON (the merge-surviving estimator) once
+        merged/deserialized."""
+        if not self.merged:
+            return self.hip_est_accum
         from .cpc_estimator import icon_estimate
 
         return icon_estimate(self.lg_k, self.num_coupons)
 
     def lower_bound(self, num_std_dev: int = 2) -> float:
-        from .cpc_estimator import icon_confidence_lb
+        from .cpc_estimator import hip_confidence_lb, icon_confidence_lb
 
+        if not self.merged:
+            return hip_confidence_lb(self.lg_k, self.num_coupons, self.hip_est_accum, num_std_dev)
         return icon_confidence_lb(self.lg_k, self.num_coupons, num_std_dev)
 
     def upper_bound(self, num_std_dev: int = 2) -> float:
-        from .cpc_estimator import icon_confidence_ub
+        from .cpc_estimator import hip_confidence_ub, icon_confidence_ub
 
+        if not self.merged:
+            return hip_confidence_ub(self.lg_k, self.num_coupons, self.hip_est_accum, num_std_dev)
         return icon_confidence_ub(self.lg_k, self.num_coupons, num_std_dev)
 
     def merge(self, other: "CpcSketch") -> "CpcSketch":
         return cpc_union([self, other])
 
     def to_bytes(self) -> bytes:
-        head = codec.pack_header(codec.FAMILY_CPC, self.lg_k, 0, 1)
-        return head + self.matrix.tobytes()
+        """Internal fast format: header + matrix [+ (kxp, hip) when
+        unmerged, mirroring the reference's has_hip serde —
+        cpc/sketch.rs:463-501]."""
+        flags = 0 if self.merged else codec.FLAG_HAS_HIP
+        head = codec.pack_header(codec.FAMILY_CPC, self.lg_k, flags, 1)
+        body = head + self.matrix.tobytes()
+        if not self.merged:
+            body += np.array([self.kxp, self.hip_est_accum], np.float64).tobytes()
+        return body
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CpcSketch":
-        lg_k, _, _ = codec.unpack_header(buf, codec.FAMILY_CPC)
-        m = np.frombuffer(buf, U64, 1 << lg_k, codec.HEADER_SIZE).copy()
-        return cls(lg_k, m)
+        lg_k, flags, _ = codec.unpack_header(buf, codec.FAMILY_CPC)
+        k = 1 << lg_k
+        m = np.frombuffer(buf, U64, k, codec.HEADER_SIZE).copy()
+        if flags & codec.FLAG_HAS_HIP:
+            kxp, hip = np.frombuffer(buf, np.float64, 2, codec.HEADER_SIZE + 8 * k)
+            return cls(lg_k, m, kxp=float(kxp), hip_est_accum=float(hip), merged=False)
+        return cls(lg_k, m, merged=True)
 
 
 def downsample(matrix: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:
@@ -154,4 +202,6 @@ def cpc_union(sketches: list[CpcSketch]) -> CpcSketch:
     out = np.zeros(1 << lg_min, dtype=U64)
     for s in sketches:
         np.bitwise_or(out, downsample(s.matrix, s.lg_k, lg_min), out=out)
-    return CpcSketch(lg_min, out)
+    # merged sketches estimate via ICON (reference invalidates HIP on
+    # merge — cpc/sketch.rs:76-80)
+    return CpcSketch(lg_min, out, merged=True)

@@ -323,8 +323,11 @@ _FLAG_COMPRESSED, _FLAG_HAS_HIP, _FLAG_HAS_TABLE, _FLAG_HAS_WINDOW = 1, 2, 3, 4
 
 def cpc_to_java_bytes(sk, seed_hash: int | None = None) -> bytes:
     """Serialize an engine CpcSketch (bit matrix) in the compressed
-    DataSketches wire format. Engine sketches are merge-semantics, so
-    has_hip is false (readers use ICON — ``cpc/sketch.rs:76-80``)."""
+    DataSketches wire format. Unmerged sketches carry their sequential
+    HIP accumulator (kxp, hip_est_accum) exactly like the reference
+    (``cpc/sketch.rs:463-501``, preamble layout
+    ``serialization.rs:24-48``); merged sketches write has_hip=false
+    and readers use ICON (``cpc/sketch.rs:76-80``)."""
     from .hashing import DEFAULT_SEED, compute_seed_hash
 
     if seed_hash is None:
@@ -332,23 +335,35 @@ def cpc_to_java_bytes(sk, seed_hash: int | None = None) -> bytes:
     flavor, window_words, table_words, table_entries, c, fic = compress_matrix(sk.lg_k, sk.matrix)
     has_table = len(table_words) > 0
     has_window = len(window_words) > 0
+    has_hip = not getattr(sk, "merged", True)
     pre = 2
     if c > 0:
         pre += 1
+        if has_hip:
+            pre += 4
         if has_table:
             pre += 1 + (1 if has_window else 0)
         if has_window:
             pre += 1
-    flags = (1 << _FLAG_COMPRESSED) | (has_table << _FLAG_HAS_TABLE) | (has_window << _FLAG_HAS_WINDOW)
+    flags = (
+        (1 << _FLAG_COMPRESSED)
+        | (has_hip << _FLAG_HAS_HIP)
+        | (has_table << _FLAG_HAS_TABLE)
+        | (has_window << _FLAG_HAS_WINDOW)
+    )
+    hip_bytes = struct.pack("<dd", sk.kxp, sk.hip_est_accum) if has_hip else b""
     out = struct.pack("<BBBBBBH", pre, 1, 16, sk.lg_k, fic, flags, seed_hash)
     if c > 0:
         out += struct.pack("<I", c)
         if has_table and has_window:
             out += struct.pack("<I", table_entries)
+            out += hip_bytes
         if has_table:
             out += struct.pack("<I", len(table_words))
         if has_window:
             out += struct.pack("<I", len(window_words))
+        if not (has_table and has_window):
+            out += hip_bytes
         out += window_words.astype("<u4").tobytes()
         out += table_words.astype("<u4").tobytes()
     return out
@@ -367,10 +382,19 @@ def cpc_peek_estimate(buf: bytes) -> float:
     _, ver, family, lg_k, _, flags, _ = struct.unpack_from("<BBBBBBH", buf, 0)
     if family != 16 or ver != 1:
         raise ValueError("not a CPC serVer-1 image")
+    has_hip = bool(flags & (1 << _FLAG_HAS_HIP))
     has_table = bool(flags & (1 << _FLAG_HAS_TABLE))
     has_window = bool(flags & (1 << _FLAG_HAS_WINDOW))
     if not (has_table or has_window):
         return 0.0
+    if has_hip:
+        # in-order images carry (kxp, hip_est_accum) at bytes 16..32 in
+        # every c>0 layout: one u32 always follows the coupon count
+        # (table_entries when both table and window are present, else
+        # the single table/window length) — serialization.rs:24-48; the
+        # stored accumulator IS the estimate (cpc/wrapper.rs:49-62)
+        (hip,) = struct.unpack_from("<d", buf, 24)
+        return hip
     (c,) = struct.unpack_from("<I", buf, 8)
     return icon_estimate(lg_k, c)
 
@@ -400,6 +424,7 @@ def cpc_from_java_bytes(buf: bytes, expect_seed_hash: int | None = None):
     c = 0
     table_entries = 0
     table_len = window_len = 0
+    kxp, hip_accum = float(1 << lg_k), 0.0
     if has_table or has_window:
         (c,) = struct.unpack_from("<I", buf, pos)
         pos += 4
@@ -407,7 +432,8 @@ def cpc_from_java_bytes(buf: bytes, expect_seed_hash: int | None = None):
             (table_entries,) = struct.unpack_from("<I", buf, pos)
             pos += 4
             if has_hip:
-                pos += 16  # kxp + hip_est_accum (engine re-estimates from the matrix)
+                kxp, hip_accum = struct.unpack_from("<dd", buf, pos)
+                pos += 16
         if has_table:
             (table_len,) = struct.unpack_from("<I", buf, pos)
             pos += 4
@@ -415,6 +441,7 @@ def cpc_from_java_bytes(buf: bytes, expect_seed_hash: int | None = None):
             (window_len,) = struct.unpack_from("<I", buf, pos)
             pos += 4
         if has_hip and not (has_table and has_window):
+            kxp, hip_accum = struct.unpack_from("<dd", buf, pos)
             pos += 16
         window_words = np.frombuffer(buf, dtype="<u4", count=window_len, offset=pos)
         pos += 4 * window_len
@@ -426,4 +453,6 @@ def cpc_from_java_bytes(buf: bytes, expect_seed_hash: int | None = None):
         window_words = np.empty(0, np.uint32)
         table_words = np.empty(0, np.uint32)
     matrix = uncompress_to_matrix(lg_k, c, window_words, table_words, table_entries)
-    return CpcSketch(lg_k, matrix)
+    # merge_flag = !has_hip (cpc/sketch.rs:649): images written by an
+    # in-order updater keep their HIP accumulator through the wire
+    return CpcSketch(lg_k, matrix, kxp=kxp, hip_est_accum=hip_accum, merged=not has_hip)

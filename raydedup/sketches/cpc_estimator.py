@@ -80,3 +80,33 @@ def icon_confidence_ub(lg_k: int, num_coupons: int, kappa: int) -> float:
     x = _side_x("icon_lo", lg_k, kappa)
     eps = kappa * x / math.sqrt(k)
     return math.ceil(icon_estimate(lg_k, num_coupons) / (1.0 - eps))
+
+
+HIP_ERROR_CONSTANT = math.sqrt(math.log(2.0) / 2.0)
+
+
+def _hip_side_x(table_key: str, lg_k: int, kappa: int) -> float:
+    if lg_k <= 14:
+        return float(_t()[table_key][3 * (lg_k - 4) + (kappa - 1)]) / 10000.0
+    return HIP_ERROR_CONSTANT
+
+
+def hip_confidence_lb(lg_k: int, num_coupons: int, hip_est_accum: float, kappa: int) -> float:
+    """cpc/estimator.rs:171-192 (LB uses the HIGH side table)."""
+    if num_coupons == 0:
+        return 0.0
+    k = float(1 << lg_k)
+    x = _hip_side_x("hip_hi", lg_k, kappa)
+    eps = kappa * x / math.sqrt(k)
+    result = hip_est_accum / (1.0 + eps)
+    return max(result, float(num_coupons))
+
+
+def hip_confidence_ub(lg_k: int, num_coupons: int, hip_est_accum: float, kappa: int) -> float:
+    """cpc/estimator.rs:194-211 (UB uses the LOW side table)."""
+    if num_coupons == 0:
+        return 0.0
+    k = float(1 << lg_k)
+    x = _hip_side_x("hip_lo", lg_k, kappa)
+    eps = kappa * x / math.sqrt(k)
+    return math.ceil(hip_est_accum / (1.0 - eps))

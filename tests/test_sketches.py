@@ -585,8 +585,14 @@ def test_cpc_compressed_wire_header_layout():
     (seed_hash,) = struct.unpack_from("<H", buf, 6)
     assert (ver, family, lg_k) == (1, 16, 10)
     assert flags & 0b10  # FLAG_COMPRESSED
-    assert not (flags & 0b100)  # no HIP: engine sketches are merge-semantics
+    # in-order sketches carry the HIP accumulator (cpc/sketch.rs:463-501)
+    assert flags & 0b100
     assert seed_hash == compute_seed_hash(DEFAULT_SEED)
+    # ...merged sketches don't (merge_flag -> ICON, cpc/sketch.rs:76-80)
+    from raydedup.sketches.cpc import cpc_union
+
+    mbuf = cpc_to_java_bytes(cpc_union([sk]))
+    assert not (struct.unpack_from("<BBBBBB", mbuf, 0)[5] & 0b100)
     # seed-hash enforcement on decode
     import pytest
 
@@ -818,3 +824,71 @@ class TestHllHip:
         # coupon-mode sketch densifies too
         c = HllHipSketch(12).update_ints(np.arange(50, dtype=np.int64))
         assert abs(c.to_dense().estimate() - 50) < 5
+
+
+def test_cpc_sequential_hip_matches_transcribed_loop():
+    """Batched HIP fold == the reference's one-coupon-at-a-time
+    accumulator (cpc/sketch.rs:250-256) transcribed literally, across
+    uneven batch splits, to ~1e-12 rel."""
+    from raydedup.sketches.cpc import CpcSketch, coupons_from_hashes
+    from raydedup.sketches.hashing import hash_u64_column
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 40, size=20_000, dtype=np.int64)
+    lg_k = 10
+    h1, h2 = hash_u64_column(vals)
+
+    # literal transcription of the sequential updater
+    k = 1 << lg_k
+    row, col = coupons_from_hashes(h1, h2, lg_k)
+    seen = set()
+    kxp, hip = float(k), 0.0
+    for r, c in zip(row.tolist(), col.tolist()):
+        if (r, c) in seen:
+            continue
+        seen.add((r, c))
+        hip += k / kxp
+        kxp -= 2.0 ** -(c + 1)
+
+    for splits in (1, 3, 17):
+        sk = CpcSketch(lg_k)
+        for part in np.array_split(vals, splits):
+            sk.update_ints(part)
+        assert abs(sk.hip_est_accum - hip) <= 1e-12 * hip
+        assert abs(sk.kxp - kxp) <= 1e-9
+        assert sk.estimate() == sk.hip_est_accum
+
+
+def test_cpc_hip_accuracy_and_merge_invalidation():
+    """HIP tracks n tightly in-order; union flips to ICON exactly as
+    the reference invalidates HIP on merge (cpc/sketch.rs:76-80)."""
+    from raydedup.sketches.cpc import CpcSketch, cpc_union
+    from raydedup.sketches.cpc_estimator import icon_estimate
+
+    n = 50_000
+    sk = CpcSketch(11).update_ints(np.arange(n, dtype=np.int64))
+    assert not sk.merged
+    assert abs(sk.estimate() - n) / n < 3 * 0.5887 / np.sqrt(1 << 11)
+    assert sk.lower_bound(2) <= sk.estimate() <= sk.upper_bound(2)
+    u = cpc_union([sk])
+    assert u.merged
+    assert u.estimate() == icon_estimate(11, u.num_coupons)
+
+
+def test_cpc_hip_survives_serde():
+    """kxp/hip ride both the internal format and the DataSketches wire
+    (preamble layout serialization.rs:24-48); merged images decode
+    with merge_flag set (= ICON)."""
+    from raydedup.sketches.cpc import CpcSketch, cpc_union
+    from raydedup.sketches.cpc_codec import cpc_from_java_bytes, cpc_to_java_bytes
+
+    sk = CpcSketch(10).update_ints(np.arange(7000, dtype=np.int64))
+    for rt in (CpcSketch.from_bytes(sk.to_bytes()), cpc_from_java_bytes(cpc_to_java_bytes(sk))):
+        assert not rt.merged
+        assert rt.hip_est_accum == sk.hip_est_accum
+        assert rt.kxp == sk.kxp
+        assert np.array_equal(rt.matrix, sk.matrix)
+    m = cpc_union([sk, CpcSketch(10).update_ints(np.arange(5000, 9000, dtype=np.int64))])
+    for rt in (CpcSketch.from_bytes(m.to_bytes()), cpc_from_java_bytes(cpc_to_java_bytes(m))):
+        assert rt.merged
+        assert rt.estimate() == m.estimate()
