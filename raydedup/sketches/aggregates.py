@@ -231,6 +231,47 @@ class ThetaDistinct(AggregateFnV2):
         return int(round(ThetaSketch.from_bytes(acc).estimate()))
 
 
+class HllDistinct(AggregateFnV2):
+    """Per-group approximate distinct count via HLL.
+
+    Partials start in the sparse coupon phase (the reference's
+    in-memory LIST/SET modes, ``hll/list.rs:59-71`` /
+    ``hash_set.rs:60-89``): a group seen in one block ships ~4 bytes
+    per distinct coupon through the shuffle instead of 2^lg_k register
+    bytes, so a groupby with millions of tiny groups stays cheap.
+    Sketches densify automatically past the reference's SET→HLL
+    promotion point (3k/32 coupons) during update or union."""
+
+    def __init__(self, on: str, lg_k: int = 12, seed: int = DEFAULT_SEED, alias_name: str | None = None):
+        self._lg_k = lg_k
+        self._seed = seed
+        super().__init__(
+            alias_name or f"hll_distinct({on})",
+            zero_factory=lambda: None,
+            on=on,
+            ignore_nulls=True,
+        )
+
+    def aggregate_block(self, block) -> bytes:
+        from raydedup.sketches.hll import coupons_from_hashes
+
+        col = block.column(self.get_target_column())
+        slot, value = coupons_from_hashes(*_column_hashes(col, self._seed))
+        return HllSketch.sparse(self._lg_k).update_coupons(slot, value).to_bytes()
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return hll_union([HllSketch.from_bytes(a), HllSketch.from_bytes(b)]).to_bytes()
+
+    def finalize(self, acc):
+        if acc is None:
+            return 0
+        return int(round(HllSketch.from_bytes(acc).estimate()))
+
+
 class TDigestQuantile(AggregateFnV2):
     """Per-group quantile via mergeable t-digest."""
 

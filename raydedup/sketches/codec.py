@@ -40,6 +40,7 @@ FLAG_EMPTY = 1
 FLAG_ORDERED = 2
 FLAG_MERGED = 4
 FLAG_HAS_HIP = 8
+FLAG_SPARSE = 16
 
 _HEADER = struct.Struct("<BBBBHH")
 HEADER_SIZE = _HEADER.size

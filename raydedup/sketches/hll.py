@@ -68,22 +68,80 @@ def coupons_for_ints(values, seed: int = DEFAULT_SEED):
     return coupons_from_hashes(*hash_u64_column(np.asarray(values), seed=seed))
 
 
-@dataclass
 class HllSketch:
-    """Dense Hll8 sketch: 2^lg_k uint8 registers."""
+    """Mergeable HLL sketch: dense Hll8 registers, with an optional
+    sparse coupon phase mirroring the reference's in-memory LIST/SET
+    modes (``hll/list.rs:59-71``, ``hll/hash_set.rs:60-89``).
 
-    lg_k: int = 12
-    regs: np.ndarray = field(default=None)
+    ``HllSketch(lg_k)`` starts dense (the engine default — partition
+    partials see enough rows to densify immediately anyway).
+    ``HllSketch.sparse(lg_k)`` starts in the coupon phase: state is a
+    unique ``uint32`` array of raw coupons (``value<<26 | slot26``,
+    full 26-bit slot granularity exactly like the reference's
+    Coupon — ``hll/mod.rs:217-228``) and promotes to dense registers
+    past 3k/32 distinct coupons, the reference's SET→HLL point (SET
+    resizes at 75% load and promotes at lg_arr == lg_k-3:
+    ``hll/sketch.rs:224-232``, ``hll/mod.rs:157-158``). Per-group
+    aggregates use the sparse start so a groupby with millions of
+    tiny groups shuffles ~4 bytes/coupon instead of k register
+    bytes per group."""
 
-    def __post_init__(self):
-        if not MIN_LG_K <= self.lg_k <= MAX_LG_K:
-            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}], got {self.lg_k}")
-        if self.regs is None:
-            self.regs = np.zeros(1 << self.lg_k, dtype=np.uint8)
+    __slots__ = ("lg_k", "_regs", "_coupons")
+
+    def __init__(self, lg_k: int = 12, regs: np.ndarray | None = None, coupons: np.ndarray | None = None):
+        if not MIN_LG_K <= lg_k <= MAX_LG_K:
+            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}], got {lg_k}")
+        self.lg_k = lg_k
+        if coupons is not None:
+            if regs is not None:
+                raise ValueError("a sketch is sparse or dense, not both")
+            self._regs = None
+            self._coupons = np.asarray(coupons, dtype=np.uint32)
+        else:
+            self._regs = np.zeros(1 << lg_k, dtype=np.uint8) if regs is None else regs
+            self._coupons = None
+
+    @classmethod
+    def sparse(cls, lg_k: int = 12) -> "HllSketch":
+        return cls(lg_k, coupons=np.empty(0, dtype=np.uint32))
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._coupons is not None
+
+    @property
+    def coupons(self) -> np.ndarray | None:
+        return self._coupons
+
+    @property
+    def _promote_at(self) -> int:
+        return max(16, (3 << self.lg_k) >> 5)
+
+    @property
+    def regs(self) -> np.ndarray:
+        """Dense registers; a sparse sketch densifies in place (the
+        reference's promote_container_to_array, hll/sketch.rs:450)."""
+        if self._coupons is not None:
+            self._regs = _regs_from_coupons(self.lg_k, self._coupons)
+            self._coupons = None
+        return self._regs
+
+    @regs.setter
+    def regs(self, value: np.ndarray) -> None:
+        self._regs = value
+        self._coupons = None
 
     def update_coupons(self, slot26: np.ndarray, value: np.ndarray) -> "HllSketch":
+        if self._coupons is not None:
+            raw = (np.asarray(value, dtype=np.uint32) << np.uint32(26)) | np.asarray(
+                slot26, dtype=np.uint32
+            )
+            self._coupons = np.union1d(self._coupons, raw)
+            if len(self._coupons) > self._promote_at:
+                _ = self.regs  # densify
+            return self
         idx = slot26 & np.uint32((1 << self.lg_k) - 1)
-        np.maximum.at(self.regs, idx, value)
+        np.maximum.at(self._regs, idx, value)
         return self
 
     def update_strings(self, column, seed: int = DEFAULT_SEED) -> "HllSketch":
@@ -95,7 +153,12 @@ class HllSketch:
     def estimate(self) -> float:
         """Reference composite estimate (hll/estimator.rs:211-263) —
         the out-of-order path, which is what the reference itself uses
-        for every merged or deserialized sketch."""
+        for every merged or deserialized sketch. A sparse sketch uses
+        the coupon-count cubic interpolation, the reference's LIST/SET
+        estimate (hll/container.rs:108-112)."""
+        if self._coupons is not None:
+            n = float(len(self._coupons))
+            return max(n, _interp_coupon_count(n))
         from .hll_estimator import composite_estimate, kxq_from_regs
 
         zeros = int(np.count_nonzero(self.regs == 0))
@@ -117,12 +180,18 @@ class HllSketch:
         return hll_union([self, other])
 
     def to_bytes(self) -> bytes:
+        if self._coupons is not None:
+            head = codec.pack_header(codec.FAMILY_HLL, self.lg_k, codec.FLAG_SPARSE, 1)
+            return head + self._coupons.astype("<u4").tobytes()
         head = codec.pack_header(codec.FAMILY_HLL, self.lg_k, 0, 1)
         return head + self.regs.tobytes()
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HllSketch":
-        lg_k, _, _ = codec.unpack_header(buf, codec.FAMILY_HLL)
+        lg_k, flags, _ = codec.unpack_header(buf, codec.FAMILY_HLL)
+        if flags & codec.FLAG_SPARSE:
+            coupons = np.frombuffer(buf, dtype="<u4", offset=codec.HEADER_SIZE).astype(np.uint32)
+            return cls(lg_k, coupons=coupons)
         regs = np.frombuffer(buf, dtype=np.uint8, offset=codec.HEADER_SIZE).copy()
         if len(regs) != 1 << lg_k:
             raise codec.CodecError(f"register array size {len(regs)} != 2^{lg_k}")
@@ -210,7 +279,8 @@ def hll_from_java_bytes(buf: bytes) -> HllSketch:
             raise ValueError(f"LIST preamble: expected 2 ints, got {preints}")
         n = 0 if empty else (state if compact else (1 << lg_arr))
         coupons = np.frombuffer(buf, dtype="<u4", count=n, offset=8)
-        return HllSketch(lg_k, _regs_from_coupons(lg_k, coupons))
+        coupons = np.unique(coupons[coupons != 0])  # drop EMPTY sentinels
+        return HllSketch(lg_k, coupons=coupons.astype(np.uint32))
 
     if cur_mode == 1:  # SET (preamble 12 bytes; u32 count at offset 8)
         if preints != 3:
@@ -218,7 +288,8 @@ def hll_from_java_bytes(buf: bytes) -> HllSketch:
         (count,) = struct.unpack_from("<I", buf, 8)
         n = count if compact else (1 << lg_arr)
         coupons = np.frombuffer(buf, dtype="<u4", count=n, offset=12)
-        return HllSketch(lg_k, _regs_from_coupons(lg_k, coupons))
+        coupons = np.unique(coupons[coupons != 0])
+        return HllSketch(lg_k, coupons=coupons.astype(np.uint32))
 
     if cur_mode != 2:
         raise ValueError(f"invalid HLL mode {cur_mode}")
@@ -319,6 +390,31 @@ def hll_to_java_hll4_bytes(sk: HllSketch, out_of_order: bool = True) -> bytes:
     return head + packed.tobytes() + aux.tobytes()
 
 
+def hll_to_java_coupon_bytes(sk: HllSketch) -> bytes:
+    """Serialize a SPARSE sketch as a compact LIST or SET image —
+    byte-compatible with the reference's writers (``list.rs:110-162``,
+    ``hash_set.rs:146-203``): LIST (preints 2, lg_arr 3) up to 8
+    coupons, else SET (preints 3, count u32 at offset 8, coupons
+    sorted). Target type HLL8 to match the engine's dense layout."""
+    import struct
+
+    if not sk.is_sparse:
+        raise ValueError("coupon image requires a sparse sketch; use hll_to_java_bytes")
+    coupons = np.sort(sk.coupons.astype("<u4"))
+    n = len(coupons)
+    mode_tgt = (2 & 0x3) << 2  # TGT_HLL8
+    if n <= 8:
+        flags = _COMPACT_FLAG | (_EMPTY_FLAG if n == 0 else 0)
+        head = struct.pack("<BBBBBBBB", 2, 1, 7, sk.lg_k, 3, flags, n, 0 | mode_tgt)
+        return head + coupons.tobytes()
+    # SET: lg_arr sized for <=75% load within [5, lg_k-3] (mod.rs:157-158)
+    lg_arr = 5
+    while (3 << lg_arr) >> 2 < n and lg_arr < sk.lg_k - 3:
+        lg_arr += 1
+    head = struct.pack("<BBBBBBBB", 3, 1, 7, sk.lg_k, lg_arr, _COMPACT_FLAG, 0, 1 | mode_tgt)
+    return head + struct.pack("<I", n) + coupons.tobytes()
+
+
 def downsample(regs: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:
     """Fold registers to a smaller lg_k by max over slot groups.
 
@@ -332,10 +428,23 @@ def downsample(regs: np.ndarray, lg_from: int, lg_to: int) -> np.ndarray:
 
 
 def hll_union(sketches: list[HllSketch]) -> HllSketch:
-    """Union at the smallest participating lg_k (elementwise max)."""
+    """Union at the smallest participating lg_k (elementwise max).
+
+    All-sparse inputs whose combined coupon set stays below the
+    promotion point union sparsely (coupons are lg_k-independent:
+    they carry the full 26-bit slot) — the memory-lean path per-group
+    aggregates rely on when combining millions of tiny partials."""
     if not sketches:
         raise ValueError("hll_union needs at least one sketch")
     lg_min = min(s.lg_k for s in sketches)
+    if all(s.is_sparse for s in sketches):
+        merged = sketches[0].coupons
+        for s in sketches[1:]:
+            merged = np.union1d(merged, s.coupons)
+        out = HllSketch(lg_min, coupons=merged)
+        if len(merged) > out._promote_at:
+            _ = out.regs  # past the SET->HLL point: densify
+        return out
     out = np.zeros(1 << lg_min, dtype=np.uint8)
     for s in sketches:
         np.maximum(out, downsample(s.regs, s.lg_k, lg_min), out=out)

@@ -107,6 +107,29 @@ def test_grouped_sketch_aggregation(ray_session, lineitem):
         assert out.loc[flag, "n_orders"] == truth.loc[flag, "n"]
         assert abs(out.loc[flag, "med_qty"] - truth.loc[flag, "m"]) < 3.0
 
+def test_grouped_hll_distinct_sparse_partials(ray_session, lineitem):
+    """HllDistinct partials start sparse (coupon phase) so tiny groups
+    shuffle coupons, not full register arrays; estimates stay within
+    HLL tolerance of exact."""
+    import duckdb
+
+    from raydedup.sketches.aggregates import HllDistinct
+
+    out = (
+        lineitem.groupby("l_linestatus")
+        .aggregate(HllDistinct("l_orderkey", lg_k=12, alias_name="n_orders"))
+        .to_pandas()
+        .set_index("l_linestatus")
+    )
+    truth = duckdb.sql(
+        f"""select l_linestatus, count(distinct l_orderkey) n
+            from '{SF}/lineitem.parquet' group by 1"""
+    ).df().set_index("l_linestatus")
+    for flag in truth.index:
+        n = truth.loc[flag, "n"]
+        assert abs(out.loc[flag, "n_orders"] - n) <= max(3, 0.05 * n)
+
+
 def test_kll_of_and_signature_distance_digest(ray_session, lineitem):
     import duckdb
 

@@ -378,6 +378,65 @@ def test_hll_composite_estimator_reference_tables():
             assert lb3 <= lb1 <= est <= ub1 <= ub3
 
 
+def test_hll_sparse_lifecycle_matches_dense():
+    """Sparse coupon phase (in-memory LIST/SET, hll/list.rs:59-71,
+    hash_set.rs:60-89): same registers and estimate as a dense build
+    once promoted; below the promotion point the coupon-count estimate
+    is exact-ish for small n."""
+    small = HllSketch.sparse(12).update_ints(np.arange(50))
+    assert small.is_sparse
+    assert abs(small.estimate() - 50) < 1.0  # coupon interpolation, near-exact
+
+    big = HllSketch.sparse(12).update_ints(np.arange(10_000, dtype=np.int64))
+    assert not big.is_sparse  # past 3k/32 coupons → promoted
+    dense = HllSketch(12).update_ints(np.arange(10_000, dtype=np.int64))
+    assert np.array_equal(big.regs, dense.regs)
+    assert big.estimate() == dense.estimate()
+
+
+def test_hll_sparse_serde_roundtrip():
+    sk = HllSketch.sparse(12).update_ints(np.arange(30))
+    rt = HllSketch.from_bytes(sk.to_bytes())
+    assert rt.is_sparse and np.array_equal(np.sort(rt.coupons), np.sort(sk.coupons))
+    assert rt.estimate() == sk.estimate()
+
+
+def test_hll_sparse_java_coupon_images():
+    """LIST (≤8 coupons) and SET (>8) compact images written by
+    hll_to_java_coupon_bytes decode back to the same coupon set
+    (list.rs:110-162, hash_set.rs:146-203)."""
+    from raydedup.sketches.hll import hll_from_java_bytes, hll_to_java_coupon_bytes
+
+    for n in (0, 3, 8, 9, 150):  # 150 < promote point (3k/32 = 192 at lg_k=11)
+        sk = HllSketch.sparse(11)
+        if n:
+            sk.update_ints(np.arange(n, dtype=np.int64))
+        back = hll_from_java_bytes(hll_to_java_coupon_bytes(sk))
+        assert back.is_sparse
+        assert np.array_equal(np.sort(back.coupons), np.sort(sk.coupons)), n
+
+
+def test_hll_sparse_union():
+    """All-sparse unions stay sparse below the promotion point and
+    match a dense single-pass build; mixed sparse+dense densifies."""
+    a = HllSketch.sparse(12).update_ints(np.arange(0, 100))
+    b = HllSketch.sparse(12).update_ints(np.arange(50, 150))
+    u = hll_union([a, b])
+    assert u.is_sparse
+    assert abs(u.estimate() - 150) < 2.0
+
+    dense = HllSketch(12).update_ints(np.arange(200, 5000))
+    mixed = hll_union([a, dense])
+    ref = HllSketch(12).update_ints(np.concatenate([np.arange(0, 100), np.arange(200, 5000)]))
+    assert not mixed.is_sparse
+    assert np.array_equal(mixed.regs, ref.regs)
+
+    parts = [HllSketch.sparse(12).update_ints(np.arange(i * 2000, (i + 1) * 2000)) for i in range(4)]
+    big = hll_union(parts)  # combined 8000 coupons > promote point
+    assert not big.is_sparse
+    assert np.array_equal(big.regs, HllSketch(12).update_ints(np.arange(8000)).regs)
+
+
 def test_hll_mode_decode_roundtrips():
     """HLL8 / HLL6 / HLL4(+aux) images round-trip bit-identically
     (hll/array4.rs, array6.rs, array8.rs layouts)."""
