@@ -123,6 +123,141 @@ def test_tdigest_nan_inf_ignored():
     assert td.min == 1.0 and td.max == 3.0
 
 
+class TestTDigestMutSequential:
+    """The construction-faithful sequential path (tdigest/sketch.rs
+    greedy do_merge): mirrors the reference's exact-value test
+    scenarios from tests/tdigest_test.rs."""
+
+    def _mut(self, k=100):
+        from raydedup.sketches.tdigest import TDigestMut
+
+        return TDigestMut(k)
+
+    def test_one_value(self):
+        td = self._mut(100).update(1.0)
+        assert td.total_weight() == 1
+        assert td.rank(0.99) == 0.0
+        assert td.rank(1.0) == 0.5
+        assert td.rank(1.01) == 1.0
+        assert td.quantile(0.0) == 1.0
+        assert td.quantile(0.5) == 1.0
+        assert td.quantile(1.0) == 1.0
+
+    def test_rank_two_values(self):
+        td = self._mut(100).update(1.0).update(2.0)
+        assert td.rank(0.99) == 0.0
+        assert td.rank(1.0) == 0.25
+        assert td.rank(1.25) == 0.375
+        assert td.rank(1.5) == 0.5
+        assert td.rank(1.75) == 0.625
+        assert td.rank(2.0) == 0.75
+        assert td.rank(2.01) == 1.0
+
+    def test_rank_repeated_values(self):
+        td = self._mut(100)
+        for _ in range(4):
+            td.update(1.0)
+        assert td.rank(0.99) == 0.0
+        assert td.rank(1.0) == 0.5
+        assert td.rank(1.01) == 1.0
+
+    def test_repeated_blocks(self):
+        td = self._mut(100)
+        for v in (1.0, 2.0, 2.0, 3.0):
+            td.update(v)
+        assert td.rank(0.99) == 0.0
+        assert td.rank(1.0) == 0.125
+        assert td.rank(2.0) == 0.5
+        assert td.rank(3.0) == 0.875
+        assert td.rank(3.01) == 1.0
+
+    def test_merge_small(self):
+        a = self._mut(10).update(1.0).update(2.0)
+        b = self._mut(10).update(2.0).update(3.0)
+        a.merge(b)
+        assert a.total_weight() == 4
+        assert a.min == 1.0 and a.max == 3.0
+        assert a.rank(0.99) == 0.0
+        assert a.rank(1.0) == 0.125
+        assert a.rank(2.0) == 0.5
+        assert a.rank(3.0) == 0.875
+        assert a.rank(3.01) == 1.0
+
+    def test_many_values_and_merge_large(self):
+        n = 10000
+        td = self._mut(200).update_values(np.arange(n, dtype=np.float64))  # reference default k
+        assert td.total_weight() == n
+        assert td.min == 0.0 and td.max == n - 1
+        assert abs(td.rank(n / 4) - 0.25) < 1e-4
+        assert abs(td.rank(n / 2) - 0.5) < 1e-4
+        assert td.rank(float(n)) == 1.0
+        assert td.quantile(0.0) == 0.0
+        assert td.quantile(1.0) == n - 1
+        # the reference's own tolerances (tdigest_test.rs:93-105)
+        assert abs(td.quantile(0.5) - n / 2) < 0.03 * (n / 2)
+        assert abs(td.quantile(0.9) - n * 0.9) < 0.01 * n * 0.9
+        assert abs(td.quantile(0.95) - n * 0.95) < 0.01 * n * 0.95
+
+        a = self._mut(10).update_values(np.arange(n // 2, dtype=np.float64))
+        b = self._mut(10).update_values(np.arange(n // 2, n, dtype=np.float64))
+        a.merge(b)
+        assert a.total_weight() == n
+        assert abs(a.rank(n * 3 / 4) - 0.75) < 1e-4
+
+    def test_invalid_inputs_ignored(self):
+        td = self._mut(10)
+        for _ in range(100):
+            td.update(float("nan"))
+            td.update(float("inf"))
+            td.update(float("-inf"))
+        assert td.is_empty()
+
+    def test_bulk_equals_one_at_a_time(self):
+        """update_values fires the compress trigger at the same stream
+        positions as per-value update — centroids are bit-identical."""
+        from raydedup.sketches.tdigest import TDigestMut
+
+        rng = np.random.default_rng(7)
+        vals = rng.normal(size=20_000)
+        bulk = TDigestMut(100).update_values(vals)
+        seq = TDigestMut(100)
+        for v in vals:
+            seq.update(float(v))
+        bulk.compress()
+        seq.compress()
+        assert bulk._weights == seq._weights
+        assert bulk._means == seq._means  # exact float equality
+        assert bulk.reverse_merge == seq.reverse_merge
+
+    def test_serde_roundtrip_preserves_merge_direction(self):
+        from raydedup.sketches.tdigest import TDigestMut, from_java_bytes
+
+        td = self._mut(100).update_values(np.arange(5000, dtype=np.float64))
+        img = td.serialize()
+        back = TDigestMut.deserialize(img)
+        assert back._means == td._means and back._weights == td._weights
+        assert back.reverse_merge == td.reverse_merge
+        # continuing the stream after a round trip = continuing in place
+        back.update_values(np.arange(5000, 7000, dtype=np.float64))
+        td.update_values(np.arange(5000, 7000, dtype=np.float64))
+        back.compress()
+        td.compress()
+        assert back._means == td._means
+        # the frozen decoder reads the same image (layout-compatible)
+        frozen = from_java_bytes(img)
+        assert frozen.means.tolist() == TDigestMut.deserialize(img)._means
+
+    def test_freeze_queries_close_to_vectorized(self):
+        from raydedup.sketches.tdigest import TDigest, TDigestMut
+
+        vals = np.random.default_rng(3).uniform(0, 1000, 50_000)
+        seq = TDigestMut(200).update_values(vals).freeze()
+        vec = TDigest.from_values(vals, k=200)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            assert abs(seq.quantile(q) - np.quantile(vals, q)) < 10.0
+            assert abs(seq.quantile(q) - vec.quantile(q)) < 10.0
+
+
 def test_tdigest_serde():
     td = TDigest.from_values(np.random.default_rng(4).random(1000))
     rt = TDigest.from_bytes(td.to_bytes())
