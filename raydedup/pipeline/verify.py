@@ -750,42 +750,212 @@ class _CheckSubstring:
         ua = batch["url_a"].to_numpy(zero_copy_only=False)
         ub = batch["url_b"].to_numpy(zero_copy_only=False)
         tx = self.texts
-        # group probes by wrapper (the longer side): a boilerplate host
-        # with many flagged candidates gets ONE suffix index instead of
-        # a linear scan per probe (ops/suffixarray.py)
-        from collections import defaultdict
-
-        by_wrapper: dict = defaultdict(list)
         out = np.zeros(len(ua), dtype=bool)
+        idx, probes, wrappers = [], [], []
         for i, (a, b) in enumerate(zip(ua, ub)):
             ta, tb = tx.get(a), tx.get(b)
             if ta is None or tb is None:
                 continue
             if len(ta) <= len(tb):
-                by_wrapper[b].append((i, ta))
+                idx.append(i), probes.append(ta), wrappers.append(tb)
             else:
-                by_wrapper[a].append((i, tb))
-        from raydedup.ops.suffixarray import confirm_substring_batch
-
-        for wrapper, probes in by_wrapper.items():
-            res = confirm_substring_batch(
-                tx[wrapper].encode(), [p.encode() for _, p in probes]
-            )
-            for (i, _), r in zip(probes, res):
-                out[i] = r
+                idx.append(i), probes.append(tb), wrappers.append(ta)
+        _probe_by_wrapper(idx, probes, wrappers, out)
         return pd.DataFrame({"url_a": ua, "url_b": ub, "substring": out})
 
 
-def confirm_substrings(substring_pairs, pages, num_partitions: int = 4):
-    """Exact-substring confirmation for containment-flagged pairs.
+def _probe_by_wrapper(idx, probes, wrappers, out):
+    """Shared substring kernel: ``out[idx[i]] = probes[i] in wrappers[i]``,
+    grouped so each distinct wrapper builds ONE suffix index
+    (ops/suffixarray.py) however many probes target it."""
+    from collections import defaultdict
+
+    from raydedup.ops.suffixarray import confirm_substring_batch
+
+    by_wrapper: dict = defaultdict(list)
+    for i, probe, wrapper in zip(idx, probes, wrappers):
+        by_wrapper[wrapper].append((i, probe))
+    for wrapper, plist in by_wrapper.items():
+        res = confirm_substring_batch(wrapper.encode(), [p.encode() for _, p in plist])
+        for (i, _), r in zip(plist, res):
+            out[i] = r
+
+
+def _confirm_substrings_cogroup(sp, pages, n_buckets: int = 32):
+    """Fully distributed substring confirm — the 100-TB shape: no text
+    ever lands on the driver. A Bloom of candidate url-hashes is folded
+    inside Ray Data (driver holds one filter image), pages semi-filter
+    against it, then the same two-shuffle attach as ``_verify_cogroup``:
+    cogroup texts to pair sides on url-hash buckets, regroup on pair id,
+    and run the per-wrapper suffix check inside each pair bucket."""
+    from raydedup.sketches.aggregates import block_reduce
+    from raydedup.sketches.bloom import BloomFilter
+
+    n_pairs = sp.count()
+    m, k = _bloom_geometry(max(2 * n_pairs, 1024))
+
+    def bloom_partial(block: pa.Table) -> bytes:
+        bf = BloomFilter(m, k)
+        bf.insert(_url_hashes(block["url_a"]))
+        bf.insert(_url_hashes(block["url_b"]))
+        return bf.to_bytes()
+
+    row = sp.aggregate(
+        block_reduce(
+            bloom_partial,
+            lambda a, b: BloomFilter.from_bytes(a).union(BloomFilter.from_bytes(b)).to_bytes(),
+            name="bloom",
+        )
+    )
+    bf = BloomFilter.from_bytes(row["bloom"]) if row and row.get("bloom") else BloomFilter(m, k)
+    ref = ray.put((bf.num_bits, bf.num_hashes, bf.seed, bf.bits))
+
+    def to_requests(batch: pa.Table) -> pa.Table:
+        mm = len(batch)
+        if mm == 0:
+            return pa.table(
+                {
+                    "cbucket": pa.array([], pa.int64()),
+                    "uh": pa.array([], pa.uint64()),
+                    "pair_id": pa.array([], pa.uint64()),
+                    "side": pa.array([], pa.uint8()),
+                    "url": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        ha = _url_hashes(batch["url_a"])
+        hb = _url_hashes(batch["url_b"])
+        pair_id = fmix64(ha ^ fmix64(hb))
+        h = np.concatenate([ha, hb])
+        urls = pa.concat_arrays(
+            [batch["url_a"].combine_chunks(), batch["url_b"].combine_chunks()]
+        )
+        return pa.table(
+            {
+                "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "uh": pa.array(h, pa.uint64()),
+                "pair_id": pa.array(np.tile(pair_id, 2), pa.uint64()),
+                "side": pa.array(np.repeat(np.array([0, 1], np.uint8), mm)),
+                "url": urls.cast(pa.string()),
+                "text": pa.array([None] * (2 * mm), pa.string()),
+            }
+        )
+
+    def tag_payloads(batch: pa.Table) -> pa.Table:
+        h = _url_hashes(batch["url"])
+        n = len(batch)
+        return pa.table(
+            {
+                "cbucket": pa.array((h % U64(n_buckets)).astype(np.int64)),
+                "uh": pa.array(h, pa.uint64()),
+                "pair_id": pa.array(np.zeros(n, U64), pa.uint64()),
+                "side": pa.array(np.full(n, 255, np.uint8)),
+                "url": batch["url"].combine_chunks().cast(pa.string()),
+                "text": batch["text"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    requests = sp.map_batches(to_requests, batch_format="pyarrow")
+    payloads = (
+        pages.select_columns(["url", "text"])
+        .map_batches(_bloom_filter_fn, fn_args=(ref,), batch_format="pyarrow")
+        .map_batches(tag_payloads, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        is_pay = df["side"].to_numpy() == 255
+        pay = df[is_pay]
+        req = df[~is_pay]
+        if len(req) == 0:
+            return pd.DataFrame(
+                {
+                    "pbucket": pd.Series([], dtype=np.int64),
+                    "pair_id": pd.Series([], dtype=np.uint64),
+                    "side": pd.Series([], dtype=np.uint8),
+                    "url": pd.Series([], dtype=object),
+                    "text": pd.Series([], dtype=object),
+                }
+            )
+        # left merge: a side with no page text still reaches finalize,
+        # so the output keeps one row per flagged pair (substring=False
+        # when either text is missing — broadcast-path parity)
+        merged = req[["pair_id", "side", "uh", "url"]].merge(
+            pay[["uh", "text"]], on="uh", how="left"
+        )
+        merged["pbucket"] = (
+            merged["pair_id"].to_numpy().astype(U64) % U64(n_buckets)
+        ).astype(np.int64)
+        return merged[["pbucket", "pair_id", "side", "url", "text"]]
+
+    attached = requests.union(payloads).groupby("cbucket").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "url_a": pd.Series([], dtype=object),
+                "url_b": pd.Series([], dtype=object),
+                "substring": pd.Series([], dtype=bool),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["pair_id", "side"], kind="stable")
+        pid = df["pair_id"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = pid[1:] != pid[:-1]
+        run_id = np.cumsum(new) - 1
+        cnt = np.bincount(run_id)
+        df = df[cnt[run_id] == 2]
+        if len(df) == 0:
+            return empty
+        a = df[df["side"].to_numpy() == 0]
+        b = df[df["side"].to_numpy() == 1]
+        ua, ub = a["url"].to_numpy(), b["url"].to_numpy()
+        ta, tb = a["text"].to_numpy(), b["text"].to_numpy()
+        out = np.zeros(len(ua), dtype=bool)
+        idx, probes, wrappers = [], [], []
+        for i in range(len(ua)):
+            # a missing side surfaces as None or NaN depending on the
+            # block format — either way the pair stays substring=False
+            if not isinstance(ta[i], str) or not isinstance(tb[i], str):
+                continue
+            if len(ta[i]) <= len(tb[i]):
+                idx.append(i), probes.append(ta[i]), wrappers.append(tb[i])
+            else:
+                idx.append(i), probes.append(tb[i]), wrappers.append(ta[i])
+        _probe_by_wrapper(idx, probes, wrappers, out)
+        return pd.DataFrame({"url_a": ua, "url_b": ub, "substring": out})
+
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
+
+
+def confirm_substrings(
+    substring_pairs,
+    pages,
+    num_partitions: int = 4,
+    strategy: str = "auto",
+    broadcast_limit: int = 100_000,
+):
+    """Exact-substring confirmation for containment-flagged pairs:
+    checks that the shorter text occurs byte-for-byte inside the longer
+    (suffix index per wrapper when a host has many candidates).
+    Returns (url_a, url_b, substring).
 
     Flagged pairs are few by construction (containment >= 0.9 but below
-    the Jaccard threshold), so their texts are semi-filtered out of the
-    corpus and broadcast once; each pair checks that the shorter text
-    occurs byte-for-byte inside the longer (suffix index per wrapper
-    when a host has many candidates). Returns (url_a, url_b, substring).
+    the Jaccard threshold), so the default path semi-filters their
+    texts out of the corpus and broadcasts them once. Past
+    ``broadcast_limit`` flagged pairs — or with ``strategy="cogroup"``
+    — the fully distributed cogroup path engages: Bloom-filtered texts
+    attach to pair sides through two bucketed shuffles and nothing
+    text-sized ever touches the driver (the 10^12-doc shape).
     """
     sp = substring_pairs.select_columns(["url_a", "url_b"]).materialize()
+    if strategy == "auto":
+        strategy = "broadcast" if sp.count() <= broadcast_limit else "cogroup"
+    if strategy == "cogroup":
+        return _confirm_substrings_cogroup(sp, pages, n_buckets=max(16, num_partitions * 8))
     cand = sp.map_batches(
         lambda b: {"h": np.union1d(_url_hashes(b["url_a"]), _url_hashes(b["url_b"]))}
         if len(b)

@@ -27,3 +27,46 @@ def test_strategies_identical(ray_session):
         )
     assert len(outs["broadcast"]) > 100
     pd.testing.assert_frame_equal(outs["broadcast"], outs["cogroup"])
+
+def test_confirm_substrings_cogroup_parity(ray_session):
+    """The distributed (Bloom + two-shuffle cogroup) substring confirm
+    returns exactly what the broadcast path returns, including pairs
+    whose text is missing from the corpus (substring=False)."""
+    import pyarrow as pa
+
+    from raydedup.pipeline.verify import confirm_substrings
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    pages = pa.table(
+        {
+            "url": [f"u{i}" for i in range(6)],
+            "text": [
+                base,
+                base[100:400],
+                base[50:300],
+                "completely different content here " * 20,
+                "another separate doc " * 25,
+                "another separate doc " * 5,
+            ],
+        }
+    )
+    pairs = pa.table(
+        {
+            "url_a": ["u1", "u2", "u3", "u5", "u3"],
+            "url_b": ["u0", "u0", "u0", "u4", "missing"],
+        }
+    )
+    outs = {}
+    for strategy in ("broadcast", "cogroup"):
+        outs[strategy] = (
+            confirm_substrings(
+                rd.from_arrow(pairs), rd.from_arrow(pages), strategy=strategy
+            )
+            .to_pandas()
+            .sort_values(["url_a", "url_b"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["cogroup"])
+    m = outs["broadcast"].set_index(["url_a", "url_b"])["substring"]
+    assert m[("u1", "u0")] and m[("u2", "u0")] and m[("u5", "u4")]
+    assert not m[("u3", "u0")] and not m[("u3", "missing")]
