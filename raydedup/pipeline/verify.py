@@ -253,6 +253,7 @@ def _assemble_payload(*blocks):
     if not tabs:
         return (
             np.empty(0, U64),
+            np.empty(0, np.int64),
             np.empty(0, U64),
             np.empty(0, np.int64),
             np.empty(0, np.uint8),
@@ -260,8 +261,13 @@ def _assemble_payload(*blocks):
         )
     t = pa.concat_tables(tabs).combine_chunks()
     hs = t["uh"].to_numpy(zero_copy_only=False).astype(U64, copy=False)
-    order = np.argsort(hs)
-    t = t.take(pa.array(order))
+    # sort ONLY the hash index; payloads stay in arrival order and
+    # lookups go through `order` (sorted pos -> original row). The
+    # previous form re-ordered the whole payload table with take() —
+    # a serial memcpy of the full broadcast (hundreds of MB) inside
+    # this one task, measured as the verify stage's serial floor.
+    order = np.argsort(hs).astype(np.int64)
+
     def var_buffers(arr):
         off = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
         return np.frombuffer(arr.buffers()[2], np.uint8)[off[0] : off[-1]], off - off[0]
@@ -270,7 +276,7 @@ def _assemble_payload(*blocks):
     buf = data.view(U64)  # payloads are whole u64 words by construction
     heads = boff[:-1] >> 3
     url_data, uoff = var_buffers(t["url"].combine_chunks().cast(pa.large_string()))
-    return (hs[order], buf.copy(), heads, url_data.copy(), uoff.copy())
+    return (hs[order], order, buf.copy(), heads, url_data.copy(), uoff.copy())
 
 
 def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float) -> pd.DataFrame:
@@ -289,20 +295,21 @@ def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float)
     if got is None:
         if len(_BCAST_CACHE) > 8:  # old broadcasts from finished runs
             _BCAST_CACHE.clear()
-        hashes, buf, heads, url_data, url_off = ray.get(ref)
+        hashes, order, buf, heads, url_data, url_off = ray.get(ref)
         urls = pa.Array.from_buffers(
             pa.large_string(),
             len(heads),
             [None, pa.py_buffer(url_off), pa.py_buffer(url_data)],
         )
-        got = _BCAST_CACHE[key] = (hashes, buf, heads, urls)
-    hashes, buf, heads, urls = got
+        got = _BCAST_CACHE[key] = (hashes, order, buf, heads, urls)
+    hashes, order, buf, heads, urls = got
     if len(batch) == 0 or len(hashes) == 0:
         return _EMPTY_METRICS
 
     def resolve(h: np.ndarray) -> np.ndarray:
+        # sorted-pos hit -> original payload row via `order`
         pos = np.minimum(np.searchsorted(hashes, h), len(hashes) - 1)
-        return np.where(hashes[pos] == h, pos, -1)
+        return np.where(hashes[pos] == h, order[pos], -1)
 
     ha, hb = _pair_hashes(batch)
     ia, ib = resolve(ha), resolve(hb)
