@@ -570,7 +570,8 @@ def _q_sig_distance_quantiles(sf_dir: str):
 
 def _q_audio_features(sf_dir: str):
     """Multimodal audio plumbing demo: deterministic fake PCM corpus +
-    framed RMS/zero-crossing features (rows-only)."""
+    framed RMS/zero-crossing features (sidecar oracle: a single-process
+    run of the same kernel is planted and compared value-identical)."""
     import ray.data as rd
 
     from raydedup.ops.multimodal import audio_features, synth_audio_table
@@ -620,35 +621,46 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _ensure_oracle_sidecars() -> bool:
-    """Plant engine-kernel-computed expected-hash tables for the two
-    hash-valued oracles (fingerprints / simhash_pairs): the pure
-    kernels run directly over the sf0.01 documents parquet (NO Ray),
-    and the oracle SQL reads the sidecars — for simhash the SQL side
-    then independently re-derives the pairs by brute-force
-    ``bit_count(xor(...))`` cross join, so the engine's LSH
-    block-permutation blocking is checked for completeness against an
-    exhaustive plan. The fingerprint function itself is planted
-    (DuckDB has no murmur3/simhash). Returns False when the testdata
-    is unavailable (the two entries are then omitted → rows-only)."""
+    """Plant engine-kernel-computed expected tables for the
+    kernel-valued oracles (fingerprints / simhash_pairs /
+    audio_features): the pure kernels run directly over their inputs
+    (NO Ray — sf0.01 documents parquet for text, the deterministic
+    synth corpus for audio), and the oracle SQL reads the sidecars —
+    for simhash the SQL side then independently re-derives the pairs
+    by brute-force ``bit_count(xor(...))`` cross join, so the engine's
+    LSH block-permutation blocking is checked for completeness against
+    an exhaustive plan; for audio the comparison checks the
+    distributed actor-pool plumbing against a single-process run. The
+    hash/feature functions themselves are planted (DuckDB has no
+    murmur3/simhash/PCM framing). Returns False when the testdata is
+    unavailable (the entries are then omitted → rows-only)."""
     import os
 
     import pyarrow.parquet as pq
 
     fp_path = f"{_ORACLE_SIDECAR_DIR}/fingerprints.parquet"
     sh_path = f"{_ORACLE_SIDECAR_DIR}/simhash.parquet"
-    if os.path.exists(fp_path) and os.path.exists(sh_path):
+    au_path = f"{_ORACLE_SIDECAR_DIR}/audio_features.parquet"
+    if all(os.path.exists(p) for p in (fp_path, sh_path, au_path)):
         return True
     try:
         tbl = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     except Exception:
         return False
+    from raydedup.ops.multimodal import AudioFeatureStage, synth_audio_table
     from raydedup.ops.simhash import simhash_batch_fn
     from raydedup.ops.text_stats import fingerprint
 
     os.makedirs(_ORACLE_SIDECAR_DIR, exist_ok=True)
+    # audio ground truth: the SAME deterministic corpus the Ray query
+    # synthesizes, framed by ONE in-process kernel call — the oracle
+    # then checks the distributed actor-pool plumbing (batching, actor
+    # state, output ordering) against a single-process run
+    audio_truth = AudioFeatureStage(mode="fake", frame_len=400)(synth_audio_table(200, seed=42))
     for path, out in (
         (fp_path, fingerprint(tbl, "doc_id")),
         (sh_path, simhash_batch_fn(tbl, id_column="doc_id")),
+        (au_path, audio_truth),
     ):
         tmp = path + ".tmp"
         pq.write_table(out, tmp)
@@ -664,6 +676,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fingerprint
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fingerprints.parquet')
             ORDER BY doc_id
+        """
+        extra["audio_features"] = f"""
+            SELECT audio_id, frame_idx, rms, zero_cross
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/audio_features.parquet')
+            ORDER BY audio_id, frame_idx
         """
         extra["simhash_pairs"] = f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -941,8 +958,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
             ORDER BY d.doc_id
         """,
-        # fingerprints / quantity_quantiles /
-        # simhash_pairs / image_features: murmur3- or
-        # sketch-based (or no SQL-visible input), driver records
-        # rows-only checks
+        # quantity_quantiles / distinct_custkeys_cpc /
+        # sig_distance_quantiles: sketch-valued (approximate by
+        # design); image_features: list-typed feature column. Driver
+        # records rows-only checks for these; fingerprints /
+        # simhash_pairs / audio_features get sidecar oracles (above).
     }
