@@ -359,14 +359,18 @@ def _q_ngram_dup_pairs(sf_dir: str):
 
 
 def _q_distinct_custkeys_cpc(sf_dir: str):
-    """CPC distinct count of order custkeys (approximate; rows-only —
-    the estimate lands within ~3% of exact, asserted in pytest)."""
+    """CPC distinct count of order custkeys. ``cpc_union([sk])`` forces
+    the merged/ICON estimate — a pure function of the OR-merged bit
+    matrix, so the value is identical across block splits, which lets
+    the sidecar oracle compare it value-exact against an in-process
+    build (accuracy vs exact asserted in pytest, ~3% at lg_k=11)."""
     import ray.data as rd
 
     from raydedup.sketches.aggregates import cpc_distinct
+    from raydedup.sketches.cpc import cpc_union
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    sk = cpc_distinct(ds, "o_custkey", lg_k=11)
+    sk = cpc_union([cpc_distinct(ds, "o_custkey", lg_k=11)])
     return pa.table({"n_distinct_est": pa.array([float(sk.estimate())], pa.float64())})
 
 
@@ -437,13 +441,17 @@ def _q_top_parts_by_price(sf_dir: str):
 
 
 def _q_quantity_quantiles(sf_dir: str):
-    """t-digest quantiles of l_quantity (approximate; rows-only check)."""
+    """t-digest quantiles of l_quantity via the blocking-independent
+    bucketed build (``tdigest_of_det``) — the digest is a pure function
+    of the column multiset, so the sidecar oracle (in-process twin over
+    the same parquet) compares value-exact; accuracy vs exact quantiles
+    is asserted in pytest."""
     import ray.data as rd
 
-    from raydedup.sketches.aggregates import tdigest_of
+    from raydedup.sketches.aggregates import tdigest_of_det
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
-    td = tdigest_of(ds, "l_quantity")
+    td = tdigest_of_det(ds, "l_quantity", n_buckets=32)
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     return pa.table(
         {
@@ -538,27 +546,42 @@ def _q_quality_scores(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
-    """Multimodal plumbing demo: deterministic fake corpus + decode stage."""
+    """Multimodal plumbing demo: deterministic fake corpus + actor-pool
+    decode stage, exploded to long-format scalar rows so the sidecar
+    oracle (single-process run of the same kernel) compares the
+    distributed plumbing value-exact."""
     import ray.data as rd
 
-    from raydedup.ops.multimodal import decode_images, synth_image_table
+    from raydedup.ops.multimodal import decode_images, explode_features, synth_image_table
 
     ds = rd.from_arrow(synth_image_table(500, seed=42))
     feats = decode_images(ds, mode="fake", batch_size=64)
-    return feats.sort("image_id")
+    return feats.map_batches(explode_features, batch_format="pyarrow").sort(
+        ["image_id", "feat_idx"]
+    )
 
 
 def _q_sig_distance_quantiles(sf_dir: str):
     """KLL quantiles of candidate-pair signature distances — the
     north_star's partition-parallel telemetry sketch over the verify
-    output (rows-only; KLL accuracy asserted in pytest)."""
+    output. The KLL runs through the blocking-independent bucketed
+    build (``kll_of_det``), so the quantiles are a pure function of the
+    verified-pair distance multiset and the sidecar oracle (an
+    in-process reference run of the same signature/band/verify kernels
+    over the same documents) compares value-exact."""
+    import pyarrow.compute as _pc
+
     from raydedup.config import DedupConfig
     from raydedup.pipeline.run import run_dedup
-    from raydedup.sketches.kll import signature_distance_digest
+    from raydedup.sketches.kll import kll_of_det
 
     pages = _documents_as_pages(sf_dir)
     res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
-    sk = signature_distance_digest(res.verified)
+    dist = res.verified.map_batches(
+        lambda b: pa.table({"dist": _pc.subtract(1.0, b["jaccard_sig_est"])}),
+        batch_format="pyarrow",
+    )
+    sk = kll_of_det(dist, "dist", n_buckets=32)
     qs = [0.1, 0.25, 0.5, 0.75, 0.9]
     return pa.table(
         {
@@ -620,69 +643,154 @@ _ORACLE_SIDECAR_DIR = "/tmp/raydedup_oracle_sidecar"
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _ensure_oracle_sidecars() -> bool:
+def _ensure_oracle_sidecars() -> set[str]:
     """Plant engine-kernel-computed expected tables for the
-    kernel-valued oracles (fingerprints / simhash_pairs /
-    audio_features): the pure kernels run directly over their inputs
-    (NO Ray — sf0.01 documents parquet for text, the deterministic
-    synth corpus for audio), and the oracle SQL reads the sidecars —
-    for simhash the SQL side then independently re-derives the pairs
-    by brute-force ``bit_count(xor(...))`` cross join, so the engine's
-    LSH block-permutation blocking is checked for completeness against
-    an exhaustive plan; for audio the comparison checks the
-    distributed actor-pool plumbing against a single-process run. The
-    hash/feature functions themselves are planted (DuckDB has no
-    murmur3/simhash/PCM framing). Returns False when the testdata is
-    unavailable (the entries are then omitted → rows-only)."""
+    kernel-/sketch-valued oracles: the pure kernels run directly over
+    their inputs in ONE process (NO Ray — sf0.01 parquet for real
+    tables, the deterministic synth corpora for multimodal), and the
+    oracle SQL reads the sidecars — so the driver's gate compares the
+    DISTRIBUTED plumbing (blocking, shuffles, actor batching, merge
+    order) against in-process ground truth. Per sidecar:
+
+    - fingerprints / audio_features / image_features: same kernel,
+      single-process run (DuckDB has no murmur3/PCM/feature kernels).
+    - simhash_pairs: planted fingerprints, then the SQL independently
+      re-derives ALL pairs by brute-force ``bit_count(xor(...))``
+      cross join — an exhaustive-plan completeness check of the
+      engine's block-permutation LSH.
+    - quantity_quantiles / sig_distance_quantiles: the digests are
+      blocking-independent by construction (``tdigest_of_det`` /
+      ``kll_of_det``), so the in-process twins produce bit-identical
+      quantiles; sig_distance additionally replays the WHOLE dedup
+      pipeline single-process (``pipeline.reference``).
+    - distinct_custkeys_cpc: the merged/ICON CPC estimate is a pure
+      function of the OR-merged bit matrix (split-invariant).
+
+    Returns the set of sidecar names available (entries for missing
+    ones are omitted → the driver records a rows-only check)."""
     import os
 
     import pyarrow.parquet as pq
 
-    fp_path = f"{_ORACLE_SIDECAR_DIR}/fingerprints.parquet"
-    sh_path = f"{_ORACLE_SIDECAR_DIR}/simhash.parquet"
-    au_path = f"{_ORACLE_SIDECAR_DIR}/audio_features.parquet"
-    if all(os.path.exists(p) for p in (fp_path, sh_path, au_path)):
-        return True
+    paths = {
+        name: f"{_ORACLE_SIDECAR_DIR}/{fname}"
+        for name, fname in (
+            ("fingerprints", "fingerprints.parquet"),
+            ("simhash_pairs", "simhash.parquet"),
+            ("audio_features", "audio_features.parquet"),
+            ("image_features", "image_features.parquet"),
+            ("quantity_quantiles", "quantity_quantiles.parquet"),
+            ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
+            ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
+        )
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return set(paths)
     try:
         tbl = pq.read_table(f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     except Exception:
-        return False
-    from raydedup.ops.multimodal import AudioFeatureStage, synth_audio_table
+        return set()
+    from raydedup.config import DedupConfig
+    from raydedup.ops.multimodal import (
+        AudioFeatureStage,
+        DecodeImageStage,
+        explode_features,
+        synth_audio_table,
+        synth_image_table,
+    )
     from raydedup.ops.simhash import simhash_batch_fn
     from raydedup.ops.text_stats import fingerprint
+    from raydedup.pipeline.reference import verified_metrics
+    from raydedup.sketches.aggregates import _column_hashes, tdigest_column_det
+    from raydedup.sketches.cpc import CpcSketch, cpc_union
+    from raydedup.sketches.kll import kll_column_det
 
     os.makedirs(_ORACLE_SIDECAR_DIR, exist_ok=True)
-    # audio ground truth: the SAME deterministic corpus the Ray query
-    # synthesizes, framed by ONE in-process kernel call — the oracle
-    # then checks the distributed actor-pool plumbing (batching, actor
-    # state, output ordering) against a single-process run
-    audio_truth = AudioFeatureStage(mode="fake", frame_len=400)(synth_audio_table(200, seed=42))
-    for path, out in (
-        (fp_path, fingerprint(tbl, "doc_id")),
-        (sh_path, simhash_batch_fn(tbl, id_column="doc_id")),
-        (au_path, audio_truth),
-    ):
-        tmp = path + ".tmp"
+    outputs: dict[str, pa.Table] = {
+        "fingerprints": fingerprint(tbl, "doc_id"),
+        "simhash_pairs": simhash_batch_fn(tbl, id_column="doc_id"),
+        "audio_features": AudioFeatureStage(mode="fake", frame_len=400)(
+            synth_audio_table(200, seed=42)
+        ),
+        "image_features": explode_features(
+            DecodeImageStage(mode="fake")(synth_image_table(500, seed=42))
+        ),
+    }
+
+    li = pq.read_table(f"{_ORACLE_SF_DIR}/lineitem.parquet", columns=["l_quantity"])
+    td = tdigest_column_det(li["l_quantity"], n_buckets=32)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    outputs["quantity_quantiles"] = pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([td.quantile(q) for q in qs], pa.float64()),
+        }
+    )
+
+    ok = pq.read_table(f"{_ORACLE_SF_DIR}/orders.parquet", columns=["o_custkey"])
+    h1, h2 = _column_hashes(ok["o_custkey"].combine_chunks())
+    cpc_est = cpc_union([CpcSketch(11).update_hashes(h1, h2)]).estimate()
+    outputs["distinct_custkeys_cpc"] = pa.table(
+        {"n_distinct_est": pa.array([float(cpc_est)], pa.float64())}
+    )
+
+    urls = pc.binary_join_element_wise(
+        "https://synth.local/doc/", pc.cast(tbl["doc_id"], pa.string()), ""
+    )
+    metrics = verified_metrics(
+        pa.table({"url": urls, "text": tbl["text"]}), DedupConfig(), n_buckets=32
+    )
+    if metrics is not None:  # None = hot-band salting could differ; skip
+        dist = pa.array(1.0 - metrics["jaccard_sig_est"].to_numpy(), pa.float64())
+        sk = kll_column_det(dist, n_buckets=32)
+        sq = [0.1, 0.25, 0.5, 0.75, 0.9]
+        outputs["sig_distance_quantiles"] = pa.table(
+            {
+                "q": pa.array(sq, pa.float64()),
+                "sig_distance": pa.array([float(sk.quantile(q)) for q in sq], pa.float64()),
+            }
+        )
+
+    for name, out in outputs.items():
+        tmp = paths[name] + ".tmp"
         pq.write_table(out, tmp)
-        os.replace(tmp, path)
-    return True
+        os.replace(tmp, paths[name])
+    return set(outputs)
 
 
 def oracle_sql() -> dict[str, str]:
     sidecars = _ensure_oracle_sidecars()
-    extra: dict[str, str] = {}
-    if sidecars:
-        extra["fingerprints"] = f"""
+    candidates: dict[str, str] = {
+        "fingerprints": f"""
             SELECT doc_id, fingerprint
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fingerprints.parquet')
             ORDER BY doc_id
-        """
-        extra["audio_features"] = f"""
+        """,
+        "audio_features": f"""
             SELECT audio_id, frame_idx, rms, zero_cross
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/audio_features.parquet')
             ORDER BY audio_id, frame_idx
-        """
-        extra["simhash_pairs"] = f"""
+        """,
+        "image_features": f"""
+            SELECT image_id, feat_idx, value
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/image_features.parquet')
+            ORDER BY image_id, feat_idx
+        """,
+        "quantity_quantiles": f"""
+            SELECT q, value
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/quantity_quantiles.parquet')
+            ORDER BY q
+        """,
+        "distinct_custkeys_cpc": f"""
+            SELECT n_distinct_est
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/distinct_custkeys_cpc.parquet')
+        """,
+        "sig_distance_quantiles": f"""
+            SELECT q, sig_distance
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/sig_distance_quantiles.parquet')
+            ORDER BY q
+        """,
+        "simhash_pairs": f"""
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/simhash.parquet') a
@@ -690,7 +798,9 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
-        """
+        """,
+    }
+    extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     return extra | {
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -958,9 +1068,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
             ORDER BY d.doc_id
         """,
-        # quantity_quantiles / distinct_custkeys_cpc /
-        # sig_distance_quantiles: sketch-valued (approximate by
-        # design); image_features: list-typed feature column. Driver
-        # records rows-only checks for these; fingerprints /
-        # simhash_pairs / audio_features get sidecar oracles (above).
+        # Every query has an oracle: the kernel-/sketch-valued ones
+        # (fingerprints, simhash_pairs, audio/image_features,
+        # quantity/sig_distance quantiles, CPC estimate) compare
+        # against in-process sidecar ground truth (see
+        # _ensure_oracle_sidecars) — those entries drop out to
+        # rows-only only if the sidecar inputs are unavailable.
     }

@@ -83,6 +83,27 @@ class DecodeImageStage:
         )
 
 
+def explode_features(batch: pa.Table, id_column: str = "image_id") -> pa.Table:
+    """(id, features fixed_size_list<f32, D>) → long-format
+    (id, feat_idx, value) rows — the scalar shape SQL oracles and
+    columnar sinks can consume without nested types."""
+    n = len(batch)
+    feats = batch["features"]
+    if isinstance(feats, pa.ChunkedArray):
+        feats = feats.combine_chunks()
+    dim = feats.type.list_size
+    ids = batch[id_column]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_column: pa.array(np.repeat(ids.to_numpy(zero_copy_only=False), dim)),
+            "feat_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+            "value": feats.flatten(),
+        }
+    )
+
+
 def decode_images(ds, mode: str = "fake", batch_size: int = 64, concurrency=(1, 4)):
     """Large binary payloads → SMALL batches so payload×concurrency fits
     worker heaps; actor pool amortizes any model/codec setup."""

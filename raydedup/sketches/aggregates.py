@@ -196,6 +196,107 @@ def bloom_of(ds, column: str, n: int, fpp: float = 0.01, seed: int = DEFAULT_SEE
 
 
 # ---------------------------------------------------------------------------
+# deterministic (blocking-independent) whole-dataset digests
+# ---------------------------------------------------------------------------
+#
+# The *_of reduces above fold per-BLOCK partials, so the resulting
+# digest depends on how Ray split the input into blocks — fine for
+# accuracy (the sketches are mergeable), but the estimate bits differ
+# between runs at different parallelism. The *_det variants below are
+# bit-deterministic functions of the column MULTISET: rows are hash-
+# partitioned by VALUE into ``n_buckets`` deterministic buckets, each
+# bucket's digest is built from its sorted values in one map_groups
+# task, and the driver merges the <= n_buckets partials in ascending
+# bucket order. That makes the result reproducible across runs, block
+# splits and cluster sizes — the property the value-hash oracle gate
+# needs — at the cost that one bucket must fit a task (size n_buckets
+# to ~corpus_rows / task_budget at scale). ``*_column_*`` twins run
+# the identical kernels over an in-process column for sidecar oracles
+# and tests.
+
+
+def _value_buckets(col, n_buckets: int, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Deterministic bucket id per row from the murmur of the VALUE
+    (equal values always co-bucket; blocking-independent)."""
+    h1, _ = _column_hashes(col, seed)
+    return (h1 % U64(n_buckets)).astype(np.int64)
+
+
+def _merge_bucket_blobs(rows: list[tuple[int, bytes]], merge) -> bytes | None:
+    """Fold (bucket, blob) partials in ascending bucket order — the
+    fixed merge order that makes the final digest deterministic."""
+    acc = None
+    for _, blob in sorted(rows, key=lambda r: r[0]):
+        acc = blob if acc is None else merge(acc, blob)
+    return acc
+
+
+def sketch_by_buckets(ds, column: str, n_buckets: int, build_sorted, merge) -> bytes | None:
+    """Ray path: value-hash bucket → per-bucket digest over SORTED
+    values (`build_sorted(np.ndarray) -> bytes`) → ordered driver fold.
+    Result is a pure function of the column multiset."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                column: batch[column],
+                "bucket": pa.array(_value_buckets(batch[column], n_buckets)),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.sort(group[column].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array([group["bucket"][0].as_py()], pa.int64()),
+                "blob": pa.array([build_sorted(v)], pa.large_binary()),
+            }
+        )
+
+    rows = (
+        ds.select_columns([column])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_group, batch_format="pyarrow")
+        .take_all()
+    )
+    return _merge_bucket_blobs([(r["bucket"], r["blob"]) for r in rows], merge)
+
+
+def sketch_column_by_buckets(col, n_buckets: int, build_sorted, merge) -> bytes | None:
+    """In-process twin of ``sketch_by_buckets`` (sidecar oracles /
+    tests): identical bucketing, per-bucket sort, and merge order."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buckets = _value_buckets(col, n_buckets)
+    v = col.to_numpy(zero_copy_only=False)
+    rows = []
+    for b in np.unique(buckets):
+        rows.append((int(b), build_sorted(np.sort(v[buckets == b]))))
+    return _merge_bucket_blobs(rows, merge)
+
+
+def _tdigest_kernels(k: int):
+    build = lambda v: TDigest.from_values(v, k=k).to_bytes()
+    merge = lambda a, b: tdigest_merge([TDigest.from_bytes(a), TDigest.from_bytes(b)]).to_bytes()
+    return build, merge
+
+
+def tdigest_of_det(ds, column: str, k: int = 200, n_buckets: int = 64) -> TDigest:
+    """Blocking-independent t-digest of a column (see section note)."""
+    build, merge = _tdigest_kernels(k)
+    blob = sketch_by_buckets(ds, column, n_buckets, build, merge)
+    return TDigest.from_bytes(blob) if blob else TDigest(k)
+
+
+def tdigest_column_det(col, k: int = 200, n_buckets: int = 64) -> TDigest:
+    """In-process twin of ``tdigest_of_det`` over a pyarrow column."""
+    build, merge = _tdigest_kernels(k)
+    blob = sketch_column_by_buckets(col, n_buckets, build, merge)
+    return TDigest.from_bytes(blob) if blob else TDigest(k)
+
+
+# ---------------------------------------------------------------------------
 # grouped aggregations (ds.groupby(key).aggregate(...))
 # ---------------------------------------------------------------------------
 

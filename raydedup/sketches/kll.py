@@ -178,6 +178,32 @@ def kll_of(ds, column: str, k: int = DEFAULT_K) -> KllSketch:
     return KllSketch.from_bytes(blob) if blob else KllSketch(k)
 
 
+def _kll_kernels(k: int):
+    build = lambda v: KllSketch(k).update_values(v).to_bytes()
+    merge = lambda a, b: KllSketch.from_bytes(a).merge(KllSketch.from_bytes(b)).to_bytes()
+    return build, merge
+
+
+def kll_of_det(ds, column: str, k: int = DEFAULT_K, n_buckets: int = 64) -> KllSketch:
+    """Blocking-independent KLL: value-hash buckets, per-bucket build
+    over sorted values, ordered merge — a pure function of the column
+    multiset (see ``aggregates.sketch_by_buckets``)."""
+    from raydedup.sketches.aggregates import sketch_by_buckets
+
+    build, merge = _kll_kernels(k)
+    blob = sketch_by_buckets(ds, column, n_buckets, build, merge)
+    return KllSketch.from_bytes(blob) if blob else KllSketch(k)
+
+
+def kll_column_det(col, k: int = DEFAULT_K, n_buckets: int = 64) -> KllSketch:
+    """In-process twin of ``kll_of_det`` (sidecar oracles / tests)."""
+    from raydedup.sketches.aggregates import sketch_column_by_buckets
+
+    build, merge = _kll_kernels(k)
+    blob = sketch_column_by_buckets(col, n_buckets, build, merge)
+    return KllSketch.from_bytes(blob) if blob else KllSketch(k)
+
+
 def signature_distance_digest(verified, k: int = DEFAULT_K) -> KllSketch:
     """KLL over candidate-pair signature distances (1 - agreement) —
     the north_star's pipeline telemetry: a mergeable per-partition

@@ -139,3 +139,46 @@ def test_kll_of_and_signature_distance_digest(ray_session, lineitem):
     true_med = duckdb.sql(f"select median(l_quantity) from '{SF}/lineitem.parquet'").fetchone()[0]
     assert abs(sk.quantile(0.5) - true_med) < 2.0
     assert sk.n == lineitem.count()
+
+
+def test_deterministic_digests_blocking_independent(ray_session):
+    """*_det digests are bit-identical across block splits and equal
+    their in-process column twins (the sidecar-oracle contract)."""
+    import pyarrow.parquet as pq
+
+    from raydedup.sketches.aggregates import tdigest_column_det, tdigest_of_det
+    from raydedup.sketches.kll import kll_column_det, kll_of_det
+
+    col = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity"])["l_quantity"]
+    twin_td = tdigest_column_det(col, n_buckets=16)
+    twin_kll = kll_column_det(col, n_buckets=16)
+    for blocks in (1, 3, 7):
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity"]).repartition(blocks)
+        td = tdigest_of_det(ds, "l_quantity", n_buckets=16)
+        kll = kll_of_det(ds, "l_quantity", n_buckets=16)
+        assert td.to_bytes() == twin_td.to_bytes()
+        assert kll.to_bytes() == twin_kll.to_bytes()
+    # and the digest is still a digest: median within tolerance
+    import duckdb
+
+    true_med = duckdb.sql(f"select median(l_quantity) from '{SF}/lineitem.parquet'").fetchone()[0]
+    assert abs(twin_td.quantile(0.5) - true_med) < 2.0
+    assert abs(twin_kll.quantile(0.5) - true_med) < 2.0
+
+
+def test_cpc_merged_estimate_blocking_independent(ray_session):
+    """cpc_union([sk]) forces the ICON (merged) estimate, which is a
+    pure function of the OR-merged bit matrix — identical across block
+    splits (the distinct_custkeys_cpc oracle contract)."""
+    import pyarrow.parquet as pq
+
+    from raydedup.sketches.aggregates import _column_hashes, cpc_distinct
+    from raydedup.sketches.cpc import CpcSketch, cpc_union
+
+    col = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])["o_custkey"]
+    h1, h2 = _column_hashes(col)
+    twin = cpc_union([CpcSketch(11).update_hashes(h1, h2)]).estimate()
+    for blocks in (1, 4):
+        ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"]).repartition(blocks)
+        est = cpc_union([cpc_distinct(ds, "o_custkey", lg_k=11)]).estimate()
+        assert est == twin

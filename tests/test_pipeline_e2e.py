@@ -204,3 +204,21 @@ def test_skew_heavy_corpus_recall_with_salting(ray_session):
     found = sum(1 for a, b in golden_pairs if asg_map[a] == asg_map[b])
     recall = found / len(golden_pairs)
     assert recall == 1.0, f"skew-corpus recall {recall:.4f}"
+
+
+def test_reference_pipeline_parity(result, corpus):
+    """The single-process reference run (pipeline/reference.py — same
+    kernels, no Ray) reproduces the distributed verified output
+    row-for-row: the sidecar-oracle contract for sig_distance
+    telemetry, and a direct check that the Ray plumbing adds/loses
+    nothing versus an in-process replay."""
+    import pandas as pd
+
+    from raydedup.pipeline.reference import verified_metrics
+
+    pages_tbl, _ = corpus
+    ref = verified_metrics(pages_tbl.select(["url", "text"]), DedupConfig(), n_buckets=32)
+    assert ref is not None
+    ref = ref.sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    ver = result["verified"].sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ver[ref.columns], ref)
