@@ -425,3 +425,170 @@ def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
     i = theta_intersect(a, b)
     ue = u.estimate()
     return 0.0 if ue == 0.0 else i.estimate() / ue
+
+
+# ---------------------------------------------------------------------------
+# sequential (construction-faithful) update sketch
+# ---------------------------------------------------------------------------
+
+_RESIZE_FACTORS = {"X1": 0, "X2": 1, "X4": 2, "X8": 3}  # common/resize.rs:45-77
+
+
+def _starting_sub_multiple(lg_target: int, lg_min: int, lg_rf: int) -> int:
+    """theta/hash_table.rs:389-397: lg_target = lg_init + n*lg_rf, lg_init >= lg_min."""
+    if lg_target <= lg_min:
+        return lg_min
+    if lg_rf == 0:
+        return lg_target
+    return (lg_target - lg_min) % lg_rf + lg_min
+
+
+class ThetaMut:
+    """Sequential theta update sketch, construction-faithful to the
+    reference's incremental hash table (``theta/hash_table.rs``): the
+    retained set, theta, current table size and rebuild cadence evolve
+    exactly as one-at-a-time ``try_insert_hash`` calls would —
+
+    - screen ``hash == 0 or hash >= theta`` (``hash_table.rs:176-208``);
+      any attempted update (even screened) clears the empty flag;
+    - while ``lg_cur <= lg_nom``: grow by the resize factor whenever
+      ``num_retained > floor(0.5 * size)`` (``hash_table.rs:210-245``,
+      ``RESIZE_THRESHOLD``, ``starting_sub_multiple``);
+    - at full size (``lg_max = lg_nom + 1``): on
+      ``num_retained > floor(15/16 * size)`` rebuild — theta becomes the
+      (k+1)-th smallest retained entry and exactly the k smaller entries
+      survive (``hash_table.rs:247-277``, ``REBUILD_THRESHOLD``).
+
+    Unlike the batch ``ThetaSketch.from_hashes`` (one rebuild at the
+    end), the final retained set and theta therefore match the
+    reference bit-exactly for any update stream and resize factor —
+    the parity mode for single-partition streams. Batch updates replay
+    the sequential schedule vectorized (insert events = first stream
+    occurrence of each new hash; the rebuild point is the insert that
+    pushes the count past the trigger), asserted equal to a literal
+    per-value transcription in pytest. The distributed engine keeps
+    using the batch path — the estimates differ only in which KMV
+    prefix survives, not accuracy (both obey the same rebuild rule).
+    """
+
+    RESIZE_THRESHOLD = 0.5  # theta/mod.rs:63
+    REBUILD_THRESHOLD = 15.0 / 16.0  # theta/mod.rs:65
+
+    def __init__(
+        self,
+        lg_k: int = DEFAULT_LG_K,
+        seed: int = DEFAULT_SEED,
+        p: float = 1.0,
+        resize_factor: str = "X8",
+    ):
+        if not MIN_LG_K <= lg_k <= MAX_LG_K:
+            raise ValueError(f"lg_k must be in [{MIN_LG_K}, {MAX_LG_K}], got {lg_k}")
+        if resize_factor not in _RESIZE_FACTORS:
+            raise ValueError(f"resize_factor must be one of {sorted(_RESIZE_FACTORS)}")
+        self.lg_nom = lg_k
+        self.lg_max = lg_k + 1
+        self.lg_rf = _RESIZE_FACTORS[resize_factor]
+        self.seed = seed
+        self.p = p
+        self._start_theta = MAX_THETA if p >= 1.0 else int(MAX_THETA * p)
+        self._start_lg_cur = _starting_sub_multiple(self.lg_max, MIN_LG_K, self.lg_rf)
+        self.theta = self._start_theta
+        self.lg_cur = self._start_lg_cur
+        self.retained = np.empty(0, dtype=U64)  # kept sorted unique
+        self.is_empty = True
+
+    # -- update ------------------------------------------------------------
+
+    def _rebuild_trigger(self) -> int:
+        return int(self.REBUILD_THRESHOLD * (1 << self.lg_max))
+
+    def _advance_lg(self) -> None:
+        """Replay the resize schedule for the current retained count
+        (resizes never change the retained set, only the table size)."""
+        while self.lg_cur <= self.lg_nom and len(self.retained) > ((1 << self.lg_cur) >> 1):
+            self.lg_cur = min(self.lg_cur + max(self.lg_rf, 1), self.lg_max)
+
+    def update_hashes(self, hashes) -> "ThetaMut":
+        """Batch update with pre-computed 63-bit hashes, replaying the
+        sequential insert/resize/rebuild schedule in stream order."""
+        h = np.ascontiguousarray(np.asarray(hashes, dtype=U64))
+        if len(h):
+            self.is_empty = False  # any attempt clears empty (hash_table.rs:177)
+        h = h[h != 0]
+        while len(h):
+            h = h[h < U64(self.theta)]
+            if not len(h):
+                break
+            # insert events = first stream occurrence of each hash not
+            # yet retained, in stream order
+            uniq, first = np.unique(h, return_index=True)
+            if len(self.retained):
+                pos = np.minimum(np.searchsorted(self.retained, uniq), len(self.retained) - 1)
+                is_new = self.retained[pos] != uniq
+            else:
+                is_new = np.ones(len(uniq), dtype=bool)
+            firsts = np.sort(first[is_new])
+            until_rebuild = self._rebuild_trigger() + 1 - len(self.retained)
+            if len(firsts) < until_rebuild:
+                self.retained = np.union1d(self.retained, h[firsts])
+                self._advance_lg()
+                break
+            # the insert at stream position j pushes the count past the
+            # trigger; rebuild fires inside that insert (hash_table.rs:198-206)
+            j = int(firsts[until_rebuild - 1])
+            grown = np.union1d(self.retained, h[firsts[:until_rebuild]])
+            k = 1 << self.lg_nom
+            self.theta = int(grown[k])  # (k+1)-th smallest (hash_table.rs:249-254)
+            self.retained = grown[:k]
+            self.lg_cur = self.lg_max
+            h = h[j + 1 :]
+        return self
+
+    def update_strings(self, column, *values) -> "ThetaMut":
+        return self.update_hashes(hashes_for_strings(column, seed=self.seed))
+
+    def update_ints(self, values) -> "ThetaMut":
+        return self.update_hashes(hashes_for_ints(values, seed=self.seed))
+
+    # -- queries / lifecycle (theta/sketch.rs:126-205) -----------------------
+
+    def num_retained(self) -> int:
+        return len(self.retained)
+
+    def theta64(self) -> int:
+        return self.theta
+
+    def is_estimation_mode(self) -> bool:
+        return self.theta < MAX_THETA
+
+    def estimate(self) -> float:
+        if self.is_empty:
+            return 0.0
+        return len(self.retained) / (self.theta / MAX_THETA)
+
+    def trim(self) -> "ThetaMut":
+        """Reduce to nominal size k (theta/hash_table.rs:279-284)."""
+        k = 1 << self.lg_nom
+        if len(self.retained) > k:
+            self.theta = int(self.retained[k])
+            self.retained = self.retained[:k]
+        return self
+
+    def reset(self) -> "ThetaMut":
+        """Back to the initial state (theta/hash_table.rs:286-304)."""
+        self.theta = self._start_theta
+        self.lg_cur = self._start_lg_cur
+        self.retained = np.empty(0, dtype=U64)
+        self.is_empty = True
+        return self
+
+    def compact(self) -> ThetaSketch:
+        """Ordered compact image (theta/sketch.rs:222-241) — feeds the
+        engine's serde/union/intersection algebra unchanged."""
+        return ThetaSketch(
+            self.lg_nom,
+            self.theta,
+            self.retained.copy(),
+            compute_seed_hash(self.seed),
+            self.is_empty,
+        )

@@ -345,3 +345,129 @@ def test_theta_dispatch_v3_v4():
         got = theta_from_java_bytes(img, lg_k=9)
         assert got.theta == sk.theta
         assert np.array_equal(np.sort(got.entries), np.sort(sk.entries))
+
+
+# ---------------------------------------------------------------------------
+# sequential ThetaMut: construction parity with the reference hash table
+# ---------------------------------------------------------------------------
+
+
+class _LiteralTable:
+    """Literal per-value transcription of theta/hash_table.rs
+    try_insert_hash / resize / rebuild — the parity oracle for
+    ThetaMut's vectorized batch replay."""
+
+    def __init__(self, lg_nom, lg_rf, p=1.0):
+        from raydedup.sketches.theta import MAX_THETA, MIN_LG_K
+        from raydedup.sketches.theta import _starting_sub_multiple as ssm
+
+        self.lg_nom, self.lg_max, self.lg_rf = lg_nom, lg_nom + 1, lg_rf
+        self.lg_cur = ssm(self.lg_max, MIN_LG_K, lg_rf)
+        self.theta = MAX_THETA if p >= 1.0 else int(MAX_THETA * p)
+        self.retained = set()
+        self.is_empty = True
+
+    def _capacity(self):
+        frac = 0.5 if self.lg_cur <= self.lg_nom else 15.0 / 16.0
+        return int(frac * (1 << self.lg_cur))
+
+    def insert(self, h):
+        self.is_empty = False
+        if h == 0 or h >= self.theta or h in self.retained:
+            return
+        self.retained.add(h)
+        if len(self.retained) > self._capacity():
+            if self.lg_cur <= self.lg_nom:
+                self.lg_cur = min(self.lg_cur + self.lg_rf, self.lg_max)
+            else:
+                ordered = sorted(self.retained)
+                k = 1 << self.lg_nom
+                self.theta = ordered[k]
+                self.retained = set(ordered[:k])
+
+
+@pytest.mark.parametrize("rf,lg_rf", [("X1", 0), ("X2", 1), ("X4", 2), ("X8", 3)])
+def test_thetamut_matches_literal_sequential(rf, lg_rf):
+    """Vectorized batch replay == one-at-a-time transcription: same
+    retained set, theta, and table size, across uneven batch splits,
+    duplicates, and every resize factor."""
+    from raydedup.sketches.theta import ThetaMut
+
+    rng = np.random.default_rng(7)
+    stream = rng.integers(1, 1 << 62, size=4000, dtype=np.uint64)
+    stream = np.concatenate([stream, stream[:1500]])  # duplicates
+    rng.shuffle(stream)
+
+    lit = _LiteralTable(5, lg_rf)
+    for h in stream:
+        lit.insert(int(h))
+
+    sk = ThetaMut(lg_k=5, resize_factor=rf)
+    for lo, hi in [(0, 17), (17, 1000), (1000, 1001), (1001, 5500)]:
+        sk.update_hashes(stream[lo:hi])
+
+    assert sk.theta == lit.theta
+    assert sk.lg_cur == lit.lg_cur
+    assert set(sk.retained.tolist()) == lit.retained
+    assert not sk.is_empty and not lit.is_empty
+
+
+def test_thetamut_sampling_and_screen():
+    """p<1 starts theta at MAX*p (hash_table.rs:400-406); screened
+    updates still clear the empty flag (hash_table.rs:177)."""
+    from raydedup.sketches.theta import MAX_THETA, ThetaMut
+
+    sk = ThetaMut(lg_k=8, p=0.5)
+    assert sk.theta == int(MAX_THETA * 0.5)
+    sk.update_hashes(np.array([MAX_THETA - 1], dtype=np.uint64))  # screened
+    assert sk.num_retained() == 0 and not sk.is_empty
+    assert sk.is_estimation_mode()
+
+
+def test_thetamut_rebuild_keeps_k_smallest():
+    """Mirror of hash_table.rs test_rebuild_preserves_entries_less_than_kth:
+    after the first rebuild, exactly the 2^lg_k smallest inserted
+    hashes survive and theta is the (k+1)-th smallest."""
+    from raydedup.sketches.theta import ThetaMut, hashes_for_ints
+
+    sk = ThetaMut(lg_k=5)
+    hs = hashes_for_ints(np.arange(200, dtype=np.int64))
+    # insert one at a time until the first rebuild fires
+    inserted = []
+    for h in hs:
+        before = sk.theta
+        sk.update_hashes(np.array([h], dtype=np.uint64))
+        inserted.append(int(h))
+        if sk.theta != before:
+            break
+    ordered = sorted(set(inserted))
+    k = 1 << 5
+    assert sk.theta == ordered[k]
+    assert sk.retained.tolist() == ordered[:k]
+    assert all(e < sk.theta for e in sk.retained.tolist())
+
+
+def test_thetamut_trim_reset_compact():
+    from raydedup.sketches.theta import ThetaMut, ThetaSketch, hashes_for_ints
+
+    sk = ThetaMut(lg_k=5)
+    sk.update_hashes(hashes_for_ints(np.arange(100, dtype=np.int64)))
+    assert sk.num_retained() > 32
+    sk.trim()
+    assert sk.num_retained() == 32 and sk.is_estimation_mode()
+    # compact feeds the existing algebra/serde unchanged
+    c = sk.compact()
+    assert isinstance(c, ThetaSketch)
+    rt = ThetaSketch.from_bytes(c.to_bytes())
+    assert rt.theta == sk.theta and len(rt.entries) == 32
+    sk.reset()
+    assert sk.is_empty and sk.num_retained() == 0 and sk.estimate() == 0.0
+
+
+def test_thetamut_estimate_accuracy():
+    """theta_sketch_test.rs:197-203 envelope: within 2% at lg_k=12, n=1e4."""
+    from raydedup.sketches.theta import ThetaMut, hashes_for_ints
+
+    sk = ThetaMut(lg_k=12)
+    sk.update_hashes(hashes_for_ints(np.arange(10_000, dtype=np.int64)))
+    assert abs(sk.estimate() - 10_000) / 10_000 < 0.02
