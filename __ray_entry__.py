@@ -591,6 +591,23 @@ def _q_sig_distance_quantiles(sf_dir: str):
     )
 
 
+def _q_video_frames(sf_dir: str):
+    """Multimodal video plumbing demo: deterministic fake corpus →
+    actor-pool frame sampling (flat_map fan-out, small batches for the
+    wide binary) → per-frame murmur fingerprints so wide payload bytes
+    never leave the stage. Sidecar oracle: single-process run of the
+    same kernels, compared value-exact."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import frame_fingerprints, sample_frames, synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(300, seed=42))
+    frames = sample_frames(ds, k=4, mode="fake", batch_size=32)
+    return frames.map_batches(frame_fingerprints, batch_format="pyarrow").sort(
+        ["video_id", "frame_idx"]
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio plumbing demo: deterministic fake PCM corpus +
     framed RMS/zero-crossing features (sidecar oracle: a single-process
@@ -635,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
         "sig_distance_quantiles": _q_sig_distance_quantiles,
     }
 
@@ -679,6 +697,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("simhash_pairs", "simhash.parquet"),
             ("audio_features", "audio_features.parquet"),
             ("image_features", "image_features.parquet"),
+            ("video_frames", "video_frames.parquet"),
             ("quantity_quantiles", "quantity_quantiles.parquet"),
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
@@ -694,9 +713,12 @@ def _ensure_oracle_sidecars() -> set[str]:
     from raydedup.ops.multimodal import (
         AudioFeatureStage,
         DecodeImageStage,
+        SampleFramesStage,
         explode_features,
+        frame_fingerprints,
         synth_audio_table,
         synth_image_table,
+        synth_video_table,
     )
     from raydedup.ops.simhash import simhash_batch_fn
     from raydedup.ops.text_stats import fingerprint
@@ -714,6 +736,9 @@ def _ensure_oracle_sidecars() -> set[str]:
         ),
         "image_features": explode_features(
             DecodeImageStage(mode="fake")(synth_image_table(500, seed=42))
+        ),
+        "video_frames": frame_fingerprints(
+            SampleFramesStage(k=4, mode="fake")(synth_video_table(300, seed=42))
         ),
     }
 
@@ -775,6 +800,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, feat_idx, value
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/image_features.parquet')
             ORDER BY image_id, feat_idx
+        """,
+        "video_frames": f"""
+            SELECT video_id, frame_idx, frame_fp
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/video_frames.parquet')
+            ORDER BY video_id, frame_idx
         """,
         "quantity_quantiles": f"""
             SELECT q, value

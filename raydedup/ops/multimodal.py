@@ -190,6 +190,22 @@ def sample_frames(ds, k: int = 4, mode: str = "fake", batch_size: int = 32, conc
         concurrency=concurrency,
     )
 
+
+def frame_fingerprints(batch: pa.Table) -> pa.Table:
+    """(video_id, frame_idx, frame_payload) → scalar rows with a
+    murmur3 fingerprint of each frame's bytes instead of the payload —
+    the dedup/oracle shape (wide binary never leaves the stage)."""
+    from raydedup.sketches.hashing import hash_strings
+
+    h1, _ = hash_strings(batch["frame_payload"])
+    return pa.table(
+        {
+            "video_id": batch["video_id"],
+            "frame_idx": batch["frame_idx"],
+            "frame_fp": pa.array(h1, pa.uint64()),
+        }
+    )
+
 def synth_audio_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake audio corpus: (audio_id, payload, mime,
     sample_rate, n_samples, n_bytes) — payload is 16-bit PCM-shaped

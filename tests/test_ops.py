@@ -356,3 +356,29 @@ def test_simhash_from_signatures_matches_text_path(ray_session):
         .sort_values("url")
     )
     assert (via_sigs["simhash"].to_numpy() == direct["simhash"].to_numpy()).all()
+
+
+def test_video_frame_fingerprints_match_inprocess(ray_session):
+    """Distributed sample+fingerprint == single-process kernel run —
+    the video_frames sidecar-oracle contract."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import (
+        SampleFramesStage,
+        frame_fingerprints,
+        sample_frames,
+        synth_video_table,
+    )
+
+    tbl = synth_video_table(60, seed=9)
+    dist = (
+        sample_frames(rd.from_arrow(tbl), k=4, mode="fake", batch_size=16)
+        .map_batches(frame_fingerprints, batch_format="pyarrow")
+        .sort(["video_id", "frame_idx"])
+        .to_pandas()
+    )
+    ref = frame_fingerprints(SampleFramesStage(k=4, mode="fake")(tbl)).to_pandas()
+    ref = ref.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(dist, ref)
