@@ -544,7 +544,7 @@ class ThetaMut:
             h = h[j + 1 :]
         return self
 
-    def update_strings(self, column, *values) -> "ThetaMut":
+    def update_strings(self, column) -> "ThetaMut":
         return self.update_hashes(hashes_for_strings(column, seed=self.seed))
 
     def update_ints(self, values) -> "ThetaMut":
