@@ -45,9 +45,17 @@ class DedupConfig:
     # signature output separately (coalesce_rows).
     batch_size: int | None = None
     # signature blocks are re-bundled to this many rows before the wide
-    # band/verify shuffles (big blocks = fewer shuffle tasks; measured
-    # 2-3x faster candidates+verify at 32 CPUs vs ~2k-row blocks)
-    coalesce_rows: int = 16384
+    # band/verify shuffles. 4096 rows ~ 16 MB of signature payload —
+    # big enough that shuffle task count stays bounded, small enough
+    # that the coalesce pass and the downstream band-explode / verify
+    # attach keep cluster-wide parallelism. Round-3 sweep (same window,
+    # best-of-2 per point): 60k docs/32 CPUs e2e 15.8s @16384 / 9.0s
+    # @8192 / 5.7s @4096 / 6.5s @2048; 240k/32 CPUs 42.8s / 31.7s /
+    # 25.7s; 240k/8 CPUs 59.6s @16384 / 28.7s @4096 — 4096 wins at
+    # every scale and CPU count measured (the 16384 default chosen in
+    # round 2 produced as few as 4 blocks at 60k, strangling the
+    # explode/attach stages).
+    coalesce_rows: int = 4096
 
     def __post_init__(self):
         if self.bands * self.rows != self.num_perms:
