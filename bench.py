@@ -144,17 +144,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             headline, stages, res = elapsed, tr_stages, tr_res
     queries["dedup_e2e"] = round(headline, 3)
 
-    # signature stage alone (the per-doc kernel throughput)
+    # signature stage alone (the per-doc kernel throughput); best-of-2
+    # like the headline — see the throttle-window note above
     from raydedup.pipeline.run import build_signatures
 
-    t0 = time.time()
-    sigs = build_signatures(
-        rd.read_parquet(page_files, columns=["url", "text"]),
-        cfg,
-        concurrency=(1, num_cpus),
-    )
-    sigs.count()
-    queries["signatures"] = round(time.time() - t0, 3)
+    sig_best = None
+    for _ in range(int(os.environ.get("RAYDEDUP_QUERY_TRIALS", "2"))):
+        t0 = time.time()
+        sigs = build_signatures(
+            rd.read_parquet(page_files, columns=["url", "text"]),
+            cfg,
+            concurrency=(1, num_cpus),
+        )
+        sigs.count()
+        el = time.time() - t0
+        sig_best = el if sig_best is None or el < sig_best else sig_best
+    queries["signatures"] = round(sig_best, 3)
 
     # simhash dedup over the same corpus (the cheaper fingerprint
     # path). Shingles are SHARED with the MinHash signature stage the
@@ -163,21 +168,38 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # production pipeline running both detectors would schedule it.
     from raydedup.ops.simhash import simhash_from_signatures, simhash_pairs
 
-    t0 = time.time()
-    fp = simhash_from_signatures(res.signatures, id_column="url")
-    simhash_pairs(fp, "url", max_hamming=3, n_buckets=4 * num_cpus).count()
-    queries["simhash_pairs"] = round(time.time() - t0, 3)
+    # independent queries take best-of-N too (same rationale as the
+    # headline: the host's multi-second throttle windows are 2-3x, so a
+    # single trial times the window, not the code)
+    q_trials = int(os.environ.get("RAYDEDUP_QUERY_TRIALS", "2"))
+
+    def _best_of(name, fn):
+        best = None
+        for _ in range(q_trials):
+            t0 = time.time()
+            out = fn()
+            if hasattr(out, "count"):
+                out.count()
+            el = time.time() - t0
+            best = el if best is None or el < best else best
+        queries[name] = round(best, 3)
+
+    _best_of(
+        "simhash_pairs",
+        lambda: simhash_pairs(
+            simhash_from_signatures(res.signatures, id_column="url"),
+            "url",
+            max_hamming=3,
+            n_buckets=4 * num_cpus,
+        ),
+    )
 
     # operator queries over the driver-provided tables
     import __ray_entry__ as entrymod
 
     for name in ("exact_dedup", "pricing_summary", "distinct_orderkeys_theta"):
         fn = entrymod.queries()[name]
-        t0 = time.time()
-        out = fn(sf_dir)
-        if hasattr(out, "count"):
-            out.count()
-        queries[name] = round(time.time() - t0, 3)
+        _best_of(name, lambda fn=fn: fn(sf_dir))
 
     if "--stats" in sys.argv:  # per-stage wall/cpu/memory breakdown
         print(sigs.stats(), file=sys.stderr)
