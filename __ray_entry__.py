@@ -545,6 +545,51 @@ def _q_quality_scores(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition filter signals (dup k-gram
+    fractions) — one vectorized pass over the shared word/shingle
+    kernels; no shuffle (per-doc scalars)."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import repetition_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        out = repetition_stats(b, "doc_id")
+        for c in ("dup_frac_2", "dup_frac_3"):
+            out = out.set_column(out.column_names.index(c), c, pc.round(out[c], ndigits=6))
+        return out
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort("doc_id")
+
+
+def _q_top_ngrams(sf_dir: str):
+    """Corpus-wide boilerplate scan: top-20 word bigrams by occurrence.
+
+    The map side collapses each block to distinct (gram, count)
+    partials (``bigram_counts`` — the combiner pattern), so the groupby
+    exchange carries vocabulary-sized rows, not one row per token; the
+    top-20 is a deterministic (count desc, gram asc) sort + limit."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import bigram_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(lambda b: bigram_counts(b), batch_format="pyarrow")
+    agg = partials.groupby("gram").sum("count")
+
+    def rename(b: pa.Table) -> pa.Table:
+        other = [c for c in b.column_names if c != "gram"][0]
+        return pa.table({"gram": b["gram"], "n": b[other].cast(pa.int64())})
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(20)
+    )
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake corpus + actor-pool
     decode stage, exploded to long-format scalar rows so the sidecar
@@ -650,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "regex_token_stats": _q_regex_token_stats,
         "quality_scores": _q_quality_scores,
+        "repetition_stats": _q_repetition_stats,
+        "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -1038,6 +1085,60 @@ def oracle_sql() -> dict[str, str]:
                    round(digits / CAST(total AS DOUBLE), 6) AS digit_ratio,
                    round((total - ws) / greatest(ws + 1.0, 1.0), 6) AS mean_word_len
             FROM counted ORDER BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+              ) raw WHERE word <> ''
+            ), g2 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word, 1) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), s2 AS (
+              SELECT doc_id, count(gram) AS n, count(DISTINCT gram) AS u
+              FROM g2 WHERE gram IS NOT NULL GROUP BY doc_id
+            ), g3 AS (
+              SELECT doc_id,
+                     word || ' ' || lead(word, 1) OVER win
+                          || ' ' || lead(word, 2) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), s3 AS (
+              SELECT doc_id, count(gram) AS n, count(DISTINCT gram) AS u
+              FROM g3 WHERE gram IS NOT NULL GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s2.n, 0) AS n_grams_2,
+                   coalesce(s2.n, 0) - coalesce(s2.u, 0) AS n_dup_grams_2,
+                   round(CASE WHEN coalesce(s2.n, 0) > 0
+                         THEN (s2.n - s2.u) / CAST(s2.n AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_frac_2,
+                   coalesce(s3.n, 0) AS n_grams_3,
+                   coalesce(s3.n, 0) - coalesce(s3.u, 0) AS n_dup_grams_3,
+                   round(CASE WHEN coalesce(s3.n, 0) > 0
+                         THEN (s3.n - s3.u) / CAST(s3.n AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_frac_3
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "top_ngrams": r"""
+            WITH w AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+              ) raw WHERE word <> ''
+            ), g AS (
+              SELECT word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+              FROM w
+            )
+            SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 20
         """,
         "dedup_assignments": r"""
             WITH RECURSIVE words AS (

@@ -183,3 +183,96 @@ def fingerprint(batch: pa.Table, id_column: str, text_column: str = "text") -> p
         pa.utf8(), n, [None, pa.py_buffer(offsets), pa.py_buffer(hexbytes)]
     )
     return pa.table({id_column: batch[id_column], "fingerprint": fp})
+
+
+def repetition_stats(
+    batch: pa.Table, id_column: str, text_column: str = "text", ks: tuple = (2, 3)
+) -> pa.Table:
+    """Gopher-style within-document repetition signals: for each k in
+    ``ks``, the word-k-gram count, the number of duplicated k-gram
+    occurrences (total - distinct) and the duplicate fraction — the
+    classic repetition filter for web-crawl training corpora.
+
+    Fully vectorized on the shared shingle kernels (words are hashed
+    once; k-gram hashes and per-doc distinct counts reuse
+    ``shingle_hashes`` / ``segmented_unique``). Documents shorter than
+    k words have zero k-grams (the dedup pipeline's short-doc sentinel
+    shingle is masked out here — it is not a k-gram).
+    """
+    from raydedup.pipeline.extract import (
+        segmented_unique,
+        shingle_hashes,
+        tokenize_word_hashes,
+    )
+
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    word_h1, off = tokenize_word_hashes(text)
+    w = np.diff(off)
+    cols: dict = {id_column: batch[id_column]}
+    for k in ks:
+        sh, sh_off = shingle_hashes(word_h1, off, k=k)
+        full = w >= k
+        total = np.where(full, np.diff(sh_off), 0).astype(np.int64)
+        _, uo = segmented_unique(sh, sh_off)
+        uniq = np.where(full, np.diff(uo), 0).astype(np.int64)
+        dup = total - uniq
+        frac = np.divide(
+            dup.astype(np.float64),
+            total.astype(np.float64),
+            out=np.zeros(len(total), np.float64),
+            where=total > 0,
+        )
+        cols[f"n_grams_{k}"] = pa.array(total, pa.int64())
+        cols[f"n_dup_grams_{k}"] = pa.array(dup, pa.int64())
+        cols[f"dup_frac_{k}"] = pa.array(frac, pa.float64())
+    return pa.table(cols)
+
+
+def bigram_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-batch partial word-bigram counts → (gram, count) rows.
+
+    The map-side combiner for the corpus-wide ``top_ngrams`` boilerplate
+    scan: each block collapses to its distinct grams before the groupby
+    shuffle, so the exchange carries vocabulary-sized partials instead
+    of one row per token. Gram strings are built with one vectorized
+    Arrow join over adjacent in-document words (lowercased, empty
+    split-tokens dropped — the tokenizer's semantics).
+    """
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    empty = pa.table({"gram": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+    if len(text) == 0:
+        return empty
+    words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    n_docs = len(off) - 1
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        flat = flat.filter(pa.array(nonempty))
+        counts = np.bincount(doc_of_word[nonempty], minlength=n_docs)
+        off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+    if len(flat) == 0:
+        return empty
+    # adjacency within a doc: position i pairs with i+1 unless i is the
+    # doc's last word
+    last = np.zeros(len(flat), dtype=bool)
+    last[off[1:] - 1] = True
+    lead = np.nonzero(~last[: len(flat) - 1])[0] if len(flat) > 1 else np.empty(0, np.int64)
+    if len(lead) == 0:
+        return empty
+    a = flat.take(pa.array(lead))
+    b = flat.take(pa.array(lead + 1))
+    gram = pc.binary_join_element_wise(a, b, " ")
+    vc = pc.value_counts(gram)
+    return pa.table(
+        {"gram": vc.field("values"), "count": vc.field("counts").cast(pa.int64())}
+    )

@@ -382,3 +382,60 @@ def test_video_frame_fingerprints_match_inprocess(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(dist, ref)
+
+
+def test_repetition_stats_brute_force():
+    """Kernel vs a per-doc Python brute force over k-grams."""
+    import pyarrow as pa
+
+    from raydedup.ops.text_stats import repetition_stats
+
+    docs = [
+        "a b a b c",          # 2-grams: ab ba ab bc -> 1 dup
+        "x",                  # too short for any gram
+        "",                   # empty
+        "q r  q r q",         # double space; words q r q r q
+        "t t t t",            # maximal repetition
+    ]
+    out = repetition_stats(
+        pa.table({"doc_id": pa.array(range(len(docs))), "text": pa.array(docs)}),
+        "doc_id",
+    ).to_pandas()
+    for i, text in enumerate(docs):
+        words = text.split()
+        for k in (2, 3):
+            grams = [tuple(words[j : j + k]) for j in range(max(len(words) - k + 1, 0))]
+            total, uniq = len(grams), len(set(grams))
+            row = out.iloc[i]
+            assert row[f"n_grams_{k}"] == total
+            assert row[f"n_dup_grams_{k}"] == total - uniq
+            expect = (total - uniq) / total if total else 0.0
+            assert abs(row[f"dup_frac_{k}"] - expect) < 1e-12
+
+
+def test_bigram_counts_partial_merge(ray_session):
+    """Per-block partials groupby-summed == whole-corpus counts, and the
+    top-k ordering is deterministic under ties (count desc, gram asc)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import bigram_counts
+
+    docs = ["the cat sat", "the cat ran", "a b", "a b", "z z z", ""] * 7
+    expect = Counter()
+    for d in docs:
+        w = d.split()
+        expect.update(" ".join(w[j : j + 2]) for j in range(len(w) - 1))
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(5)
+    agg = (
+        ds.map_batches(lambda b: bigram_counts(b), batch_format="pyarrow")
+        .groupby("gram")
+        .sum("count")
+        .to_pandas()
+    )
+    col = [c for c in agg.columns if c != "gram"][0]
+    got = dict(zip(agg["gram"], agg[col]))
+    assert got == dict(expect)
