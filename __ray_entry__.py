@@ -590,6 +590,22 @@ def _q_top_ngrams(sf_dir: str):
     )
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot exact dedup (the continuous-crawl shape): docs
+    from the 'new crawl' half of the sources flagged against the
+    'previous snapshot' half. Bloom of the base tree-reduced +
+    broadcast; only Bloom hits shuffle into the 128-bit confirm
+    cogroup (``ops/exact.py::flag_new_docs``)."""
+    import ray.data as rd
+
+    from raydedup.ops.exact import flag_new_docs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    base = ds.filter(expr="source < 'src5'")
+    new = ds.filter(expr="source >= 'src5'")
+    return flag_new_docs(new, base, "doc_id").sort("doc_id")
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake corpus + actor-pool
     decode stage, exploded to long-format scalar rows so the sidecar
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_token_stats": _q_regex_token_stats,
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
+        "incremental_dedup": _q_incremental_dedup,
         "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1124,6 +1141,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "incremental_dedup": r"""
+            SELECT d.doc_id,
+                   NOT EXISTS (SELECT 1 FROM documents b
+                               WHERE b.source < 'src5' AND b.text = d.text) AS is_new
+            FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
         """,
         "top_ngrams": r"""
             WITH w AS (

@@ -64,3 +64,164 @@ def distinct_texts_theta(ds, text_column: str = "text", lg_k: int = 16):
     if not sketches:
         return ThetaSketch.new_empty(lg_k)
     return theta_union(sketches)
+
+
+def flag_new_docs(
+    new_ds,
+    base_ds,
+    id_column: str,
+    text_column: str = "text",
+    n_buckets: int = 64,
+    bloom_fpp: float = 0.01,
+):
+    """Incremental (cross-snapshot) exact dedup: (id, is_new) for every
+    row of ``new_ds`` — ``is_new`` False iff its text appears
+    byte-identically in ``base_ds``. The continuous-crawl shape.
+
+    Scale design (base snapshot >> delta, so nothing proportional to
+    the base may shuffle):
+
+    1. hash both sides to 128-bit content hashes (the text never
+       travels past its own block);
+    2. tree-reduce a Bloom filter of the BASE hashes
+       (``block_reduce`` — bounded image, the driver sees one blob),
+       broadcast it once via ``ray.put``;
+    3. Bloom-prune the delta: misses are definitely new and skip the
+       shuffle entirely; hits become *candidates* (true dups + fpp);
+    4. a second Bloom over the candidates prunes the BASE side to the
+       rows that could confirm anything;
+    5. candidates and surviving base rows meet in a bucketed cogroup
+       (``hash % n_buckets``) where one vectorized 128-bit
+       searchsorted per bucket clears the Bloom false positives.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from raydedup.sketches.aggregates import block_reduce
+    from raydedup.sketches.bloom import BloomFilter
+
+    U64 = np.uint64
+
+    def hashed(ds, with_id: bool):
+        cols = [id_column, text_column] if with_id else [text_column]
+
+        def f(b: pa.Table) -> pa.Table:
+            out = add_content_hash(b, text_column).drop_columns([text_column])
+            return out
+
+        return ds.select_columns(cols).map_batches(f, batch_format="pyarrow")
+
+    new_hashed = hashed(new_ds, with_id=True).materialize()
+    base_hashed = hashed(base_ds, with_id=False).materialize()
+    n_base = base_hashed.count()  # metadata on a materialized ds
+
+    def bloom_of(ds, expected: int):
+        proto = BloomFilter.with_accuracy(max(expected, 64), bloom_fpp)
+        m, k = proto.num_bits, proto.num_hashes
+
+        def partial(batch: pa.Table):
+            bf = BloomFilter(m, k)
+            bf.insert(batch["content_h1"].to_numpy(zero_copy_only=False).astype(U64))
+            return bf.to_bytes()
+
+        def merge(a: bytes, b: bytes):
+            return BloomFilter.from_bytes(a).union(BloomFilter.from_bytes(b)).to_bytes()
+
+        row = ds.aggregate(block_reduce(partial, merge, name="bloom"))
+        blob = row.get("bloom") if row else None
+        return BloomFilter.from_bytes(blob) if blob else BloomFilter(m, k)
+
+    base_bloom = bloom_of(base_hashed, n_base)
+    bref = ray.put(
+        (base_bloom.num_bits, base_bloom.num_hashes, base_bloom.seed, base_bloom.bits)
+    )
+
+    def add_hit(batch: pa.Table, ref) -> pa.Table:
+        nb, nh, seed, bits = ray.get(ref)
+        bf = BloomFilter(nb, nh, seed=seed, bits=bits)
+        h = batch["content_h1"].to_numpy(zero_copy_only=False).astype(U64)
+        return batch.append_column("maybe_dup", pa.array(bf.contains(h)))
+
+    flagged = new_hashed.map_batches(add_hit, fn_args=(bref,), batch_format="pyarrow")
+    flagged = flagged.materialize()  # feeds the miss path and the confirm path
+    misses = flagged.filter(expr="maybe_dup == False").select_columns([id_column])  # noqa: E712
+    cands = flagged.filter(expr="maybe_dup")
+
+    n_cands = cands.count()
+    if n_cands == 0:
+        return misses.map_batches(
+            lambda b: pa.table({id_column: b[id_column]}).append_column(
+                "is_new", pa.array(np.ones(len(b), dtype=bool))
+            ),
+            batch_format="pyarrow",
+        )
+
+    cand_bloom = bloom_of(cands, n_cands)
+    cref = ray.put(
+        (cand_bloom.num_bits, cand_bloom.num_hashes, cand_bloom.seed, cand_bloom.bits)
+    )
+
+    sch = new_hashed.schema()
+    id_type = sch.types[sch.names.index(id_column)]
+
+    def base_hits(batch: pa.Table, ref) -> pa.Table:
+        nb, nh, seed, bits = ray.get(ref)
+        bf = BloomFilter(nb, nh, seed=seed, bits=bits)
+        h1 = batch["content_h1"].to_numpy(zero_copy_only=False).astype(U64)
+        keep = bf.contains(h1)
+        t = batch.filter(pa.array(keep))
+        n = len(t)
+        return pa.table(
+            {
+                "_cbucket": pa.array(
+                    (t["content_h1"].to_numpy(zero_copy_only=False).astype(U64) % U64(n_buckets)).astype(np.int64)
+                ),
+                "content_h1": t["content_h1"],
+                "content_h2": t["content_h2"],
+                id_column: pa.nulls(n, id_type),
+                "_side": pa.array(np.ones(n, np.uint8)),
+            }
+        )
+
+    def tag_cands(batch: pa.Table) -> pa.Table:
+        h1 = batch["content_h1"].to_numpy(zero_copy_only=False).astype(U64)
+        return pa.table(
+            {
+                "_cbucket": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                "content_h1": batch["content_h1"],
+                "content_h2": batch["content_h2"],
+                id_column: batch[id_column].combine_chunks(),
+                "_side": pa.array(np.zeros(len(batch), np.uint8)),
+            }
+        )
+
+    KEY = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+    def confirm_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        h1 = g["content_h1"].to_numpy(zero_copy_only=False).astype(U64)
+        h2 = g["content_h2"].to_numpy(zero_copy_only=False).astype(U64)
+        keys = np.empty(len(h1), dtype=KEY)
+        keys["a"], keys["b"] = h1, h2
+        is_cand = side == 0
+        base_keys = np.sort(keys[~is_cand])
+        ck = keys[is_cand]
+        pos = np.searchsorted(base_keys, ck)
+        hit = np.zeros(len(ck), dtype=bool)
+        inb = pos < len(base_keys)
+        hit[inb] = base_keys[pos[inb]] == ck[inb]
+        ids = g[id_column].combine_chunks().take(pa.array(np.nonzero(is_cand)[0]))
+        return pa.table({id_column: ids, "is_new": pa.array(~hit)})
+
+    union = cands.map_batches(tag_cands, batch_format="pyarrow").union(
+        base_hashed.map_batches(base_hits, fn_args=(cref,), batch_format="pyarrow")
+    )
+    confirmed = union.groupby("_cbucket").map_groups(confirm_bucket, batch_format="pyarrow")
+    new_true = misses.map_batches(
+        lambda b: pa.table({id_column: b[id_column]}).append_column(
+            "is_new", pa.array(np.ones(len(b), dtype=bool))
+        ),
+        batch_format="pyarrow",
+    )
+    return confirmed.union(new_true)

@@ -439,3 +439,41 @@ def test_bigram_counts_partial_merge(ray_session):
     col = [c for c in agg.columns if c != "gram"][0]
     got = dict(zip(agg["gram"], agg[col]))
     assert got == dict(expect)
+
+
+def test_flag_new_docs_incremental(ray_session):
+    """Cross-snapshot exact dedup: delta docs flagged against a base
+    snapshot, Bloom prefilter + bucketed 128-bit confirm. Planted
+    overlaps must be flagged dup; everything else new."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.ops.exact import flag_new_docs
+
+    base_texts = [f"base document number {i} words here" for i in range(300)]
+    # delta: 40 copies of base docs (every 7th), 160 genuinely new
+    dup_ids = list(range(0, 280, 7))
+    new_rows = [(1000 + j, base_texts[i]) for j, i in enumerate(dup_ids)]
+    new_rows += [(2000 + j, f"fresh delta doc {j} never seen") for j in range(160)]
+
+    base = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(300)), "text": pa.array(base_texts)})
+    ).repartition(4)
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in new_rows]),
+                "text": pa.array([r[1] for r in new_rows]),
+            }
+        )
+    ).repartition(3)
+
+    # tiny Bloom (high fpp) to force false positives through the
+    # exact-confirm cogroup path
+    out = flag_new_docs(new, base, "doc_id", bloom_fpp=0.3).to_pandas()
+    assert len(out) == len(new_rows)
+    got = dict(zip(out["doc_id"], out["is_new"]))
+    for j in range(len(dup_ids)):
+        assert got[1000 + j] == False  # noqa: E712
+    for j in range(160):
+        assert got[2000 + j] == True  # noqa: E712
