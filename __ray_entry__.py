@@ -606,6 +606,68 @@ def _q_incremental_dedup(sf_dir: str):
     return flag_new_docs(new, base, "doc_id").sort("doc_id")
 
 
+def _q_incremental_near_dup(sf_dir: str):
+    """Near-dup counterpart of ``incremental_dedup``: flag docs of the
+    'new crawl' half whose 5-gram Jaccard vs ANY 'previous snapshot'
+    doc reaches the dedup threshold. A thin composition of the
+    flagship pipeline: one ``run_dedup`` over the tagged union of both
+    snapshots (signatures/LSH/verify paid once), then the verified dup
+    pairs are classified by url namespace and the flags reduce over a
+    (doc_id) groupby — ids only, nothing proportional to the corpora
+    re-shuffles."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def pages_of(side: str, pred: str):
+        def to_pages(b: pa.Table) -> pa.Table:
+            urls = pc.binary_join_element_wise(
+                side + "/", pc.cast(b["doc_id"], pa.string()), ""
+            )
+            return pa.table({"url": urls, "text": b["text"]})
+
+        return ds.filter(expr=pred).map_batches(to_pages, batch_format="pyarrow")
+
+    pages = pages_of("base", "source < 'src5'").union(pages_of("new", "source >= 'src5'"))
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+
+    def cross_flags(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()), "flag": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        an = pc.starts_with(b["url_a"], pattern="new/").to_numpy(zero_copy_only=False)
+        bn = pc.starts_with(b["url_b"], pattern="new/").to_numpy(zero_copy_only=False)
+        ua = b["url_a"].combine_chunks().filter(pa.array(an & ~bn))
+        ub = b["url_b"].combine_chunks().filter(pa.array(bn & ~an))
+        urls = pa.concat_arrays([ua, ub])
+        if len(urls) == 0:
+            return empty
+        ids = pc.cast(pc.utf8_slice_codeunits(urls, 4, 1 << 30), pa.int64())
+        return pa.table({"doc_id": ids, "flag": pa.array(np.ones(len(ids), np.int64))})
+
+    flagged = res.dup_pairs.map_batches(cross_flags, batch_format="pyarrow")
+    new_ids = ds.filter(expr="source >= 'src5'").map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "flag": pa.array(np.zeros(len(b), np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    out = new_ids.union(flagged).groupby("doc_id").aggregate(Max("flag", alias_name="f"))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "is_near_dup": pc.equal(b[[c for c in b.column_names if c != "doc_id"][0]], 1),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake corpus + actor-pool
     decode stage, exploded to long-format scalar rows so the sidecar
@@ -713,6 +775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "incremental_dedup": _q_incremental_dedup,
+        "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1146,6 +1209,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    NOT EXISTS (SELECT 1 FROM documents b
                                WHERE b.source < 'src5' AND b.text = d.text) AS is_new
+            FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
+        """,
+        "incremental_near_dup": r"""
+            WITH words AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), hits AS (
+              SELECT DISTINCT n.doc_id
+              FROM sh n JOIN sh b ON n.source >= 'src5' AND b.source < 'src5'
+              WHERE len(list_intersect(n.s, b.s))::DOUBLE
+                    / (len(n.s) + len(b.s) - len(list_intersect(n.s, b.s))) >= 0.8
+            )
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM hits) AS is_near_dup
             FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
         """,
         "top_ngrams": r"""
