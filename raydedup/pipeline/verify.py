@@ -317,6 +317,14 @@ def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float)
     ia, ib = ia[keep], ib[keep]
     if len(ia) == 0:
         return _EMPTY_METRICS
+    # payload-locality order: process the batch's pairs in ascending
+    # broadcast-buffer address so the big per-pair gathers stream the
+    # shared payload quasi-sequentially instead of random-walking it
+    # (the broadcast is ~4 KB/doc × all candidate docs; output row
+    # order is irrelevant — pairs are a set)
+    lo = np.minimum(heads[ia], heads[ib])
+    order = np.argsort(lo, kind="stable")
+    ia, ib = ia[order], ib[order]
     url_a = urls.take(pa.array(ia)).to_numpy(zero_copy_only=False)
     url_b = urls.take(pa.array(ib)).to_numpy(zero_copy_only=False)
     return _metrics_from_buffers(
