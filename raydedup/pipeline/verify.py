@@ -166,6 +166,7 @@ def _metrics_from_buffers(
 
     t = np.minimum(ta, tb)  # pairwise min-theta screen (theta/intersection.rs:64-196)
     est_mode = t != U64(MAX_THETA)  # exact sets (full-range u64) are never screened
+    any_est = bool(est_mode.any())
 
     def entries(buf, heads, n):
         tot = int(n.sum())
@@ -174,6 +175,8 @@ def _metrics_from_buffers(
         np.cumsum(n[:-1], out=cum[1:])
         # segments are contiguous: one repeated shift instead of two
         v = buf[np.arange(tot, dtype=np.int64) + np.repeat(heads + 2 - cum, n)]
+        if not any_est:  # the common all-exact batch: no screen, no copy
+            return v, pid
         keep = ~est_mode[pid] | (v < t[pid])
         return v[keep], pid[keep]
 
@@ -183,16 +186,24 @@ def _metrics_from_buffers(
     nb_s = np.bincount(pb_id, minlength=m)
     # per-pair intersection counts via a hashed sort-merge join: combine
     # (pair, hash) into ONE u64 key (collision odds ~ n^2/2^64 — noise
-    # far below the 128-slot signature resolution) and binary-search A's
-    # keys in B's sorted keys — ~5x faster than a 2-key lexsort over the
-    # concatenated sides at these sizes.
-    ka = fmix64(va ^ fmix64(pa_id.astype(U64) + U64(1)))
-    kb = fmix64(vb ^ fmix64(pb_id.astype(U64) + U64(1)))
-    if len(kb):
+    # far below the 128-slot signature resolution). The per-pair mix is
+    # computed ONCE per pair and gathered (entries are the hot length);
+    # an outer fmix would be pure waste — a bijection cannot change key
+    # equality. Both key arrays are SORTED before the merge: ascending
+    # probes into the sorted B side walk its leaves sequentially, where
+    # random-order probes random-walk the whole array — measured ~2x
+    # kernel time in bandwidth-starved windows (u64 sorts stay near
+    # cache speed when gathers and binary searches fall off a cliff).
+    fpid = fmix64(np.arange(1, m + 1, dtype=U64))
+    ka = va ^ fpid[pa_id]
+    kb = vb ^ fpid[pb_id]
+    if len(kb) and len(ka):
+        oa = np.argsort(ka)
+        ka_s = ka[oa]
         kb.sort()
-        pos = np.minimum(np.searchsorted(kb, ka), len(kb) - 1)
-        hit = kb[pos] == ka
-        inter = np.bincount(pa_id[hit], minlength=m)
+        pos = np.minimum(np.searchsorted(kb, ka_s), len(kb) - 1)
+        hit = kb[pos] == ka_s
+        inter = np.bincount(pa_id[oa[hit]], minlength=m)
     else:
         inter = np.zeros(m, np.int64)
     union = na_s + nb_s - inter
@@ -276,7 +287,10 @@ def _assemble_payload(*blocks):
     buf = data.view(U64)  # payloads are whole u64 words by construction
     heads = boff[:-1] >> 3
     url_data, uoff = var_buffers(t["url"].combine_chunks().cast(pa.large_string()))
-    return (hs[order], order, buf.copy(), heads, url_data.copy(), uoff.copy())
+    # no .copy(): Ray's task-output serialization copies these into
+    # plasma anyway — copying first is a redundant full pass over the
+    # (hundreds-of-MB at scale) payload buffer inside the serial task
+    return (hs[order], order, buf, heads, url_data, uoff)
 
 
 def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float) -> pd.DataFrame:
