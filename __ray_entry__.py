@@ -17,6 +17,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _mod(arr: pa.Array | pa.ChunkedArray, m: int) -> pa.Array:
+    """Integer modulo as an Arrow array (pyarrow.compute lacks one)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(arr.to_numpy(zero_copy_only=False) % m)
+
+
 def _documents_as_pages(sf_dir: str):
     """documents table → pages shape (url, text) for the dedup pipeline."""
     import ray.data as rd
@@ -668,6 +675,70 @@ def _q_incremental_near_dup(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_latest_per_url(sf_dir: str):
+    """Snapshot consolidation (the Common-Crawl recrawl shape): two
+    deterministic snapshots derived from documents — snapshot A is
+    every doc, snapshot B re-crawls every doc_id % 3 == 0 one day
+    later with edited text — unioned and resolved to the newest
+    capture per url by ``ops.snapshots.latest_per_url`` (one bucketed
+    payload shuffle, vectorized last-of-run per bucket)."""
+    import ray.data as rd
+
+    from raydedup.ops.snapshots import latest_per_url
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    epoch = pa.scalar(1577836800_000_000, pa.timestamp("us"))  # 2020-01-01
+
+    def snap_a(b: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            "https://synth.local/doc/", pc.cast(b["doc_id"], pa.string()), ""
+        )
+        ts = pc.cast(
+            pc.add(1577836800_000_000, pc.multiply(pc.cast(b["doc_id"], pa.int64()), 1_000_000)),
+            pa.timestamp("us"),
+        )
+        return pa.table({"url": urls, "warc_ts": ts, "text": b["text"]})
+
+    def snap_b(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        b = b.filter(pc.equal(_mod(ids, 3), 0))
+        t = snap_a(b)
+        ts = pc.cast(
+            pc.add(pc.cast(t["warc_ts"], pa.int64()), 86_400_000_000), pa.timestamp("us")
+        )
+        text = pc.binary_join_element_wise(t["text"], " updated v2", "")
+        return pa.table({"url": t["url"], "warc_ts": ts, "text": text})
+
+    _ = epoch
+    captures = ds.map_batches(snap_a, batch_format="pyarrow").union(
+        ds.map_batches(snap_b, batch_format="pyarrow")
+    )
+    return latest_per_url(
+        captures, n_buckets=32, tiebreak_column="text"
+    ).select_columns(["url", "warc_ts", "text"]).sort("url")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Test-set decontamination: docs with doc_id % 20 == 0 act as the
+    held-out benchmark; every other doc is flagged if it shares any
+    word 8-gram with it. Benchmark gram set tree-reduced + broadcast;
+    the corpus side is a pure map-side probe (zero shuffle)."""
+    import ray.data as rd
+
+    from raydedup.ops.decontam import decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def side(want_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(_mod(pc.cast(b["doc_id"], pa.int64()), 20), 0)
+            return b.filter(m if want_bench else pc.invert(m))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return decontaminate(side(False), side(True), "doc_id", k=8).sort("doc_id")
+
+
 def _q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic fake corpus + actor-pool
     decode stage, exploded to long-format scalar rows so the sidecar
@@ -775,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "repetition_stats": _q_repetition_stats,
         "incremental_dedup": _q_incremental_dedup,
+        "latest_per_url": _q_latest_per_url,
+        "decontaminate": _q_decontaminate,
         "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
@@ -1210,6 +1283,63 @@ def oracle_sql() -> dict[str, str]:
                    NOT EXISTS (SELECT 1 FROM documents b
                                WHERE b.source < 'src5' AND b.text = d.text) AS is_new
             FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
+        """,
+        "latest_per_url": r"""
+            WITH a AS (
+              SELECT doc_id,
+                     'https://synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     TIMESTAMP '2020-01-01 00:00:00'
+                       + doc_id * INTERVAL 1 SECOND AS warc_ts,
+                     text
+              FROM documents
+            ), b AS (
+              SELECT doc_id, url, warc_ts + INTERVAL 1 DAY AS warc_ts,
+                     text || ' updated v2' AS text
+              FROM a WHERE doc_id % 3 = 0
+            ), u AS (
+              SELECT url, warc_ts, text FROM a
+              UNION ALL SELECT url, warc_ts, text FROM b
+            ), r AS (
+              SELECT url, warc_ts, text,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY warc_ts DESC, text DESC) AS rn
+              FROM u
+            )
+            SELECT url, warc_ts, text FROM r WHERE rn = 1 ORDER BY url
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+              ) raw WHERE word <> ''
+            ), g AS (
+              SELECT doc_id,
+                     word
+                       || ' ' || lead(word, 1) OVER win
+                       || ' ' || lead(word, 2) OVER win
+                       || ' ' || lead(word, 3) OVER win
+                       || ' ' || lead(word, 4) OVER win
+                       || ' ' || lead(word, 5) OVER win
+                       || ' ' || lead(word, 6) OVER win
+                       || ' ' || lead(word, 7) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), bench_g AS (
+              SELECT DISTINCT gram FROM g
+              WHERE doc_id % 20 = 0 AND gram IS NOT NULL
+            ), hits AS (
+              SELECT g.doc_id, count(DISTINCT g.gram) AS n
+              FROM g JOIN bench_g USING (gram)
+              WHERE g.doc_id % 20 <> 0
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n, 0) > 0 AS contaminated,
+                   coalesce(h.n, 0) AS n_contaminated_grams
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 20 <> 0 ORDER BY d.doc_id
         """,
         "incremental_near_dup": r"""
             WITH words AS (

@@ -477,3 +477,94 @@ def test_flag_new_docs_incremental(ray_session):
         assert got[1000 + j] == False  # noqa: E712
     for j in range(160):
         assert got[2000 + j] == True  # noqa: E712
+
+
+def test_latest_per_url(ray_session):
+    from raydedup.ops.snapshots import latest_per_url
+
+    n = 300
+    rows = []
+    for i in range(n):
+        rows.append((f"https://s/{i}", 1000 + i, f"body {i} v1"))
+        if i % 3 == 0:  # recrawl, newer
+            rows.append((f"https://s/{i}", 2000 + i, f"body {i} v2"))
+        if i % 7 == 0:  # stale duplicate capture, older
+            rows.append((f"https://s/{i}", 500 + i, f"body {i} v0"))
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows]),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    # shuffle row order + split across blocks: the result must not care
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(t))
+    t = t.take(pa.array(perm))
+    ds = rd.from_arrow([t.slice(0, len(t) // 2), t.slice(len(t) // 2)])
+    out = latest_per_url(ds, n_buckets=8).to_pandas().sort_values("url")
+    assert len(out) == n
+    for _, r in out.iterrows():
+        i = int(r["url"].rsplit("/", 1)[1])
+        want = f"body {i} v2" if i % 3 == 0 else f"body {i} v1"
+        assert r["text"] == want, (i, r["text"])
+        assert r["warc_ts"].value // 1000 == ((2000 + i) if i % 3 == 0 else (1000 + i))
+
+
+def test_latest_per_url_tiebreak(ray_session):
+    from raydedup.ops.snapshots import latest_per_url
+
+    t = pa.table(
+        {
+            "url": pa.array(["u", "u", "u"]),
+            "warc_ts": pa.array([5, 5, 3], pa.timestamp("us")),
+            "text": pa.array(["bbb", "zzz", "aaa"]),
+        }
+    )
+    out = latest_per_url(
+        rd.from_arrow(t), n_buckets=4, tiebreak_column="text"
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["text"] == "zzz"  # max(ts), then max(text)
+
+
+def test_decontaminate(ray_session):
+    from raydedup.ops.decontam import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    # shares the 8-gram "alpha..theta" (first 8 bench words)
+                    "x y alpha beta gamma delta epsilon zeta eta theta z",
+                    # shares words but never 8 consecutive
+                    "alpha beta gamma q delta epsilon zeta w eta theta",
+                    "totally unrelated text about something else entirely here now",
+                    "short doc",  # < 8 words: zero grams, never contaminated
+                ]
+            ),
+        }
+    )
+    bench = rd.from_arrow(pa.table({"doc_id": pa.array([99], pa.int64()), "text": pa.array([bench_text])}))
+    out = (
+        decontaminate(rd.from_arrow(corpus), bench, "doc_id", k=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [True, False, False, False]
+    assert out["n_contaminated_grams"].tolist()[0] >= 1
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    from raydedup.ops.decontam import decontaminate
+
+    corpus = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["a b c d e f g h i"])})
+    )
+    bench = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = decontaminate(corpus, bench, "doc_id", k=8).to_pandas()
+    assert out["contaminated"].tolist() == [False]
