@@ -675,6 +675,20 @@ def _q_incremental_near_dup(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_curation(sf_dir: str):
+    """Corpus curation decision (C4/Gopher filter chain): language,
+    mean-word-length band, punctuation ratio, bigram repetition — one
+    actor-pool pass over the corpus emitting (doc_id, keep, reason)."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import CurationStage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        CurationStage, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort("doc_id")
+
+
 def _q_latest_per_url(sf_dir: str):
     """Snapshot consolidation (the Common-Crawl recrawl shape): two
     deterministic snapshots derived from documents — snapshot A is
@@ -848,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _q_incremental_dedup,
         "latest_per_url": _q_latest_per_url,
         "decontaminate": _q_decontaminate,
+        "curation": _q_curation,
         "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
@@ -1283,6 +1298,95 @@ def oracle_sql() -> dict[str, str]:
                    NOT EXISTS (SELECT 1 FROM documents b
                                WHERE b.source < 'src5' AND b.text = d.text) AS is_new
             FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
+        """,
+        "curation": r"""
+            WITH m(lang, pri, w) AS (VALUES
+              ('en',0,'the'),('en',0,'and'),('en',0,'of'),('en',0,'to'),
+              ('en',0,'a'),('en',0,'in'),('en',0,'is'),('en',0,'that'),
+              ('en',0,'it'),('en',0,'for'),
+              ('de',1,'der'),('de',1,'die'),('de',1,'das'),('de',1,'und'),
+              ('de',1,'ist'),('de',1,'nicht'),('de',1,'ein'),('de',1,'mit'),
+              ('de',1,'auf'),('de',1,'von'),
+              ('fr',2,'le'),('fr',2,'la'),('fr',2,'les'),('fr',2,'et'),
+              ('fr',2,'est'),('fr',2,'un'),('fr',2,'une'),('fr',2,'dans'),
+              ('fr',2,'pour'),('fr',2,'que'),
+              ('es',3,'el'),('es',3,'la'),('es',3,'los'),('es',3,'y'),
+              ('es',3,'es'),('es',3,'un'),('es',3,'una'),('es',3,'en'),
+              ('es',3,'por'),('es',3,'que')
+            ), lw AS (
+              SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+              FROM documents
+            ), lhits AS (
+              SELECT lw.doc_id, m.lang, m.pri, count(DISTINCT m.w) AS n
+              FROM lw JOIN m ON lw.w = m.w GROUP BY 1, 2, 3
+            ), lbest AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pri) AS rn
+              FROM lhits WHERE n > 0
+            ), lang AS (
+              SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+              FROM documents d LEFT JOIN lbest b ON d.doc_id = b.doc_id AND b.rn = 1
+            ), qt AS (
+              SELECT doc_id,
+                     greatest(length(text), 1) AS total,
+                     length(text) - length(replace(text, ' ', '')) AS ws,
+                     (length(text) - length(replace(text,'.','')))
+                   + (length(text) - length(replace(text,',','')))
+                   + (length(text) - length(replace(text,';','')))
+                   + (length(text) - length(replace(text,':','')))
+                   + (length(text) - length(replace(text,'!','')))
+                   + (length(text) - length(replace(text,'?','')))
+                   + (length(text) - length(replace(text,'"','')))
+                   + (length(text) - length(replace(text,'''','')))
+                   + (length(text) - length(replace(text,'(','')))
+                   + (length(text) - length(replace(text,')','')))
+                   + (length(text) - length(replace(text,'[','')))
+                   + (length(text) - length(replace(text,']','')))
+                   + (length(text) - length(replace(text,'{','')))
+                   + (length(text) - length(replace(text,'}','')))
+                     AS punct
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     punct / CAST(total AS DOUBLE) AS punct_ratio,
+                     (total - ws) / greatest(ws + 1.0, 1.0) AS mean_word_len
+              FROM qt
+            ), rw AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+              ) raw WHERE word <> ''
+            ), rg AS (
+              SELECT doc_id, word || ' ' || lead(word, 1) OVER win AS gram
+              FROM rw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+            ), rs AS (
+              SELECT doc_id, count(gram) AS n, count(DISTINCT gram) AS u
+              FROM rg WHERE gram IS NOT NULL GROUP BY doc_id
+            ), rep AS (
+              SELECT d.doc_id,
+                     CASE WHEN coalesce(rs.n, 0) > 0
+                          THEN (rs.n - rs.u) / CAST(rs.n AS DOUBLE)
+                          ELSE 0.0 END AS dup2
+              FROM documents d LEFT JOIN rs USING (doc_id)
+            ), rules AS (
+              SELECT d.doc_id,
+                     lang.lang_pred <> 'en' AS f_lang,
+                     q.mean_word_len < 3.0 OR q.mean_word_len > 12.0 AS f_wlen,
+                     q.punct_ratio > 0.1 AS f_punct,
+                     rep.dup2 > 0.2 AS f_rep
+              FROM documents d
+              JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN rep USING (doc_id)
+            )
+            SELECT doc_id,
+                   NOT (f_lang OR f_wlen OR f_punct OR f_rep) AS keep,
+                   CASE WHEN f_lang THEN 'lang'
+                        WHEN f_wlen THEN 'word_len'
+                        WHEN f_punct THEN 'punct'
+                        WHEN f_rep THEN 'repetition'
+                        ELSE '' END AS reason
+            FROM rules ORDER BY doc_id
         """,
         "latest_per_url": r"""
             WITH a AS (

@@ -276,3 +276,69 @@ def bigram_counts(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return pa.table(
         {"gram": vc.field("values"), "count": vc.field("counts").cast(pa.int64())}
     )
+
+
+class CurationStage:
+    """Corpus-curation decision per document — the C4/Gopher-style
+    filter chain composed from the engine's text-analysis kernels in
+    ONE actor-pool pass (marker hash table built once per actor):
+
+    - ``lang``: language-ID prediction must be in ``keep_langs``;
+    - ``word_len``: mean word length within [min_word_len,
+      max_word_len] (C4 drops lorem-ipsum-ish and symbol-soup docs);
+    - ``punct``: punctuation ratio <= max_punct_ratio;
+    - ``repetition``: duplicate-bigram fraction <= max_dup_frac
+      (Gopher repetition filter).
+
+    Emits ``(id, keep, reason)`` where ``reason`` is the FIRST failing
+    rule in the order above ('' when kept) — the per-rule attrition
+    accounting a curation pipeline reports.
+    """
+
+    RULES = ("lang", "word_len", "punct", "repetition")
+
+    def __init__(
+        self,
+        id_column: str = "doc_id",
+        keep_langs: tuple = ("en",),
+        min_word_len: float = 3.0,
+        max_word_len: float = 12.0,
+        max_punct_ratio: float = 0.1,
+        max_dup_frac: float = 0.2,
+    ):
+        self.id_column = id_column
+        self.keep_langs = set(keep_langs)
+        self.min_word_len = min_word_len
+        self.max_word_len = max_word_len
+        self.max_punct_ratio = max_punct_ratio
+        self.max_dup_frac = max_dup_frac
+        self.langid = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idc = self.id_column
+        lang = self.langid(batch)["lang_pred"].to_numpy(zero_copy_only=False)
+        q = quality_scores(batch, idc)
+        rep = repetition_stats(batch, idc, ks=(2,))
+        mwl = q["mean_word_len"].to_numpy(zero_copy_only=False)
+        punct = q["punct_ratio"].to_numpy(zero_copy_only=False)
+        dup2 = rep["dup_frac_2"].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        fails = np.stack(
+            [
+                ~np.isin(lang, list(self.keep_langs)),
+                (mwl < self.min_word_len) | (mwl > self.max_word_len),
+                punct > self.max_punct_ratio,
+                dup2 > self.max_dup_frac,
+            ]
+        )
+        any_fail = fails.any(axis=0)
+        first = fails.argmax(axis=0)  # first True row = first failing rule
+        names = np.asarray(("",) + self.RULES, dtype=object)
+        reason = names[np.where(any_fail, first + 1, 0)]
+        return pa.table(
+            {
+                idc: batch[idc],
+                "keep": pa.array(~any_fail),
+                "reason": pa.array(reason, pa.string()),
+            }
+        )

@@ -568,3 +568,41 @@ def test_decontaminate_empty_benchmark(ray_session):
     )
     out = decontaminate(corpus, bench, "doc_id", k=8).to_pandas()
     assert out["contaminated"].tolist() == [False]
+
+
+def test_curation_stage_rules():
+    from raydedup.ops.text_stats import CurationStage
+
+    st = CurationStage()
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown foxes jumped over those lazy sleeping dogs today and gone",  # keep
+                    "der hund ist nicht auf und mit von das der die heute",  # lang fail
+                    "the quick brown foxes jumped over lazy dogs!!!!!!!!!!!!!!!!!!!!",  # punct fail
+                    "the winter garden flower the winter garden flower the winter garden flower and more",  # repetition
+                    "xx qq zz ww",  # no markers -> 'unknown' -> lang fail
+                ]
+            ),
+        }
+    )
+    out = st(b)
+    assert out["keep"].to_pylist() == [True, False, False, False, False]
+    assert out["reason"].to_pylist() == ["", "lang", "punct", "repetition", "lang"]
+
+
+def test_curation_reason_priority():
+    from raydedup.ops.text_stats import CurationStage
+
+    st = CurationStage()
+    # fails BOTH lang and punct -> reason must be the first rule (lang)
+    b = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["der die das!!!!!!!!!!!!!!!!!!!!!!!!!"]),
+        }
+    )
+    out = st(b)
+    assert out["reason"].to_pylist() == ["lang"]
