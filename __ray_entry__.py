@@ -675,6 +675,20 @@ def _q_incremental_near_dup(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window packing prep: split every doc into 64-word
+    chunks (map-side only — chunking is embarrassingly parallel and
+    re-offsets the split word buffer zero-copy)."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import chunk_docs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_docs(b, "doc_id", chunk_words=64), batch_format="pyarrow"
+    ).sort(["doc_id", "chunk_idx"])
+
+
 def _q_curation(sf_dir: str):
     """Corpus curation decision (C4/Gopher filter chain): language,
     mean-word-length band, punctuation ratio, bigram repetition — one
@@ -863,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_per_url": _q_latest_per_url,
         "decontaminate": _q_decontaminate,
         "curation": _q_curation,
+        "chunk_docs": _q_chunk_docs,
         "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
         "image_features": _q_image_features,
@@ -1298,6 +1313,18 @@ def oracle_sql() -> dict[str, str]:
                    NOT EXISTS (SELECT 1 FROM documents b
                                WHERE b.source < 'src5' AND b.text = d.text) AS is_new
             FROM documents d WHERE d.source >= 'src5' ORDER BY d.doc_id
+        """,
+        "chunk_docs": r"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT doc_id, g.i AS chunk_idx,
+                   least((g.i + 1) * 64, len(words)) - g.i * 64 AS n_words,
+                   array_to_string(words[(g.i * 64 + 1):((g.i + 1) * 64)], ' ')
+                     AS chunk_text
+            FROM w, LATERAL (SELECT unnest(range((len(words) + 63) // 64)) AS i) g
+            ORDER BY doc_id, chunk_idx
         """,
         "curation": r"""
             WITH m(lang, pri, w) AS (VALUES

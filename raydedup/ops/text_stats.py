@@ -342,3 +342,79 @@ class CurationStage:
                 "reason": pa.array(reason, pa.string()),
             }
         )
+
+
+def chunk_docs(
+    batch: pa.Table,
+    id_column: str,
+    text_column: str = "text",
+    chunk_words: int = 64,
+) -> pa.Table:
+    """Split documents into fixed word-count chunks — the
+    context-window packing prep step of a training pipeline. Emits
+    (id, chunk_idx, n_words, chunk_text); empty docs emit no chunks.
+
+    Fully vectorized and allocation-light: words are split once with
+    Arrow, chunk rows are a zero-copy re-offsetting of the SAME flat
+    word buffer (a new ListArray over new offsets), and chunk text is
+    one ``pc.binary_join`` over that list — no per-doc Python.
+    """
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.utf8_split_whitespace(text)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()  # slice-safe (values() ignores array offset)
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    # Arrow's split emits empty tokens at boundaries ("", "a ") — drop
+    # them and rebuild offsets (same policy as tokenize_word_hashes)
+    nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    if len(flat) and not nonempty.all():
+        n_docs = len(off) - 1
+        doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        flat = flat.filter(pa.array(nonempty))
+        counts = np.bincount(doc_of_word[nonempty], minlength=n_docs)
+        off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+    n_words_doc = np.diff(off)
+    n_chunks = (n_words_doc + chunk_words - 1) // chunk_words
+    total = int(n_chunks.sum())
+    ids = batch[id_column].combine_chunks() if isinstance(
+        batch[id_column], pa.ChunkedArray
+    ) else batch[id_column]
+    if total == 0:
+        return pa.table(
+            {
+                id_column: ids.slice(0, 0),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+    doc_of = np.repeat(np.arange(len(n_chunks), dtype=np.int64), n_chunks)
+    cum = np.zeros(len(n_chunks), np.int64)
+    np.cumsum(n_chunks[:-1], out=cum[1:])
+    chunk_idx = np.arange(total, dtype=np.int64) - cum[doc_of]
+    starts = off[:-1][doc_of] + chunk_idx * chunk_words
+    ends = np.minimum(starts + chunk_words, off[1:][doc_of])
+    # new list offsets over the SAME flat word values: starts are
+    # contiguous per doc (each chunk starts where the previous ended),
+    # so offsets = [starts..., last end]
+    new_off = np.empty(total + 1, np.int64)
+    new_off[:-1] = starts
+    new_off[-1] = ends[-1]
+    # non-contiguity across docs (a doc's last end == next doc's start
+    # by construction since chunks tile the doc exactly) — holds, so a
+    # single offsets vector is valid
+    chunks_list = pa.ListArray.from_arrays(pa.array(new_off, pa.int32() if new_off[-1] < 2**31 else pa.int64()), flat)
+    chunk_text = pc.binary_join(chunks_list, " ")
+    return pa.table(
+        {
+            id_column: ids.take(pa.array(doc_of)),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_words": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "chunk_text": chunk_text,
+        }
+    )

@@ -606,3 +606,28 @@ def test_curation_reason_priority():
     )
     out = st(b)
     assert out["reason"].to_pylist() == ["lang"]
+
+
+def test_chunk_docs_edges():
+    from raydedup.ops.text_stats import chunk_docs
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a b c d e", "", "x " + " ".join(f"w{i}" for i in range(130)), "  two  words  "]
+            ),
+        }
+    )
+    out = chunk_docs(b, "doc_id", chunk_words=64)
+    assert out["doc_id"].to_pylist() == [1, 3, 3, 3, 4]  # empty doc drops
+    assert out["chunk_idx"].to_pylist() == [0, 0, 1, 2, 0]
+    assert out["n_words"].to_pylist() == [5, 64, 64, 3, 2]
+    # chunks tile the doc exactly: rejoining reproduces the word stream
+    joined = " ".join(
+        t for d, t in zip(out["doc_id"].to_pylist(), out["chunk_text"].to_pylist()) if d == 3
+    )
+    assert joined == "x " + " ".join(f"w{i}" for i in range(130))
+    # slice-safety (non-zero batch offset)
+    out2 = chunk_docs(b.slice(2), "doc_id", chunk_words=64)
+    assert out2["n_words"].to_pylist() == [64, 64, 3, 2]
