@@ -842,6 +842,74 @@ def _q_audio_features(sf_dir: str):
     return audio_features(ds, frame_len=400).sort(["audio_id", "frame_idx"])
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """Sub-document (paragraph-level) exact dedup over a corpus with
+    planted partial overlaps: every doc_id % 3 == 0 doc gets a copy
+    whose text is the original plus a distinct 5-word tail, so the
+    copy's leading 32-word chunks duplicate the original's and its
+    tail chunk does not (dup_frac strictly between 0 and 1)."""
+    import ray.data as rd
+
+    from raydedup.ops.exact import paragraph_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def make_copies(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 3 == 0))
+        s = pc.cast(t["doc_id"], pa.string())
+        text2 = pc.binary_join_element_wise(t["text"], "za", s, "zb", s, "zc", " ")
+        return pa.table({"doc_id": pc.add(t["doc_id"], 100000), "text": text2})
+
+    corpus = docs.union(docs.map_batches(make_copies, batch_format="pyarrow"))
+    return paragraph_dedup(corpus, "doc_id", chunk_words=32).sort("doc_id")
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrub over documents with deterministically planted PII
+    (email + IPv4 + phone derived from doc_id, identically planted in
+    the SQL oracle): per-doc redaction counts and the clean text."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import pii_redact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = pc.cast(b["doc_id"], pa.string())
+        m256 = pc.cast(pa.array(ids % 256), pa.string())
+        m10 = pc.cast(pa.array(ids % 10), pa.string())
+        aug = pc.binary_join_element_wise(
+            b["text"],
+            " contact user",
+            s,
+            "@mail.example.com ip 10.0.",
+            m256,
+            ".7 call +1-555-000-0",
+            m10,
+            "",
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": aug})
+
+    return (
+        docs.map_batches(augment, batch_format="pyarrow")
+        .map_batches(lambda b: pii_redact(b, "doc_id"), batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-language sample by murmur3 priority
+    (sidecar oracle: in-process doc_id→priority table + row_number)."""
+    import ray.data as rd
+
+    from raydedup.ops.sample import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(docs, "doc_id", "lang", k=20).sort(["lang", "sample_rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -884,6 +952,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "sig_distance_quantiles": _q_sig_distance_quantiles,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "pii_redact": _q_pii_redact,
+        "stratified_sample": _q_stratified_sample,
     }
 
 
@@ -931,6 +1002,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("quantity_quantiles", "quantity_quantiles.parquet"),
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
+            ("stratified_sample", "stratified_sample.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -971,6 +1043,11 @@ def _ensure_oracle_sidecars() -> set[str]:
             SampleFramesStage(k=4, mode="fake")(synth_video_table(300, seed=42))
         ),
     }
+
+    pr1, _pr2 = _column_hashes(tbl["doc_id"].combine_chunks())
+    outputs["stratified_sample"] = pa.table(
+        {"doc_id": tbl["doc_id"], "priority": pa.array(pr1, pa.uint64())}
+    )
 
     li = pq.read_table(f"{_ORACLE_SF_DIR}/lineitem.parquet", columns=["l_quantity"])
     td = tdigest_column_det(li["l_quantity"], n_buckets=32)
@@ -1059,9 +1136,88 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
         """,
+        "stratified_sample": f"""
+            WITH pr AS (
+              SELECT doc_id, priority
+              FROM read_parquet('{_ORACLE_SIDECAR_DIR}/stratified_sample.parquet')
+            ), r AS (
+              SELECT d.lang, d.doc_id,
+                     row_number() OVER (PARTITION BY d.lang
+                                        ORDER BY pr.priority, d.doc_id) AS rn
+              FROM documents d JOIN pr USING (doc_id)
+            )
+            SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+            FROM r WHERE rn <= 20 ORDER BY lang, sample_rank
+        """,
     }
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     return extra | {
+        "paragraph_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     text || ' za ' || CAST(doc_id AS VARCHAR)
+                          || ' zb ' || CAST(doc_id AS VARCHAR) || ' zc' AS text
+              FROM documents WHERE doc_id % 3 = 0
+            ), words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 w -> len(w) > 0) AS ws
+              FROM corpus
+            ), chunks AS (
+              SELECT doc_id, g.i AS chunk_idx,
+                     array_to_string(ws[(g.i * 32 + 1):((g.i + 1) * 32)], ' ')
+                       AS chunk_text
+              FROM words,
+                   LATERAL (SELECT unnest(range((len(ws) + 31) // 32)) AS i) g
+            ), marked AS (
+              SELECT doc_id,
+                     CASE WHEN row_number() OVER (PARTITION BY chunk_text
+                                                  ORDER BY doc_id, chunk_idx) > 1
+                          THEN 1 ELSE 0 END AS is_dup
+              FROM chunks
+            )
+            SELECT doc_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_chunks,
+                   ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_frac
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com ip 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 call +1-555-000-0'
+                          || CAST(doc_id % 10 AS VARCHAR) AS text
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_email,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                     regexp_replace(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ip,
+                     CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS BIGINT)
+                       AS n_phone,
+                     regexp_replace(text, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS text
+              FROM s2
+            )
+            SELECT doc_id, n_email, n_ip, n_phone, text AS clean_text
+            FROM s3 ORDER BY doc_id
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

@@ -66,6 +66,92 @@ def distinct_texts_theta(ds, text_column: str = "text", lg_k: int = 16):
     return theta_union(sketches)
 
 
+def paragraph_dedup(
+    ds,
+    id_column: str,
+    text_column: str = "text",
+    chunk_words: int = 32,
+    n_buckets: int = 64,
+):
+    """Sub-document exact dedup (the RefinedWeb/CCNet paragraph pass):
+    per-doc fraction of fixed-word-count chunks whose text appears
+    byte-identically at an earlier ``(doc_id, chunk_idx)`` anywhere in
+    the corpus. Returns (id, n_chunks, n_dup_chunks, dup_frac).
+
+    Scale design: chunks are derived and hashed inside their own block
+    (``chunk_docs`` + murmur3-128 — chunk text never shuffles); the
+    content exchange groups coarse hash-buckets, not per-chunk groups,
+    and one lexsort-by-(h, id, idx) run-boundary kernel marks every
+    duplicate in a bucket; per-doc counts pre-aggregate inside the
+    bucket so the second shuffle carries one row per (doc, bucket),
+    not per chunk. ``id_column`` must be numeric (the engine's doc ids
+    are int64).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from raydedup.ops.text_stats import chunk_docs
+
+    U64 = np.uint64
+
+    def to_hashed_chunks(batch: pa.Table) -> pa.Table:
+        ch = chunk_docs(batch, id_column, text_column, chunk_words)
+        h1, h2 = hash_strings(ch["chunk_text"])
+        return pa.table(
+            {
+                "_bkt": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                id_column: ch[id_column],
+                "chunk_idx": ch["chunk_idx"],
+            }
+        )
+
+    def mark_bucket(g: pa.Table) -> pa.Table:
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        cidx = g["chunk_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cidx, ids, h2, h1))
+        sh1, sh2 = h1[order], h2[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+        uid, inv = np.unique(ids[order], return_inverse=True)
+        n = np.bincount(inv, minlength=len(uid)).astype(np.int64)
+        ndup = np.bincount(inv, weights=(~first).astype(np.int64), minlength=len(uid)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                id_column: pa.array(uid),
+                "n_chunks": pa.array(n),
+                "n_dup_chunks": pa.array(ndup),
+            }
+        )
+
+    hashed = ds.select_columns([id_column, text_column]).map_batches(
+        to_hashed_chunks, batch_format="pyarrow"
+    )
+    partials = hashed.groupby("_bkt").map_groups(mark_bucket, batch_format="pyarrow")
+    out = partials.groupby(id_column).aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_dup_chunks", alias_name="n_dup_chunks"),
+    )
+
+    def add_frac(batch: pa.Table) -> pa.Table:
+        frac = pc.round(
+            pc.divide(
+                pc.cast(batch["n_dup_chunks"], pa.float64()),
+                pc.cast(batch["n_chunks"], pa.float64()),
+            ),
+            ndigits=6,
+        )
+        return batch.append_column("dup_frac", frac)
+
+    return out.map_batches(add_frac, batch_format="pyarrow")
+
+
 def flag_new_docs(
     new_ds,
     base_ds,

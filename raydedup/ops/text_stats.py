@@ -418,3 +418,32 @@ def chunk_docs(
             "chunk_text": chunk_text,
         }
     )
+
+
+# PII patterns — RE2 syntax so the Arrow kernel and a DuckDB
+# `regexp_replace(..., 'g')` oracle execute the SAME automaton.
+# Order matters (emails carry digits; IPs carry dots): email → ip → phone.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
+    """Redact PII spans (emails, IPv4s, phone-like digit runs) and
+    count each kind — the corpus-hygiene pass a training pipeline runs
+    before tokenization. Returns (id, n_email, n_ip, n_phone,
+    clean_text). One compiled-RE2 Arrow kernel per pattern over the
+    whole batch; patterns apply in a fixed order so counts are
+    non-overlapping by construction.
+    """
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out: dict[str, object] = {id_column: batch[id_column]}
+    for name, pattern, token in PII_PATTERNS:
+        out[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+        text = pc.replace_substring_regex(text, pattern, token)
+    out["clean_text"] = text
+    return pa.table(out)

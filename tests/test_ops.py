@@ -631,3 +631,103 @@ def test_chunk_docs_edges():
     # slice-safety (non-zero batch offset)
     out2 = chunk_docs(b.slice(2), "doc_id", chunk_words=64)
     assert out2["n_words"].to_pylist() == [64, 64, 3, 2]
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """Brute-force check: chunk-level dup marking matches a
+    dict-based single-process replay on a corpus with full copies,
+    partial (prefix) copies, and within-doc repetition."""
+    from raydedup.ops.exact import paragraph_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {}
+    for d in range(12):
+        docs[d] = [vocab[i] for i in rng.integers(0, len(vocab), size=int(rng.integers(30, 120)))]
+    docs[20] = list(docs[0])  # full copy
+    docs[21] = docs[1][:64] + ["zz", "qq"] * 10  # prefix copy + distinct tail
+    docs[22] = docs[2][:8] + docs[2][:8]  # within-doc repetition (chunk 8)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([" ".join(docs[d]) for d in sorted(docs)]),
+        }
+    )
+
+    # single-process replay with text keys
+    CH = 8
+    seen: set = set()
+    expect: dict[int, tuple[int, int]] = {}
+    for d in sorted(docs):
+        ws = docs[d]
+        chunks = [" ".join(ws[i : i + CH]) for i in range(0, len(ws), CH)]
+        ndup = 0
+        for c in chunks:
+            if c in seen:
+                ndup += 1
+            else:
+                seen.add(c)
+        expect[d] = (len(chunks), ndup)
+
+    ds = rd.from_arrow(tbl).repartition(4)
+    out = paragraph_dedup(ds, "doc_id", chunk_words=CH, n_buckets=8).to_pandas()
+    got = {int(r.doc_id): (int(r.n_chunks), int(r.n_dup_chunks)) for r in out.itertuples()}
+    assert got == expect
+    full = out[out.doc_id == 20]
+    assert float(full.dup_frac.iloc[0]) == 1.0
+
+
+def test_pii_redact_counts_and_text():
+    from raydedup.ops.text_stats import pii_redact
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "write a@b.co and c.d+x@e.org now",
+                    "server 192.168.0.1 dial +44 20 7946 0958 end",
+                    "plain words only",
+                ]
+            ),
+        }
+    )
+    out = pii_redact(t, "doc_id").to_pylist()
+    assert out[0]["n_email"] == 2 and "<EMAIL>" in out[0]["clean_text"]
+    assert "@" not in out[0]["clean_text"]
+    assert out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
+    assert "<IP>" in out[1]["clean_text"] and "<PHONE>" in out[1]["clean_text"]
+    assert out[2] == {
+        "doc_id": 2,
+        "n_email": 0,
+        "n_ip": 0,
+        "n_phone": 0,
+        "clean_text": "plain words only",
+    }
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """k smallest priorities per stratum, invariant to blocking."""
+    from raydedup.ops.sample import stratified_sample
+    from raydedup.sketches.aggregates import _column_hashes
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, size=n)]
+    tbl = pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+    h, _ = _column_hashes(tbl["doc_id"])
+
+    expect = {}
+    for lang in np.unique(langs):
+        m = langs == lang
+        order = np.lexsort((ids[m], h[m]))
+        expect[lang] = list(ids[m][order][:7])
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        out = stratified_sample(ds, "doc_id", "lang", k=7).to_pandas()
+        for lang, exp_ids in expect.items():
+            sub = out[out.lang == lang].sort_values("sample_rank")
+            assert list(sub.doc_id) == exp_ids
+            assert list(sub.sample_rank) == list(range(1, len(exp_ids) + 1))
