@@ -703,6 +703,9 @@ def verify_pairs(
         lref = _assemble_payload.remote(*packed.get_internal_block_refs())
         if timing:
             print(f"[verify] pack+collect {time.time()-_t1:.2f}", file=sys.stderr)
+            _t1 = time.time()
+            ray.wait([lref])  # timing-only: isolate the assemble task
+            print(f"[verify] assemble {time.time()-_t1:.2f}", file=sys.stderr)
         return pairs.map_batches(
             _verify_broadcast_fn,
             fn_args=(lref, cfg.num_perms, cfg.threshold),
