@@ -48,22 +48,17 @@ def distinct_texts_theta(ds, text_column: str = "text", lg_k: int = 16):
     estimate above (``theta/sketch.rs:371-383``). Returns the merged
     ThetaSketch — callers take ``.estimate()``.
     """
+    from raydedup.sketches.aggregates import block_reduce
     from raydedup.sketches.theta import ThetaSketch, theta_union
 
-    def partial(batch: pa.Table) -> pa.Table:
-        h1, _ = hash_strings(batch[text_column])
-        sk = ThetaSketch.from_hashes(h1 >> np.uint64(1), lg_k=lg_k)
-        return pa.table({"sketch": pa.array([sk.to_bytes()], pa.binary())})
+    def partial(block: pa.Table):
+        h1, _ = hash_strings(block[text_column])
+        return ThetaSketch.from_hashes(h1 >> np.uint64(1), lg_k=lg_k)
 
-    parts = ds.select_columns([text_column]).map_batches(partial, batch_format="pyarrow")
-    sketches = [
-        ThetaSketch.from_bytes(blob)
-        for b in parts.iter_batches(batch_format="pyarrow")
-        for blob in b["sketch"].to_pylist()
-    ]
-    if not sketches:
-        return ThetaSketch.new_empty(lg_k)
-    return theta_union(sketches)
+    sk = ds.select_columns([text_column]).aggregate(
+        block_reduce(partial, lambda a, b: theta_union([a, b]), name="sketch")
+    )["sketch"]
+    return sk if sk is not None else ThetaSketch.new_empty(lg_k)
 
 
 def paragraph_dedup(

@@ -246,12 +246,15 @@ _BCAST_CACHE: dict = {}
 
 
 @ray.remote
-def _assemble_payload(*blocks):
-    """Concatenate + hash-sort the packed payload blocks into the
-    broadcast tuple. Runs as ONE remote task so the bytes never pass
-    through the driver: blocks arrive worker→worker via the object
-    store, the sorted result is stored once as the task output, and
-    the driver forwards only the ObjectRef.
+def _assemble_payload(shard, n_shards, *blocks):
+    """Concatenate + hash-sort one SHARD (``uh & (n_shards-1) ==
+    shard``) of the packed payload blocks into a broadcast tuple.
+    The driver launches ``n_shards`` of these in parallel over the
+    same block refs, so the assembly memcpy+sort+plasma-store — the
+    measured ~0.7-1.1 s serial floor of the verify stage at 240k docs
+    when it ran as ONE task — parallelizes S-way while each payload
+    byte is still copied exactly once. Blocks arrive worker→worker via
+    the object store; the driver forwards only the ObjectRefs.
 
     The tuple is PURE NUMERIC numpy arrays — (sorted url-hashes, one
     flat u64 payload buffer, per-doc word heads, utf8 url bytes, url
@@ -260,7 +263,17 @@ def _assemble_payload(*blocks):
     object-array form (per-doc bytes/str objects) unpickling ~400 MB
     *per worker process*: 32 verify workers thrashed one memory
     controller reconstructing millions of Python objects each."""
-    tabs = [b for b in blocks if len(b)]
+    tabs = []
+    for b in blocks:
+        if len(b) == 0:
+            continue
+        if n_shards > 1:
+            uh = b["uh"].to_numpy(zero_copy_only=False)
+            mask = (uh & U64(n_shards - 1)) == U64(shard)
+            if not mask.any():
+                continue
+            b = b.filter(pa.array(mask))
+        tabs.append(b)
     if not tabs:
         return (
             np.empty(0, U64),
@@ -293,57 +306,95 @@ def _assemble_payload(*blocks):
     return (hs[order], order, buf, heads, url_data, uoff)
 
 
-def _verify_broadcast_fn(batch: pa.Table, ref, num_perms: int, threshold: float) -> pd.DataFrame:
-    """Verify pairs against the broadcast numeric payload — vectorized
-    searchsorted resolution, no per-row dict, no per-doc Python
-    objects: ``ray.get`` returns zero-copy views into plasma, and urls
-    are rehydrated as ONE zero-copy Arrow string array, decoded only
-    for the pairs actually in this batch (``take``).
+def _resolve_in(shard, h: np.ndarray) -> np.ndarray:
+    """Sorted-hash lookup within one broadcast shard: sorted-pos hit →
+    original payload row via the shard's ``order`` permutation."""
+    hashes, order = shard[0], shard[1]
+    if len(hashes) == 0:
+        return np.full(len(h), -1, np.int64)
+    pos = np.minimum(np.searchsorted(hashes, h), len(hashes) - 1)
+    return np.where(hashes[pos] == h, order[pos], -1)
+
+
+def _verify_shard_pair(shard_a, shard_b, ha, hb, num_perms: int, threshold: float):
+    """Run the metrics kernel for pairs whose A side lives in
+    ``shard_a`` and B side in ``shard_b``. Returns None when no pair
+    resolves on both sides."""
+    ia, ib = _resolve_in(shard_a, ha), _resolve_in(shard_b, hb)
+    keep = (ia >= 0) & (ib >= 0)
+    ia, ib = ia[keep], ib[keep]
+    if len(ia) == 0:
+        return None
+    _, _, buf_a, heads_a, urls_a = shard_a
+    _, _, buf_b, heads_b, urls_b = shard_b
+    # payload-locality order: process the group's pairs in ascending
+    # broadcast-buffer address so the big per-pair gathers stream the
+    # shared payload quasi-sequentially instead of random-walking it
+    # (the broadcast is ~4 KB/doc × all candidate docs; output row
+    # order is irrelevant — pairs are a set)
+    lo = np.minimum(heads_a[ia], heads_b[ib])
+    order = np.argsort(lo, kind="stable")
+    ia, ib = ia[order], ib[order]
+    url_a = urls_a.take(pa.array(ia)).to_numpy(zero_copy_only=False)
+    url_b = urls_b.take(pa.array(ib)).to_numpy(zero_copy_only=False)
+    return _metrics_from_buffers(
+        url_a, url_b, buf_a, heads_a[ia], buf_b, heads_b[ib], num_perms, threshold
+    )
+
+
+def _verify_broadcast_fn(batch: pa.Table, refs, num_perms: int, threshold: float) -> pd.DataFrame:
+    """Verify pairs against the sharded broadcast numeric payload —
+    vectorized searchsorted resolution, no per-row dict, no per-doc
+    Python objects: ``ray.get`` returns zero-copy views into plasma,
+    and urls are rehydrated as ONE zero-copy Arrow string array per
+    shard, decoded only for the pairs actually in this batch
+    (``take``).
+
+    ``refs`` is the list of per-shard assembly ObjectRefs (shard =
+    ``uh & (S-1)``, S a power of two). Each batch groups its pairs by
+    (shard_a, shard_b) — ≤ S² vectorized kernel calls over whole-block
+    batches — so the kernel still sees one flat buffer per side.
 
     Task form with a process-global ``ray.get`` cache: Ray reuses
     worker processes, so the broadcast resolves once per worker without
     paying an actor pool's spawn/ramp latency (same rationale as
     ``lsh.signature_batch_fn``)."""
-    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    key = tuple(r.hex() if hasattr(r, "hex") else id(r) for r in refs)
     got = _BCAST_CACHE.get(key)
     if got is None:
         if len(_BCAST_CACHE) > 8:  # old broadcasts from finished runs
             _BCAST_CACHE.clear()
-        hashes, order, buf, heads, url_data, url_off = ray.get(ref)
-        urls = pa.Array.from_buffers(
-            pa.large_string(),
-            len(heads),
-            [None, pa.py_buffer(url_off), pa.py_buffer(url_data)],
-        )
-        got = _BCAST_CACHE[key] = (hashes, order, buf, heads, urls)
-    hashes, order, buf, heads, urls = got
-    if len(batch) == 0 or len(hashes) == 0:
+        got = []
+        for hashes, order, buf, heads, url_data, url_off in ray.get(list(refs)):
+            urls = pa.Array.from_buffers(
+                pa.large_string(),
+                len(heads),
+                [None, pa.py_buffer(url_off), pa.py_buffer(url_data)],
+            )
+            got.append((hashes, order, buf, heads, urls))
+        _BCAST_CACHE[key] = got
+    if len(batch) == 0 or not any(len(s[0]) for s in got):
         return _EMPTY_METRICS
-
-    def resolve(h: np.ndarray) -> np.ndarray:
-        # sorted-pos hit -> original payload row via `order`
-        pos = np.minimum(np.searchsorted(hashes, h), len(hashes) - 1)
-        return np.where(hashes[pos] == h, order[pos], -1)
 
     ha, hb = _pair_hashes(batch)
-    ia, ib = resolve(ha), resolve(hb)
-    keep = (ia >= 0) & (ib >= 0)
-    ia, ib = ia[keep], ib[keep]
-    if len(ia) == 0:
+    s = len(got)
+    if s == 1:
+        out = _verify_shard_pair(got[0], got[0], ha, hb, num_perms, threshold)
+        return out if out is not None else _EMPTY_METRICS
+    sa = (ha & U64(s - 1)).astype(np.int64)
+    sb = (hb & U64(s - 1)).astype(np.int64)
+    gkey = sa * s + sb
+    frames = []
+    for g in np.unique(gkey):
+        m = gkey == g
+        r = _verify_shard_pair(
+            got[int(g) // s], got[int(g) % s], ha[m], hb[m], num_perms, threshold
+        )
+        if r is not None:
+            frames.append(r)
+    if not frames:
         return _EMPTY_METRICS
-    # payload-locality order: process the batch's pairs in ascending
-    # broadcast-buffer address so the big per-pair gathers stream the
-    # shared payload quasi-sequentially instead of random-walking it
-    # (the broadcast is ~4 KB/doc × all candidate docs; output row
-    # order is irrelevant — pairs are a set)
-    lo = np.minimum(heads[ia], heads[ib])
-    order = np.argsort(lo, kind="stable")
-    ia, ib = ia[order], ib[order]
-    url_a = urls.take(pa.array(ia)).to_numpy(zero_copy_only=False)
-    url_b = urls.take(pa.array(ib)).to_numpy(zero_copy_only=False)
-    return _metrics_from_buffers(
-        url_a, url_b, buf, heads[ia], buf, heads[ib], num_perms, threshold
-    )
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
 
 class _BlockReduce:
@@ -696,20 +747,29 @@ def verify_pairs(
             .map_batches(_pack_payload, batch_format="pyarrow")
             .materialize()
         )
-        # assemble + sort the broadcast payload in ONE remote task:
-        # packed blocks move worker→worker through the object store and
-        # the driver only handles the ref — no serial driver-side
-        # iterate/concat/argsort over the payload bytes
-        lref = _assemble_payload.remote(*packed.get_internal_block_refs())
+        # assemble + sort the broadcast payload in S parallel remote
+        # tasks (hash-sharded on uh): packed blocks move worker→worker
+        # through the object store and the driver only handles the
+        # refs — no serial driver-side iterate/concat/argsort over the
+        # payload bytes, and the single-task assembly's measured
+        # ~0.7-1.1 s serial floor (240k docs) parallelizes S-way
+        n_shards = int(os.environ.get("RAYDEDUP_BCAST_SHARDS", "4"))
+        n_shards = max(1, 1 << (n_shards.bit_length() - 1))  # power of 2
+        block_refs = packed.get_internal_block_refs()
+        refs = [
+            _assemble_payload.remote(shard, n_shards, *block_refs)
+            for shard in range(n_shards)
+        ]
         if timing:
             print(f"[verify] pack+collect {time.time()-_t1:.2f}", file=sys.stderr)
             _t1 = time.time()
-            ray.wait([lref])  # timing-only: isolate the assemble task
+            ray.wait(refs, num_returns=len(refs))  # timing-only
             print(f"[verify] assemble {time.time()-_t1:.2f}", file=sys.stderr)
         return pairs.map_batches(
             _verify_broadcast_fn,
-            fn_args=(lref, cfg.num_perms, cfg.threshold),
+            fn_args=(refs, cfg.num_perms, cfg.threshold),
             batch_format="pyarrow",
+            batch_size=None,  # whole blocks: bigger (shard_a, shard_b) groups
         )
 
     # distributed paths: Bloom pre-filter instead of an exact driver set
