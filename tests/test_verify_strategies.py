@@ -70,3 +70,30 @@ def test_confirm_substrings_cogroup_parity(ray_session):
     m = outs["broadcast"].set_index(["url_a", "url_b"])["substring"]
     assert m[("u1", "u0")] and m[("u2", "u0")] and m[("u5", "u4")]
     assert not m[("u3", "u0")] and not m[("u3", "missing")]
+
+
+@pytest.mark.parametrize("n_shards", ["1", "2", "8"])
+def test_broadcast_shard_count_invariant(ray_session, monkeypatch, n_shards):
+    """The sharded broadcast assembly (uh & (S-1) shard split + per-
+    (shard_a, shard_b) kernel grouping) returns identical metrics for
+    any shard count, including the unsharded S=1 path."""
+    monkeypatch.setenv("RAYDEDUP_BCAST_SHARDS", n_shards)
+    pages, _ = generate_pages(800, seed=7)
+    cfg = DedupConfig()
+    sigs = build_signatures(rd.from_arrow(pages.select(["url", "text"])), cfg).materialize()
+    cands = candidate_pairs(sigs, cfg, n_buckets=16).materialize()
+    out = (
+        verify_pairs(cands, sigs, cfg, strategy="broadcast")
+        .to_pandas()
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.delenv("RAYDEDUP_BCAST_SHARDS")
+    ref = (
+        verify_pairs(cands, sigs, cfg, strategy="cogroup")
+        .to_pandas()
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) > 50
+    pd.testing.assert_frame_equal(out, ref)
