@@ -215,6 +215,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
+        # host-throttle probe (see _canary): ~0.1-0.2 s on a clean
+        # window, 1.5-9 s inside this VM's whole-box throttle windows —
+        # lets any recorded run be read alongside the window it ran in
+        "canary_sec": _canary(),
     }
 
 
