@@ -657,7 +657,7 @@ def verify_pairs(
     cfg: DedupConfig,
     num_partitions: int = 8,
     strategy: str = "auto",
-    broadcast_limit: int = 200_000,
+    broadcast_limit: int = 1_000_000,
 ):
     """pairs (ha, hb uint64) × signatures → verified pair metrics Dataset.
 
@@ -670,13 +670,18 @@ def verify_pairs(
     (``_candidate_bloom``) so driver memory stays O(filter bits)
     regardless of candidate count — the scale-safe shape.
 
-    ``broadcast_limit`` (unique candidate DOCS) is a worker-memory
-    knob, not a driver one: the payload image is ~4 KB/doc, so the
-    default 200k caps the per-worker resident broadcast at ~800 MB.
+    ``broadcast_limit`` (unique candidate DOCS) is a NODE-memory knob,
+    not a driver or per-worker one: the sharded payload image is
+    ~4 KB/doc held ONCE per node in plasma (every worker maps it
+    zero-copy — ``_verify_broadcast_fn`` reconstructs views, never
+    copies), so the default 1M caps the per-node resident broadcast
+    at ~4 GB, small against any node that can run this pipeline.
     Below it, broadcast wins big — the cogroup alternative ships each
     doc's payload once per PAIR it appears in (dup-dense corpora
-    average ~10 pairs/doc), a payload×degree sort-shuffle. At 10^12-doc
-    scale candidate counts exceed any such limit and cogroup engages.
+    average ~10 pairs/doc), a payload×degree sort-shuffle measured
+    ~16x the broadcast stage cost at the 960k-doc crossover
+    (BASELINE.md size sweep). At 10^12-doc scale candidate counts
+    exceed any per-node limit and cogroup engages.
     """
     import os
     import sys
