@@ -554,7 +554,27 @@ def _bloom_filter_fn(batch: pa.Table, ref) -> pa.Table:
 
 def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
     """Fully distributed attach: bucketed cogroup on url-hash, then
-    regroup on pair id — two sort-shuffles, nothing driver-side."""
+    regroup on pair id — two sort-shuffles, nothing driver-side.
+
+    Measured alternatives (240k-doc corpus, 32 CPUs, matched windows),
+    kept for the record so the shape isn't re-litigated blind:
+
+    - THIS design: 32.1 s. Payload travels once per pair-side; the
+      candidate generator's sorted-neighbor chain capping
+      (``lsh.emit_pairs_bucket``, ``max_band_group``) already bounds
+      per-doc degree to ~2-4, so "payload × degree" is payload × a
+      small constant, not × cluster size.
+    - Degree-deduped variant (payloads routed once per distinct
+      (pair-bucket, doc), pair buckets keyed on min-member to
+      co-locate cliques): 56.0 s — the extra pairs pass, the third
+      union leg, and a second sort of the deduped payloads cost more
+      than the ~2x volume saving when degree is already capped.
+    - ``strategy="join"`` (two Dataset.join hash shuffles): 30.1 s —
+      parity with cogroup; both are bounded by Ray's all-to-all over
+      binary payload columns, not by the attach shape.
+
+    Below ``broadcast_limit`` candidates the broadcast path wins ~10x
+    over all of these (sharded plasma image, zero payload shuffle)."""
     num_perms, threshold = cfg.num_perms, cfg.threshold
 
     def to_requests(batch: pa.Table) -> pa.Table:
