@@ -910,6 +910,71 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, "doc_id", "lang", k=20).sort(["lang", "sample_rank"])
 
 
+def _derive_messy_urls(b: pa.Table) -> pa.Table:
+    """doc_id → deterministically messy URL (mixed case, default and
+    non-default ports, tracking params, fragments) — identically
+    derived by the SQL oracles so the normalizer is what's tested."""
+    ids = pc.cast(b["doc_id"], pa.int64())
+
+    def m(k):
+        return _mod(ids, k)
+
+    def s(x):
+        return pc.cast(x, pa.string())
+
+    sch = pc.if_else(pc.equal(m(2), 1), "HTTPS", "HTTP")
+    www = pc.if_else(pc.equal(m(3), 0), "WWW.", "")
+    m4 = m(4)
+    port = pc.if_else(
+        pc.equal(m4, 0),
+        ":443",
+        pc.if_else(pc.equal(m4, 1), ":80", pc.if_else(pc.equal(m4, 2), ":8080", "")),
+    )
+    m5, q9 = m(5), s(m(9))
+    query = pc.if_else(
+        pc.less(m5, 2),
+        pc.binary_join_element_wise("?utm_source=feed&q=", q9, "&utm_medium=rss", ""),
+        pc.if_else(
+            pc.equal(m5, 2),
+            pc.binary_join_element_wise("?q=", q9, "&gclid=abc", ""),
+            pc.if_else(pc.equal(m5, 3), pc.binary_join_element_wise("?q=", q9, ""), ""),
+        ),
+    )
+    frag = pc.if_else(pc.equal(m(6), 0), "#sec", "")
+    url = pc.binary_join_element_wise(
+        sch, "://", www, "Sub", s(m(11)), ".Example", s(m(50)), ".COM",
+        port, "/p/", s(ids), query, frag, ""
+    )
+    return pa.table({"doc_id": b["doc_id"], "url": url})
+
+
+def _q_url_normalize(sf_dir: str):
+    """URL canonicalization (lowercased scheme/host, default ports
+    dropped, fragments and utm_*/gclid/fbclid stripped) + naive
+    registered domain, over deterministically messy derived URLs."""
+    import ray.data as rd
+
+    from raydedup.ops.urltools import normalize_urls
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    urls = docs.map_batches(_derive_messy_urls, batch_format="pyarrow")
+    out = normalize_urls(urls, column="url")
+    return out.select_columns(["doc_id", "url_norm", "domain"]).sort("doc_id")
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per registered-domain rollup (doc count + total normalized-url
+    length) — the domain-level gating aggregate, one small groupby
+    after the map-side normalize."""
+    import ray.data as rd
+
+    from raydedup.ops.urltools import domain_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    urls = docs.map_batches(_derive_messy_urls, batch_format="pyarrow")
+    return domain_stats(urls, column="url").sort("domain")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -955,6 +1020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "url_normalize": _q_url_normalize,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -1723,6 +1790,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
             FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
             ORDER BY d.doc_id
+        """,
+        "url_normalize": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'HTTP' END
+                 || '://'
+                 || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                 || 'Sub' || CAST(doc_id % 11 AS VARCHAR) || '.Example'
+                 || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+                 || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                         WHEN doc_id % 4 = 1 THEN ':80'
+                         WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END
+                 || '/p/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 5 < 2 THEN '?utm_source=feed&q='
+                              || CAST(doc_id % 9 AS VARCHAR) || '&utm_medium=rss'
+                         WHEN doc_id % 5 = 2 THEN '?q='
+                              || CAST(doc_id % 9 AS VARCHAR) || '&gclid=abc'
+                         WHEN doc_id % 5 = 3 THEN '?q=' || CAST(doc_id % 9 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]+)', 1)) AS host,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]+(:[0-9]+)?', '') AS rest
+              FROM raw
+            ), cleaned AS (
+              SELECT doc_id, scheme, host, port,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(rest, '#.*$', '', 'g'),
+                  '([?&])(?:utm_[^=&#]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+                  '\?&', '?', 'g'),
+                  '&&+', '&', 'g'),
+                  '[?&]$', '', 'g') AS rest
+              FROM parts
+            )
+            SELECT doc_id,
+              scheme || '://' || host ||
+              CASE WHEN port = '' THEN ''
+                   WHEN scheme = 'http' AND port = '80' THEN ''
+                   WHEN scheme = 'https' AND port = '443' THEN ''
+                   ELSE ':' || port END || rest AS url_norm,
+              CASE WHEN regexp_extract(regexp_replace(host, '^www\.', ''),
+                                       '([^.]+\.[^.]+)$', 1) = ''
+                   THEN regexp_replace(host, '^www\.', '')
+                   ELSE regexp_extract(regexp_replace(host, '^www\.', ''),
+                                       '([^.]+\.[^.]+)$', 1) END AS domain
+            FROM cleaned ORDER BY doc_id
+        """,
+        "domain_stats": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'HTTP' END
+                 || '://'
+                 || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                 || 'Sub' || CAST(doc_id % 11 AS VARCHAR) || '.Example'
+                 || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+                 || CASE WHEN doc_id % 4 = 0 THEN ':443'
+                         WHEN doc_id % 4 = 1 THEN ':80'
+                         WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END
+                 || '/p/' || CAST(doc_id AS VARCHAR)
+                 || CASE WHEN doc_id % 5 < 2 THEN '?utm_source=feed&q='
+                              || CAST(doc_id % 9 AS VARCHAR) || '&utm_medium=rss'
+                         WHEN doc_id % 5 = 2 THEN '?q='
+                              || CAST(doc_id % 9 AS VARCHAR) || '&gclid=abc'
+                         WHEN doc_id % 5 = 3 THEN '?q=' || CAST(doc_id % 9 AS VARCHAR)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#:]+)', 1)) AS host,
+                regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#:]+(:[0-9]+)?', '') AS rest
+              FROM raw
+            ), cleaned AS (
+              SELECT doc_id, scheme, host, port,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(rest, '#.*$', '', 'g'),
+                  '([?&])(?:utm_[^=&#]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+                  '\?&', '?', 'g'),
+                  '&&+', '&', 'g'),
+                  '[?&]$', '', 'g') AS rest
+              FROM parts
+            ), norm AS (
+              SELECT doc_id,
+                scheme || '://' || host ||
+                CASE WHEN port = '' THEN ''
+                     WHEN scheme = 'http' AND port = '80' THEN ''
+                     WHEN scheme = 'https' AND port = '443' THEN ''
+                     ELSE ':' || port END || rest AS url_norm,
+                CASE WHEN regexp_extract(regexp_replace(host, '^www\.', ''),
+                                         '([^.]+\.[^.]+)$', 1) = ''
+                     THEN regexp_replace(host, '^www\.', '')
+                     ELSE regexp_extract(regexp_replace(host, '^www\.', ''),
+                                         '([^.]+\.[^.]+)$', 1) END AS domain
+              FROM cleaned
+            )
+            SELECT domain, COUNT(*) AS n_docs,
+                   CAST(SUM(length(url_norm)) AS BIGINT) AS total_url_len
+            FROM norm GROUP BY domain ORDER BY domain
         """,
         # Every query has an oracle: the kernel-/sketch-valued ones
         # (fingerprints, simhash_pairs, audio/image_features,

@@ -731,3 +731,67 @@ def test_stratified_sample_deterministic(ray_session):
             sub = out[out.lang == lang].sort_values("sample_rank")
             assert list(sub.doc_id) == exp_ids
             assert list(sub.sample_rank) == list(range(1, len(exp_ids) + 1))
+
+
+def test_url_normalize_kernel():
+    """Canonicalization rules: case, default ports, fragments,
+    tracking params, delimiter repair, naive registered domain,
+    unparseable pass-through."""
+    import pyarrow as pa
+
+    from raydedup.ops.urltools import normalize_url_column
+
+    urls = pa.array(
+        [
+            "HTTPS://WWW.Example.COM:443/Path/Q?utm_source=x&id=7&utm_medium=y#frag",
+            "http://Site.org:80/a?gclid=99",
+            "https://host.net:80/a",  # 80 is NOT the https default: kept
+            "http://sub.dom.net:8080/k?a=1&fbclid=z&b=2",
+            "https://example.com/plain",
+            "HTTP://HOST.COM/x?utm_a=1&utm_b=2",
+            "not a url",
+        ]
+    )
+    norm, domain = normalize_url_column(urls)
+    assert norm.to_pylist() == [
+        "https://www.example.com/Path/Q?id=7",
+        "http://site.org/a",
+        "https://host.net:80/a",
+        "http://sub.dom.net:8080/k?a=1&b=2",
+        "https://example.com/plain",
+        "http://host.com/x",
+        "not a url",
+    ]
+    assert domain.to_pylist() == [
+        "example.com",
+        "site.org",
+        "host.net",
+        "dom.net",
+        "example.com",
+        "host.com",
+        None,
+    ]
+
+
+def test_domain_stats_rollup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.ops.urltools import domain_stats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": [
+                    "https://a.one.com/x",
+                    "http://WWW.One.COM:80/y",
+                    "https://two.org/z?utm_q=1",
+                ]
+            }
+        )
+    )
+    out = domain_stats(ds).to_pandas().sort_values("domain").reset_index(drop=True)
+    assert list(out.domain) == ["one.com", "two.org"]
+    assert list(out.n_docs) == [2, 1]
+    assert out.total_url_len[0] == len("https://a.one.com/x") + len("http://www.one.com/y")
+    assert out.total_url_len[1] == len("https://two.org/z")
