@@ -60,3 +60,38 @@ def test_atomic_write_no_partial_stage(ray_session, corpus, tmp_path_factory):
 
     os.makedirs(f"{root}/signatures.tmp")
     assert not ck.has_stage("signatures")
+
+def test_job_cli_end_to_end(ray_session, corpus, tmp_path_factory):
+    """The ``ray job submit`` entrypoint (pipeline/job.py) runs end to
+    end: parquet in → assignments/ + dup_pairs/ out, resumable via the
+    checkpoint dir, and it does NOT tear down a Ray session it does
+    not own."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from raydedup.pipeline.job import main
+
+    root = tmp_path_factory.mktemp("jobcli")
+    inp = str(root / "pages.parquet")
+    pq.write_table(corpus.select(["url", "text"]), inp)
+    out1, out2 = str(root / "out1"), str(root / "out2")
+    ck = str(root / "ckpt")
+
+    assert main(["--input", inp, "--output", out1, "--checkpoint", ck]) == 0
+    assert ray.is_initialized()  # session belonged to the test fixture
+    a1 = rd.read_parquet(f"{out1}/assignments")
+    assert a1.count() == corpus.num_rows
+    assert sorted(a1.schema().names) == ["cluster_id", "url"]
+    assert rd.read_parquet(f"{out1}/dup_pairs").count() > 0
+
+    # resume from the same checkpoint: identical assignments, new output dir
+    assert main(["--input", inp, "--output", out2, "--checkpoint", ck]) == 0
+    df1 = a1.to_pandas().sort_values("url").reset_index(drop=True)
+    df2 = (
+        rd.read_parquet(f"{out2}/assignments")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert df1.equals(df2)
