@@ -778,8 +778,8 @@ def verify_pairs(
         # refs — no serial driver-side iterate/concat/argsort over the
         # payload bytes, and the single-task assembly's measured
         # ~0.7-1.1 s serial floor (240k docs) parallelizes S-way
-        n_shards = int(os.environ.get("RAYDEDUP_BCAST_SHARDS", "4"))
-        n_shards = max(1, 1 << (n_shards.bit_length() - 1))  # power of 2
+        n_shards = max(1, int(os.environ.get("RAYDEDUP_BCAST_SHARDS", "4")))
+        n_shards = 1 << (n_shards.bit_length() - 1)  # round down to power of 2
         block_refs = packed.get_internal_block_refs()
         refs = [
             _assemble_payload.remote(shard, n_shards, *block_refs)
