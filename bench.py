@@ -122,7 +122,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = None
     stages: dict = {}
     res = None
-    for trial in range(int(os.environ.get("RAYDEDUP_E2E_TRIALS", "2"))):
+    for trial in range(int(os.environ.get("RAYDEDUP_E2E_TRIALS", "3"))):
         tr_stages: dict = {}
         t0 = time.time()
         pages = rd.read_parquet(page_files, columns=["url", "text"])
