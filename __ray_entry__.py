@@ -975,6 +975,48 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(urls, column="url").sort("domain")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): deterministic distributed spherical
+    k-means over the embeddings + within-cluster cosine dedup. The
+    fixed-point Lloyd iterations make the output a pure function of the
+    row multiset, so the sidecar (same kernels, one process, no Ray)
+    checks the distributed plumbing value-exact."""
+    import ray.data as rd
+
+    from raydedup.ops.semdedup import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=8, tau=0.45, n_iters=10).sort("vec_id")
+
+
+def _q_tiered_dedup(sf_dir: str):
+    """Three-tier web-scale dedup (the graft's namesake): exact hash →
+    MinHash-LSH near-dup → embedding-cosine semantic, each tier over
+    the previous tier's survivors; every doc labeled with the first
+    tier that removed it and its keeper. Exact-dup coverage is planted
+    (doc_id+100000 copies of every doc_id % 7 == 0) since the synth
+    corpus has no byte-identical texts; the SQL oracle derives the
+    same augmented corpus."""
+    import ray.data as rd
+
+    from raydedup.pipeline.tiered import tiered_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted_copies(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(_mod(batch["doc_id"], 7), 0))
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], pa.scalar(100000, pa.int64())),
+                "text": sel["text"],
+            }
+        )
+
+    aug = docs.union(docs.map_batches(planted_copies, batch_format="pyarrow"))
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -1022,6 +1064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "url_normalize": _q_url_normalize,
         "domain_stats": _q_domain_stats,
+        "semantic_dedup": _q_semantic_dedup,
+        "tiered_dedup": _q_tiered_dedup,
     }
 
 
@@ -1070,6 +1114,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
+            ("semantic_dedup", "semantic_dedup.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -1110,6 +1155,15 @@ def _ensure_oracle_sidecars() -> set[str]:
             SampleFramesStage(k=4, mode="fake")(synth_video_table(300, seed=42))
         ),
     }
+
+    embt = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from raydedup.ops.ann import _emb_matrix
+    from raydedup.ops.semdedup import semantic_dedup_local
+
+    sem = semantic_dedup_local(
+        embt["vec_id"].to_numpy(), _emb_matrix(embt, "embedding"), k=8, tau=0.45, n_iters=10
+    )
+    outputs["semantic_dedup"] = pa.Table.from_pandas(sem, preserve_index=False)
 
     pr1, _pr2 = _column_hashes(tbl["doc_id"].combine_chunks())
     outputs["stratified_sample"] = pa.table(
@@ -1203,6 +1257,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
         """,
+        "semantic_dedup": f"""
+            SELECT vec_id, cluster, sim_centroid, keep
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/semantic_dedup.parquet')
+            ORDER BY vec_id
+        """,
         "stratified_sample": f"""
             WITH pr AS (
               SELECT doc_id, priority
@@ -1219,6 +1278,74 @@ def oracle_sql() -> dict[str, str]:
     }
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     return extra | {
+        "tiered_dedup": r"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0
+            ), t1 AS (
+              SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS keeper1
+              FROM corpus
+            ), s1 AS (
+              SELECT c.doc_id, c.text FROM corpus c
+              JOIN t1 ON t1.doc_id = c.doc_id WHERE t1.keeper1 = c.doc_id
+            ), words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM s1
+            ), sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.doc_id AS ua, b.doc_id AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT doc_id, doc_id FROM s1
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), t2 AS (
+              SELECT node AS doc_id, min(label) AS keeper2 FROM cc GROUP BY node
+            ), s2 AS (
+              SELECT doc_id FROM t2 WHERE keeper2 = doc_id
+            ), ep AS (
+              SELECT a.vec_id AS ua, b.vec_id AS ub
+              FROM embeddings a
+              JOIN s2 sa ON sa.doc_id = a.vec_id
+              JOIN embeddings b ON a.vec_id < b.vec_id
+              JOIN s2 sb ON sb.doc_id = b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ), ee AS (
+              SELECT ua AS src, ub AS dst FROM ep UNION ALL SELECT ub, ua FROM ep
+            ), cc3(node, label) AS (
+              SELECT doc_id, doc_id FROM s2
+              UNION
+              SELECT ee.dst, cc3.label FROM ee JOIN cc3 ON cc3.node = ee.src
+            ), t3 AS (
+              SELECT node AS doc_id, min(label) AS keeper3 FROM cc3 GROUP BY node
+            )
+            SELECT c.doc_id,
+              CASE WHEN t1.keeper1 <> c.doc_id THEN 'exact'
+                   WHEN t2.keeper2 IS NOT NULL AND t2.keeper2 <> c.doc_id THEN 'near'
+                   WHEN t3.keeper3 IS NOT NULL AND t3.keeper3 <> c.doc_id THEN 'semantic'
+                   ELSE 'kept' END AS tier,
+              CASE WHEN t1.keeper1 <> c.doc_id THEN t1.keeper1
+                   WHEN t2.keeper2 IS NOT NULL AND t2.keeper2 <> c.doc_id THEN t2.keeper2
+                   WHEN t3.keeper3 IS NOT NULL AND t3.keeper3 <> c.doc_id THEN t3.keeper3
+                   ELSE c.doc_id END AS keeper_id
+            FROM corpus c
+            JOIN t1 ON t1.doc_id = c.doc_id
+            LEFT JOIN t2 ON t2.doc_id = c.doc_id
+            LEFT JOIN t3 ON t3.doc_id = c.doc_id
+            ORDER BY c.doc_id
+        """,
         "paragraph_dedup": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
