@@ -158,13 +158,14 @@ def kmeans_fit(
     if seeds is None:
         raise ValueError("kmeans_fit: empty dataset")
     centroids = _normalize(seeds[2])
+    k_eff = len(centroids)  # n < k leaves fewer seeds than requested
 
     for _ in range(n_iters):
         c = centroids  # rebind so each closure pins its iteration's matrix
 
         def sum_partial(block: pa.Table, c=c):
             xn = _normalize(_emb_matrix(block, column))
-            return _partial_sums(xn, _assign(xn, c), k)
+            return _partial_sums(xn, _assign(xn, c), k_eff)
 
         acc = slim.aggregate(
             block_reduce(sum_partial, lambda a, b: (a[0] + b[0], a[1] + b[1]))
@@ -226,8 +227,9 @@ def semantic_dedup_local(
     """Same kernels, one process — bit-identical to the distributed run."""
     xn = _normalize(emb)
     centroids = _normalize(_seed_topk(ids, xn, k)[2])
+    k_eff = len(centroids)
     for _ in range(n_iters):
-        sums, counts = _partial_sums(xn, _assign(xn, centroids), k)
+        sums, counts = _partial_sums(xn, _assign(xn, centroids), k_eff)
         centroids = _update_centroids(sums, counts, centroids)
     assign = _assign(xn, centroids)
     out = []
