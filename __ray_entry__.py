@@ -155,6 +155,19 @@ def _q_dedup_assignments(sf_dir: str):
     return res.assignments.sort("url")
 
 
+def _q_best_in_cluster(sf_dir: str):
+    """Representative selection after near-dup clustering: keep the
+    highest-token-count member of every cluster (ties → min url) —
+    the keep-the-longest curation policy over dedup_assignments."""
+    from raydedup.config import DedupConfig
+    from raydedup.ops.select import best_in_cluster
+    from raydedup.pipeline.run import run_dedup
+
+    pages = _documents_as_pages(sf_dir)
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    return best_in_cluster(res.assignments, pages, n_buckets=32).sort("cluster_id")
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.45) — exact, distributed
     blockwise all-pairs (no driver materialization of the corpus; the
@@ -1026,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "fingerprints": _q_fingerprints,
         "dedup_assignments": _q_dedup_assignments,
+        "best_in_cluster": _q_best_in_cluster,
         "group_distinct_orders": _q_group_distinct_orders,
         "events_by_type": _q_events_by_type,
         "top_users": _q_top_users,
@@ -1887,6 +1901,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "best_in_cluster": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), lab AS (
+              SELECT node AS url, min(label) AS cluster_id FROM cc GROUP BY node
+            ), tok AS (
+              SELECT concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ), ranked AS (
+              SELECT l.cluster_id, l.url, t.n_tokens,
+                     row_number() OVER (PARTITION BY l.cluster_id
+                                        ORDER BY t.n_tokens DESC, l.url) AS rn,
+                     count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+              FROM lab l JOIN tok t ON l.url = t.url
+            )
+            SELECT cluster_id, url AS keeper_url,
+                   n_tokens AS keeper_tokens, n_members
+            FROM ranked WHERE rn = 1 ORDER BY cluster_id
         """,
         "langid": r"""
             WITH m(lang, pri, w) AS (VALUES
