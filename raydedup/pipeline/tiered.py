@@ -22,6 +22,10 @@ Scale shapes (the 100-TB lens):
   ``cluster_assignments`` (components of near-dup EDGES, not corpus);
   labels re-attach as a distributed left join. Past the budget, swap
   in ``label_propagation_components`` exactly as run_dedup does.
+  When exact all-pairs itself is too wide (survivor count where
+  n²/chunks stops fitting the cluster), substitute SemDeDup's
+  cluster-then-within-cluster rule (``ops/semdedup.py``) — same
+  output contract, O(n·k + Σ cluster²) instead of O(n²).
 - Tier flags combine via two distributed left-outer joins keyed once
   by doc_id — no per-doc state ever lands on the driver.
 """
