@@ -168,6 +168,29 @@ def _q_best_in_cluster(sf_dir: str):
     return best_in_cluster(res.assignments, pages, n_buckets=32).sort("cluster_id")
 
 
+def _q_cluster_sizes(sf_dir: str):
+    """Dedup report: histogram of near-dup cluster sizes (how much of
+    the corpus sits in duplicate clusters, and how big they are).
+    Two tiny groupby exchanges over (url, cluster_id) rows after the
+    pipeline — nothing text-sized shuffles, output is O(max cluster
+    size) rows regardless of corpus size."""
+    from ray.data.aggregate import Count
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import run_dedup
+
+    pages = _documents_as_pages(sf_dir)
+    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    sizes = res.assignments.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    return (
+        sizes.groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+        .sort("cluster_size")
+    )
+
+
 def _q_cosine_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine >= 0.45) — exact, distributed
     blockwise all-pairs (no driver materialization of the corpus; the
@@ -1040,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "dedup_assignments": _q_dedup_assignments,
         "best_in_cluster": _q_best_in_cluster,
+        "cluster_sizes": _q_cluster_sizes,
         "group_distinct_orders": _q_group_distinct_orders,
         "events_by_type": _q_events_by_type,
         "top_users": _q_top_users,
@@ -1944,6 +1968,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, url AS keeper_url,
                    n_tokens AS keeper_tokens, n_members
             FROM ranked WHERE rn = 1 ORDER BY cluster_id
+        """,
+        "cluster_sizes": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), lab AS (
+              SELECT node AS url, min(label) AS cluster_id FROM cc GROUP BY node
+            ), sz AS (
+              SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+            )
+            SELECT cluster_size, count(*) AS n_clusters
+            FROM sz GROUP BY cluster_size ORDER BY cluster_size
         """,
         "langid": r"""
             WITH m(lang, pri, w) AS (VALUES

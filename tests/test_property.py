@@ -103,6 +103,60 @@ def test_cpc_compressed_roundtrip_random_matrices(lg_k, density, seed):
     assert np.array_equal(back.matrix, matrix)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        min_size=1,
+        max_size=1500,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_tdigest_rank_quantile_merge_properties(values, splits):
+    """Distribution-free t-digest invariants under arbitrary inputs and
+    arbitrary partition splits (the engine always merges partials):
+    weight conservation, exact min/max, monotone quantiles bounded by
+    the data range, and rank() in [0, 1]."""
+    from raydedup.sketches.tdigest import TDigest
+
+    v = np.array(values, dtype=np.float64)
+    parts = [p for p in np.array_split(v, splits) if len(p)]
+    td = TDigest.from_values(parts[0], k=100).merge(
+        *(TDigest.from_values(p, k=100) for p in parts[1:])
+    )
+    assert td.total_weight == len(v)
+    qs = td.quantiles([0.0, 0.1, 0.5, 0.9, 1.0])
+    assert (np.diff(qs) >= 0).all()
+    assert qs[0] == v.min() and qs[-1] == v.max()
+    for probe in (float(v.min()), float(np.median(v)), float(v.max())):
+        assert 0.0 <= td.rank(probe) <= 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), max_size=400),
+    st.sets(st.integers(min_value=0, max_value=10**9), max_size=400),
+)
+def test_theta_exact_regime_set_algebra(a, b):
+    """Below k the theta sketch is an exact set: union and intersection
+    estimates equal |A∪B| and |A∩B| for arbitrary int sets (the
+    reference's exact-mode semantics, theta/sketch.rs:140-147)."""
+    from raydedup.sketches.theta import (
+        ThetaSketch,
+        hashes_for_ints,
+        theta_intersect,
+        theta_union,
+    )
+
+    def sk(vals):
+        arr = np.array(sorted(vals), dtype=np.int64)
+        return ThetaSketch.from_hashes(hashes_for_ints(arr), lg_k=12)
+
+    sa, sb = sk(a), sk(b)
+    assert theta_union([sa, sb]).estimate() == len(a | b)
+    assert theta_intersect(sa, sb).estimate() == len(a & b)
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     lg_k=st.integers(min_value=4, max_value=14),
