@@ -222,3 +222,44 @@ def test_reference_pipeline_parity(result, corpus):
     ref = ref.sort_values(["url_a", "url_b"]).reset_index(drop=True)
     ver = result["verified"].sort_values(["url_a", "url_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(ver[ref.columns], ref)
+
+
+def test_worker_kill_retry_determinism(ray_session, corpus, tmp_path):
+    """Fault tolerance: kill ONE worker process mid-pipeline (os._exit
+    inside a map task) and assert Ray's lineage-based task retry
+    reproduces the exact clean-run output. This is the property that
+    makes every stage safe to retry at 10^12 docs: kernels are
+    deterministic (fixed seeds, no dict-order dependence), so a
+    re-executed task emits byte-identical blocks."""
+    import os
+
+    import ray.data as rd
+
+    from raydedup.ops.exact import exact_dedup_representatives
+
+    pages_tbl, _ = corpus
+    tbl = pages_tbl.select(["url", "text"]).slice(0, 800)
+    sentinel = str(tmp_path / "killed_once")
+
+    def flaky(batch):
+        import os as _os
+
+        try:
+            _os.mkdir(sentinel)  # atomic claim: exactly one task dies
+        except FileExistsError:
+            return batch
+        _os._exit(1)  # simulate a worker crash, not a Python exception
+
+    def run(with_kill: bool):
+        ds = rd.from_arrow(tbl).repartition(8)
+        if with_kill:
+            ds = ds.map_batches(flaky, batch_format="pyarrow")
+        out = exact_dedup_representatives(ds, id_column="url")
+        return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+    expected = run(with_kill=False)
+    got = run(with_kill=True)
+    assert os.path.isdir(sentinel), "kill task never ran"
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, expected)
