@@ -145,26 +145,41 @@ def _q_fingerprints(sf_dir: str):
     return ds.map_batches(lambda b: fingerprint(b, "doc_id"), batch_format="pyarrow").sort("doc_id")
 
 
+_DEDUP_RESULTS: dict = {}
+
+
+def _dedup_result(sf_dir: str):
+    """One default-config pipeline run per sf_dir per process. Four
+    queries (dedup_assignments, best_in_cluster, cluster_sizes,
+    sig_distance_quantiles) consume the identical DedupResult; the
+    driver's correctness gate calls each query separately and would
+    otherwise pay the full pipeline once per query. The internals are
+    already materialized (run.py), so cached consumers re-derive only
+    their own small tail."""
+    res = _DEDUP_RESULTS.get(sf_dir)
+    if res is None:
+        from raydedup.config import DedupConfig
+        from raydedup.pipeline.run import run_dedup
+
+        pages = _documents_as_pages(sf_dir)
+        res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+        _DEDUP_RESULTS[sf_dir] = res
+    return res
+
+
 def _q_dedup_assignments(sf_dir: str):
     """Full near-dup pipeline over documents (non-SQL-expressible)."""
-    from raydedup.config import DedupConfig
-    from raydedup.pipeline.run import run_dedup
-
-    pages = _documents_as_pages(sf_dir)
-    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
-    return res.assignments.sort("url")
+    return _dedup_result(sf_dir).assignments.sort("url")
 
 
 def _q_best_in_cluster(sf_dir: str):
     """Representative selection after near-dup clustering: keep the
     highest-token-count member of every cluster (ties → min url) —
     the keep-the-longest curation policy over dedup_assignments."""
-    from raydedup.config import DedupConfig
     from raydedup.ops.select import best_in_cluster
-    from raydedup.pipeline.run import run_dedup
 
     pages = _documents_as_pages(sf_dir)
-    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    res = _dedup_result(sf_dir)
     return best_in_cluster(res.assignments, pages, n_buckets=32).sort("cluster_id")
 
 
@@ -176,11 +191,7 @@ def _q_cluster_sizes(sf_dir: str):
     size) rows regardless of corpus size."""
     from ray.data.aggregate import Count
 
-    from raydedup.config import DedupConfig
-    from raydedup.pipeline.run import run_dedup
-
-    pages = _documents_as_pages(sf_dir)
-    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    res = _dedup_result(sf_dir)
     sizes = res.assignments.groupby("cluster_id").aggregate(
         Count(alias_name="cluster_size")
     )
@@ -829,12 +840,9 @@ def _q_sig_distance_quantiles(sf_dir: str):
     over the same documents) compares value-exact."""
     import pyarrow.compute as _pc
 
-    from raydedup.config import DedupConfig
-    from raydedup.pipeline.run import run_dedup
     from raydedup.sketches.kll import kll_of_det
 
-    pages = _documents_as_pages(sf_dir)
-    res = run_dedup(pages, DedupConfig(), n_buckets=32, concurrency=(1, 4))
+    res = _dedup_result(sf_dir)
     dist = res.verified.map_batches(
         lambda b: pa.table({"dist": _pc.subtract(1.0, b["jaccard_sig_est"])}),
         batch_format="pyarrow",
