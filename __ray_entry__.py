@@ -74,6 +74,27 @@ def _q_token_stats(sf_dir: str):
     return ds.map_batches(lambda b: token_stats(b, "doc_id"), batch_format="pyarrow").sort("doc_id")
 
 
+def _q_jsonl_docs(sf_dir: str):
+    """Source-format parity: documents → sharded JSONL (the other wire
+    format web-crawl pipelines exchange) → read back → per-doc token
+    stats. The oracle reads the ORIGINAL parquet, so a green row proves
+    the JSONL sink+source round-trips every row and value byte-exactly.
+    Shards are one-file-per-block (resumable, never one giant file)."""
+    import shutil
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import token_stats
+
+    out = f"/tmp/raydedup_jsonl/{abs(hash(sf_dir)) & 0xFFFFFFFF:x}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds.write_json(out)
+    back = rd.read_json(out)
+    return back.map_batches(lambda b: token_stats(b, "doc_id"), batch_format="pyarrow").sort(
+        "doc_id"
+    )
+
+
 def _q_distinct_orderkeys(sf_dir: str):
     import ray.data as rd
 
@@ -1065,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
+        "jsonl_docs": _q_jsonl_docs,
         "distinct_orderkeys_theta": _q_distinct_orderkeys,
         "docs_per_source": _q_docs_per_source,
         "pricing_summary": _q_pricing_summary,
@@ -1463,6 +1485,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text ORDER BY doc_id
         """,
         "token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "jsonl_docs": """
             SELECT doc_id,
                    length(text) AS n_chars,
                    CASE WHEN trim(text) = '' THEN 0
