@@ -964,6 +964,24 @@ def _q_pii_redact(sf_dir: str):
     )
 
 
+# the "data recipe": per-source keep rates with 0.0 and 1.0 edges;
+# shared (verbatim) by _q_mix_sources and its SQL oracle
+_MIX_RATES = {f"src{i}": ((i * 7) % 11) / 10 for i in range(20)}
+
+
+def _q_mix_sources(sf_dir: str):
+    """Dataset mixing (the training-data recipe step): keep each doc of
+    source s with rate _MIX_RATES[s], deterministically by murmur3
+    priority — map-only, zero shuffle at any corpus size (sidecar
+    oracle: the same doc_id→priority table + threshold CASE)."""
+    import ray.data as rd
+
+    from raydedup.ops.sample import mix_sources
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return mix_sources(docs, "doc_id", "source", _MIX_RATES).sort(["source", "doc_id"])
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-language sample by murmur3 priority
     (sidecar oracle: in-process doc_id→priority table + row_number)."""
@@ -1130,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
         "domain_stats": _q_domain_stats,
         "semantic_dedup": _q_semantic_dedup,
@@ -1343,7 +1362,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
             FROM r WHERE rn <= 20 ORDER BY lang, sample_rank
         """,
+        "mix_sources": f"""
+            WITH pr AS (
+              SELECT doc_id, priority
+              FROM read_parquet('{_ORACLE_SIDECAR_DIR}/stratified_sample.parquet')
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN pr USING (doc_id)
+            WHERE CASE d.source {" ".join(
+                f"WHEN '{s}' THEN " + (
+                    "TRUE" if r >= 1.0 else "FALSE" if r <= 0.0
+                    else f"pr.priority < {int(r * (1 << 64))}::UBIGINT"
+                )
+                for s, r in sorted(_MIX_RATES.items())
+            )} ELSE FALSE END
+            ORDER BY source, doc_id
+        """,
     }
+    # mix_sources shares the stratified_sample sidecar (same
+    # doc_id -> murmur3 priority table)
+    if "stratified_sample" in sidecars:
+        sidecars = sidecars | {"mix_sources"}
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     return extra | {
         "tiered_dedup": r"""

@@ -79,3 +79,33 @@ def stratified_sample(
     partials = ds.select_columns(cols).map_batches(block_topk, batch_format="pyarrow")
     # groups are tiny by construction (≤ k rows per stratum per block)
     return partials.groupby(strata_column).map_groups(final_topk, batch_format="pyarrow")
+
+
+def mix_sources(ds, id_column: str, source_column: str, rates: dict, default_rate: float = 0.0):
+    """Dataset mixing — the training-data "recipe" step (per-source
+    sampling rates, RedPajama/Dolma style): keep a row of source s
+    with probability ``rates.get(s, default_rate)``, deterministically
+    — kept iff murmur3-128(id) < rate·2^64. Map-only (ZERO shuffle at
+    any corpus size), reproducible across runs and cluster sizes, and
+    nested: lowering a source's rate yields a strict subset of the
+    higher-rate sample (same priority, lower threshold), so recipes
+    can be re-weighted without resampling churn.
+    """
+    from raydedup.sketches.aggregates import _column_hashes
+
+    TWO64 = 1 << 64
+
+    def mix(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        h, _ = _column_hashes(batch[id_column])
+        src = batch[source_column].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        rate = np.array([float(rates.get(s, default_rate)) for s in uniq])
+        thr = np.array(
+            [min(int(r * TWO64), TWO64 - 1) for r in rate], dtype=np.uint64
+        )
+        keep = (h < thr[inv]) | (rate >= 1.0)[inv]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(mix, batch_format="pyarrow")

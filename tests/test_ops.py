@@ -795,3 +795,47 @@ def test_domain_stats_rollup(ray_session):
     assert list(out.n_docs) == [2, 1]
     assert out.total_url_len[0] == len("https://a.one.com/x") + len("http://www.one.com/y")
     assert out.total_url_len[1] == len("https://two.org/z")
+
+
+def test_mix_sources_rates_nested_and_block_invariant(ray_session):
+    """Dataset mixing: rate 0/1 edges are exact, a lower rate samples
+    a strict subset of a higher rate (nested recipes), observed rates
+    track requested ones, and the output is invariant to block
+    structure (map-only determinism)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raydedup.ops.sample import mix_sources
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        }
+    )
+    rates = {"s0": 0.0, "s1": 0.25, "s2": 0.75, "s3": 1.0}
+
+    def run(ds):
+        return (
+            mix_sources(ds, "doc_id", "source", rates)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    out1 = run(rd.from_arrow(tbl))
+    out3 = run(rd.from_arrow(tbl).repartition(13))
+    assert out1.equals(out3)
+
+    per = out1.groupby("source").size()
+    assert "s0" not in per.index and per["s3"] == n // 4
+    for s, r in (("s1", 0.25), ("s2", 0.75)):
+        assert abs(per[s] / (n // 4) - r) < 0.07  # 3+ sigma at n=1000
+
+    sub = mix_sources(
+        rd.from_arrow(tbl), "doc_id", "source", {"s2": 0.2}, default_rate=0.0
+    ).to_pandas()
+    hi = out1[out1.source == "s2"]
+    assert set(sub.doc_id) <= set(hi.doc_id)
