@@ -65,16 +65,54 @@ def connected_components(edges_a: np.ndarray, edges_b: np.ndarray) -> dict:
 
 
 def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
-    """Vectorized-index variant: returns (sorted nodes, root index per node)."""
-    nodes = np.unique(np.concatenate([edges_a, edges_b]))
-    ia = np.searchsorted(nodes, edges_a)
-    ib = np.searchsorted(nodes, edges_b)
-    uf = UnionFind(len(nodes))
-    union = uf.union
-    for a, b in zip(ia.tolist(), ib.tolist()):
-        union(a, b)
-    roots = np.fromiter((uf.find(i) for i in range(len(nodes))), dtype=np.int64, count=len(nodes))
-    return nodes, roots
+    """Fully vectorized variant: returns (sorted nodes, root index per
+    node), root = min node index of the component — identical labels
+    to min-root union-find (``UnionFind``), computed by iterated
+    scatter-min edge relaxation + pointer jumping instead of a
+    per-edge Python loop (measured 0.67 s → ~0.05 s at 75k edges).
+    Labels start as own index, only ever decrease, and the loop exits
+    only when every edge agrees, so the fixpoint label of each node is
+    exactly its component's minimum index. O((E+N)·log diameter); dup
+    components are stars plus bounded neighbor chains, so a handful of
+    rounds.
+
+    Node factorization goes through the 128-bit url hash (lexsort of
+    u64 pairs + run boundaries) instead of ``np.unique`` /
+    ``searchsorted`` over Python strings — the string comparisons were
+    0.55 s of the 0.67 at 75k edges; only the ~unique urls pay ONE
+    string argsort, which the min-url-label semantics (and the SQL
+    oracle's ``min(label)``) genuinely require. 128-bit equality is
+    the same exactness class as ``ops/exact.py``."""
+    from raydedup.sketches.hashing import hash_strings
+
+    cat = np.concatenate([edges_a, edges_b])
+    if len(cat) == 0:
+        return np.empty(0, dtype=edges_a.dtype), np.empty(0, np.int64)
+    h1, h2 = hash_strings(list(cat))
+    order = np.lexsort((h2, h1))
+    so1, so2 = h1[order], h2[order]
+    new = np.ones(len(order), bool)
+    new[1:] = (so1[1:] != so1[:-1]) | (so2[1:] != so2[:-1])
+    grp = np.cumsum(new) - 1
+    codes_hash = np.empty(len(cat), np.int64)
+    codes_hash[order] = grp
+    uniq = cat[order[new]]
+    perm = np.argsort(uniq, kind="stable")
+    nodes = uniq[perm]
+    remap = np.empty(len(uniq), np.int64)
+    remap[perm] = np.arange(len(uniq))
+    codes = remap[codes_hash]
+    ia, ib = codes[: len(edges_a)], codes[len(edges_a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[ia], lab[ib])
+        np.minimum.at(lab, ia, m)
+        np.minimum.at(lab, ib, m)
+        lab = np.minimum(lab, lab[lab])  # pointer jump through chains
+        if np.array_equal(lab, before):
+            break
+    return nodes, lab
 
 
 def label_propagation_components(edges, max_rounds: int = 50, n_buckets: int = 64):
@@ -200,34 +238,85 @@ def label_propagation_components(edges, max_rounds: int = 50, n_buckets: int = 6
     )
 
 
-def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_000):
+def cluster_assignments(
+    verified_pairs, corpus, max_driver_edges: int = 50_000_000, verified_full=None
+):
     """verified dup pairs + corpus → (url, cluster_id) Dataset over all docs.
 
     ``verified_pairs`` must already be filtered to is_dup rows. Returns
     a Dataset with one row per corpus doc.
+
+    When ``verified_full`` (the MATERIALIZED unfiltered verify output)
+    is given, the driver-side edge gather fetches its raw blocks and
+    masks ``is_dup`` natively instead of round-tripping them through
+    ``iter_batches(batch_format="pyarrow")`` — the iterator converts
+    every (pandas) block to Arrow on the driver, measured 2.2-3.0 s vs
+    0.08-0.17 s for the raw gather at 240k docs (75k dup edges). Blocks
+    are fetched in bounded chunks so the ``max_driver_edges`` budget
+    still caps driver memory; the distributed spill path keeps using
+    ``verified_pairs`` so nothing edge-sized must fit on the driver
+    there.
     """
-    edges = verified_pairs.select_columns(["url_a", "url_b"])
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("RAYDEDUP_TIMING")
+    _t0 = _time.time()
     a_parts, b_parts = [], []
     n_edges = 0
     spill_to_distributed = False
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        a_parts.append(b["url_a"].to_numpy(zero_copy_only=False))
-        b_parts.append(b["url_b"].to_numpy(zero_copy_only=False))
-        n_edges += len(b)
-        if n_edges > max_driver_edges:
-            spill_to_distributed = True
-            break
+    if verified_full is not None:
+        import ray
+
+        refs = verified_full.get_internal_block_refs()
+        for i in range(0, len(refs), 32):
+            if spill_to_distributed:
+                break
+            for blk in ray.get(refs[i : i + 32]):
+                if len(blk) == 0 or "is_dup" not in (
+                    blk.column_names if isinstance(blk, pa.Table) else blk.columns
+                ):
+                    continue  # empty schema-less block (zero-candidate corpus)
+                if isinstance(blk, pa.Table):
+                    sel = blk.select(["url_a", "url_b"]).filter(blk["is_dup"])
+                    ea_i = sel["url_a"].to_numpy(zero_copy_only=False)
+                    eb_i = sel["url_b"].to_numpy(zero_copy_only=False)
+                else:  # pandas block (the verify kernel's native output)
+                    m = blk["is_dup"].to_numpy()
+                    ea_i = blk["url_a"].to_numpy()[m]
+                    eb_i = blk["url_b"].to_numpy()[m]
+                a_parts.append(ea_i)
+                b_parts.append(eb_i)
+                n_edges += len(ea_i)
+                if n_edges > max_driver_edges:
+                    spill_to_distributed = True
+                    break
+    else:
+        for b in verified_pairs.select_columns(["url_a", "url_b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            a_parts.append(b["url_a"].to_numpy(zero_copy_only=False))
+            b_parts.append(b["url_b"].to_numpy(zero_copy_only=False))
+            n_edges += len(b)
+            if n_edges > max_driver_edges:
+                spill_to_distributed = True
+                break
     if spill_to_distributed:
         # edge list exceeds the driver budget → distributed min-label
         # propagation, then a distributed cogroup join of labels back
         # over the corpus: if the edges overflowed the driver, the
         # clustered-node label table plausibly does too, so nothing
         # here may materialize it (no to_pandas / broadcast map)
-        labels = label_propagation_components(edges)
+        labels = label_propagation_components(
+            verified_pairs.select_columns(["url_a", "url_b"])
+        )
         return _assign_distributed(corpus, labels)
     ea = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=object)
     eb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=object)
+    _t1 = _time.time()
     nodes, root_of = connected_components_arrays(ea, eb)
+    _t2 = _time.time()
     if len(nodes):
         from raydedup.sketches.hashing import hash_strings
 
@@ -236,7 +325,14 @@ def cluster_assignments(verified_pairs, corpus, max_driver_edges: int = 50_000_0
         payload = (h[order], root_of[order].astype(np.int64), nodes.astype(np.str_))
     else:
         payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
-    return _assign_over(corpus, payload)
+    out = _assign_over(corpus, payload)
+    if _timing:
+        print(
+            f"[cluster] gather {_t1-_t0:.2f} cc {_t2-_t1:.2f} "
+            f"payload+assign {_time.time()-_t2:.2f} edges {len(ea)}",
+            file=_sys.stderr,
+        )
+    return out
 
 
 def _assign_distributed(corpus, labels, n_buckets: int = 64):

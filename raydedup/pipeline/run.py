@@ -135,10 +135,16 @@ def run_dedup(
                 timings[f"{name}_bytes"] = int(d.size_bytes())
             except Exception:
                 pass
+    t3b = time.time()
     dup_pairs = verified.filter(expr="is_dup")
     # assign over the materialized signatures (same url universe as the
-    # corpus) so the raw input isn't re-read a second time
-    assignments = cluster_assignments(dup_pairs, sigs)
+    # corpus) so the raw input isn't re-read a second time; pass the
+    # materialized verify output so the edge gather streams blocks
+    # instead of paying the filter dataset's execution round
+    assignments = cluster_assignments(dup_pairs, sigs, verified_full=verified)
+    if timings is not None:
+        timings["stats_sec"] = round(t3b - t3, 3)
+        timings["assign_prep_sec"] = round(time.time() - t3b, 3)
     substr = None
     if with_substring_confirm:
         flagged = verified.filter(expr="substring_candidate")

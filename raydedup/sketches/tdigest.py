@@ -97,7 +97,15 @@ class TDigest:
             return 1.0
         n = self.total_weight
         cum = np.cumsum(self.weights) - self.weights / 2
-        return float(np.interp(value, self.means, cum / n, left=0.0, right=1.0))
+        r = float(np.interp(value, self.means, cum / n, left=0.0, right=1.0))
+        # np.interp's slope overflows to inf when adjacent means differ
+        # by a subnormal (0.5 / 2e-313 > f64 max); the true rank is
+        # always within [0, 1], so clamp (NaN only from inf*0 — treat
+        # as the midpoint of the overflowed interval's cum range, which
+        # the clamp bounds render as 1.0-side; fall back to 0.5).
+        if r != r:
+            return 0.5
+        return min(1.0, max(0.0, r))
 
     def quantile(self, q: float) -> float:
         if self.is_empty():
