@@ -1058,6 +1058,36 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(urls, column="url").sort("domain")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Sequence packing (the post-curation training-data layout step):
+    concat docs in ascending doc_id order into one token stream, chunk
+    at 2048-token boundaries, assign each doc the pack where its first
+    token lands. Distributed prefix sum (ops/packing.py) — nothing
+    proportional to the corpus on the driver. Ids are zero-padded so
+    the engine's lexicographic order equals the oracle's numeric
+    ORDER BY; output casts back to int64."""
+    import ray.data as rd
+
+    from raydedup.ops.packing import pack_concat_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pad(b: pa.Table) -> pa.Table:
+        s = pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 12, "0")
+        return pa.table({"doc_id": s, "text": b["text"]})
+
+    out = pack_concat_chunks(
+        docs.map_batches(pad, batch_format="pyarrow"), seq_len=2048, n_buckets=32
+    )
+
+    def unpad(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("doc_id"), "doc_id", pc.cast(b["doc_id"], pa.int64())
+        )
+
+    return out.map_batches(unpad, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): deterministic distributed spherical
     k-means over the embeddings + within-cluster cosine dedup. The
@@ -1153,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "semantic_dedup": _q_semantic_dedup,
         "tiered_dedup": _q_tiered_dedup,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1529,6 +1560,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+              FROM toks
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(strt // 2048 AS BIGINT) AS pack_id,
+                   CAST(strt % 2048 AS BIGINT) AS pack_pos
+            FROM c ORDER BY doc_id
         """,
         "jsonl_docs": """
             SELECT doc_id,
