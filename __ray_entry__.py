@@ -340,6 +340,53 @@ def _q_region_revenue(sf_dir: str):
     return out.map_batches(round_cols, batch_format="pyarrow").sort("r_name")
 
 
+def _promo_windows():
+    """16 overlapping 270-day promo windows every 150 days from
+    1995-01-01 — derived identically by the SQL oracle (inlined as a
+    VALUES list), so the range-join kernel is what's tested."""
+    from datetime import datetime, timedelta
+
+    base = datetime(1995, 1, 1)
+    return [
+        (i, base + timedelta(days=150 * i), base + timedelta(days=150 * i + 269))
+        for i in range(16)
+    ]
+
+
+def _q_promo_revenue(sf_dir: str):
+    """Range (interval) join: orders × overlapping promo windows on
+    ``lo <= o_orderdate <= hi`` via the broadcast interval kernel
+    (``ops/rangejoin.py`` — small side ``ray.put`` once, map-only,
+    zero shuffle), then revenue per window."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from raydedup.ops.rangejoin import range_join_broadcast
+
+    wins = _promo_windows()
+    ranges = pa.table(
+        {
+            "range_id": pa.array([w[0] for w in wins], pa.int64()),
+            "lo": pa.array([w[1] for w in wins], pa.timestamp("us")),
+            "hi": pa.array([w[2] for w in wins], pa.timestamp("us")),
+        }
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    out = (
+        range_join_broadcast(orders, ranges, "o_orderdate")
+        .groupby("range_id")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+    )
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("revenue")
+        return batch.set_column(i, "revenue", pc.round(batch["revenue"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort("range_id")
+
+
 def _q_asof_user_orders(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (custom operator — bucketed cogroup +
@@ -1152,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_parts_per_brand": _q_top2_parts_per_brand,
         "region_revenue": _q_region_revenue,
         "asof_user_orders": _q_asof_user_orders,
+        "promo_revenue": _q_promo_revenue,
         "parse_props": _q_parse_props,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_tumbling": _q_events_tumbling,
@@ -1415,6 +1463,18 @@ def oracle_sql() -> dict[str, str]:
     if "stratified_sample" in sidecars:
         sidecars = sidecars | {"mix_sources"}
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
+    _vals = ", ".join(
+        f"({i}, TIMESTAMP '{lo:%Y-%m-%d}', TIMESTAMP '{hi:%Y-%m-%d}')"
+        for i, lo, hi in _promo_windows()
+    )
+    extra["promo_revenue"] = f"""
+        WITH r(range_id, lo, hi) AS (VALUES {_vals})
+        SELECT CAST(range_id AS BIGINT) AS range_id,
+               round(sum(o_totalprice), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o JOIN r ON o.o_orderdate BETWEEN r.lo AND r.hi
+        GROUP BY range_id ORDER BY range_id
+    """
     return extra | {
         "tiered_dedup": r"""
             WITH RECURSIVE corpus AS (
