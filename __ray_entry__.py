@@ -254,6 +254,24 @@ def _q_events_tumbling(sf_dir: str):
     return out.map_batches(round_cols, batch_format="pyarrow").sort(["user_id", "window_start"])
 
 
+def _q_events_hopping(sf_dir: str):
+    """2-minute windows hopping every minute per user (each event in
+    two windows) — the overlapping windowed-aggregate shape; map-side
+    k-fold replicate of 3-column rows + one groupby exchange."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import hopping_window_aggregate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = hopping_window_aggregate(ds, "user_id", "ts", "value", width_s=120, hop_s=60)
+
+    def round_cols(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("total_value")
+        return batch.set_column(i, "total_value", pc.round(batch["total_value"], ndigits=2))
+
+    return out.map_batches(round_cols, batch_format="pyarrow").sort(["user_id", "window_start"])
+
+
 def _q_events_sessions(sf_dir: str):
     """Gap-based session windows (30-minute gap) per user."""
     import ray.data as rd
@@ -1203,6 +1221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_props": _q_parse_props,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "events_tumbling": _q_events_tumbling,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
@@ -1742,6 +1761,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY user_id, window_start
+        """,
+        "events_hopping": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 60000000 - j) * 60000000) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events, generate_series(0, 1) AS g(j)
+            GROUP BY 1, 2 ORDER BY user_id, window_start
         """,
         "events_sessions": """
             WITH marked AS (

@@ -37,6 +37,42 @@ def tumbling_window_aggregate(events, key: str, ts: str, value: str, width_s: in
     )
 
 
+def hopping_window_aggregate(
+    events, key: str, ts: str, value: str, width_s: int, hop_s: int
+):
+    """(key, window_start) count + sum over hopping (sliding) windows
+    of width ``width_s`` advancing every ``hop_s`` — each event lands
+    in ``width_s // hop_s`` windows. Expressed as a vectorized
+    replicate (one copy per covering window, a k-fold ``take``) + the
+    same plain groupby-aggregate as tumbling: no ordering assumption,
+    and the exchange carries (key, window_start, value) rows only —
+    the k-fold row inflation happens map-side on 3-column rows, never
+    on the full event record."""
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (epoch // hop_us) * hop_us
+        starts = base[:, None] - (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), k))
+        return pa.table(
+            {
+                key: batch[key].take(idx),
+                "window_start": pc.cast(pa.array(starts.ravel()), pa.timestamp("us")),
+                value: batch[value].take(idx),
+            }
+        )
+
+    return (
+        events.map_batches(explode, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum(value, alias_name="total_value"))
+    )
+
+
 def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event

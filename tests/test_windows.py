@@ -28,6 +28,38 @@ def test_tumbling_matches_duckdb(ray_session):
     assert abs(out.total_value.to_numpy() - oracle.total_value.to_numpy()).max() < 1e-6
 
 
+def test_hopping_matches_duckdb(ray_session):
+    from raydedup.ops.windows import hopping_window_aggregate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    out = (
+        hopping_window_aggregate(ds, "user_id", "ts", "value", width_s=600, hop_s=300)
+        .sort(["user_id", "window_start"])
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 300000000 - j) * 300000000) AS window_start,
+                   count(*) AS n_events, sum(value) AS total_value
+            FROM '{SF}/events.parquet', generate_series(0, 1) AS g(j)
+            GROUP BY 1,2 ORDER BY user_id, window_start"""
+    ).df()
+    assert len(out) == len(oracle)
+    assert (out.n_events.to_numpy() == oracle.n_events.to_numpy()).all()
+    assert abs(out.total_value.to_numpy() - oracle.total_value.to_numpy()).max() < 1e-6
+    # every event is in exactly width/hop = 2 windows
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert out.n_events.sum() == 2 * n_events
+
+
+def test_hopping_rejects_non_divisible(ray_session):
+    from raydedup.ops.windows import hopping_window_aggregate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    with pytest.raises(ValueError):
+        hopping_window_aggregate(ds, "user_id", "ts", "value", width_s=100, hop_s=33)
+
+
 def test_sessions_match_duckdb(ray_session):
     ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
     out = session_windows(ds, "user_id", "ts", gap_s=600).sort(
