@@ -1123,6 +1123,18 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(urls, column="url").sort("domain")
 
 
+def _q_tfidf(sf_dir: str):
+    """Distributed TF-IDF (ops/tfidf.py): map-side-complete per-doc
+    term counts, one vocabulary-sized DF groupby, one term-keyed hash
+    join — the exchange never carries per-token rows."""
+    import ray.data as rd
+
+    from raydedup.ops.tfidf import doc_term_tfidf
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_term_tfidf(docs).sort(["doc_id", "term"])
+
+
 def _q_pack_sequences(sf_dir: str):
     """Sequence packing (the post-curation training-data layout step):
     concat docs in ascending doc_id order into one token stream, chunk
@@ -1251,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "tiered_dedup": _q_tiered_dedup,
         "pack_sequences": _q_pack_sequences,
+        "tfidf": _q_tfidf,
     }
 
 
@@ -1639,6 +1652,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "tfidf": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> len(w) > 0)) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM words GROUP BY 1, 2
+            ), dfx AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            )
+            SELECT t.doc_id, t.term, t.tf, d.df,
+                   round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+            FROM tf t JOIN dfx d USING (term), n
+            ORDER BY doc_id, term
         """,
         "pack_sequences": """
             WITH toks AS (

@@ -839,3 +839,45 @@ def test_mix_sources_rates_nested_and_block_invariant(ray_session):
     ).to_pandas()
     hi = out1[out1.source == "s2"]
     assert set(sub.doc_id) <= set(hi.doc_id)
+
+
+def test_tfidf_matches_pandas_twin(ray_session):
+    import pandas as pd
+
+    from raydedup.ops.tfidf import doc_term_tfidf
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(12)]
+    n = 200
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 40)))
+        for _ in range(n)
+    ]
+    texts[0] = ""  # empty doc contributes no terms
+    texts[1] = "  SHOUTY   Mixed  case "  # lowercasing + multi-space
+    df_in = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+    out = (
+        doc_term_tfidf(rd.from_pandas(list(np.array_split(df_in, 5))))
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for i, t in enumerate(texts):
+        for w in t.lower().split():
+            rows.append((i, w))
+    tw = pd.DataFrame(rows, columns=["doc_id", "term"])
+    tf = tw.groupby(["doc_id", "term"]).size().rename("tf").reset_index()
+    dfc = tf.groupby("term").size().rename("df").reset_index()
+    exp = tf.merge(dfc, on="term")
+    exp["tfidf"] = np.round(exp["tf"] * np.log(n / exp["df"]), 6)
+    exp = exp.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "term", "tf", "df", "tfidf"]].astype({"tf": "int64", "df": "int64"}),
+        exp.astype({"tf": "int64", "df": "int64"}),
+    )
+    # a term present in every remaining doc would weight 0; empty doc absent
+    assert 0 not in set(out["doc_id"]) or texts[0] != ""
