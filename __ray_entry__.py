@@ -95,6 +95,36 @@ def _q_jsonl_docs(sf_dir: str):
     )
 
 
+def _q_partitioned_docs(sf_dir: str):
+    """Partitioned-sink parity: documents → hive-partitioned parquet
+    (one directory per lang — the resumable-output layout: a failed run
+    skips finished partitions) → read back with partition-column
+    recovery → per-(lang, source) rollup. The oracle reads the ORIGINAL
+    table, so a green row proves the partitioned sink+source
+    round-trips every row and value exactly."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out = f"/tmp/raydedup_partdocs/{abs(hash(sf_dir)) & 0xFFFFFFFF:x}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    ds.write_parquet(out, partition_cols=["lang"])
+    back = rd.read_parquet(out)
+    agg = (
+        back.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("doc_id", alias_name="sum_doc_id"))
+    )
+
+    def fix_types(batch: pa.Table) -> pa.Table:
+        # partition-column values come back as dictionary-encoded strings
+        i = batch.column_names.index("lang")
+        return batch.set_column(i, "lang", pc.cast(batch["lang"], pa.string()))
+
+    return agg.map_batches(fix_types, batch_format="pyarrow").sort(["lang", "source"])
+
+
 def _q_distinct_orderkeys(sf_dir: str):
     import ray.data as rd
 
@@ -1123,6 +1153,31 @@ def _q_domain_stats(sf_dir: str):
     return domain_stats(urls, column="url").sort("domain")
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Sketch-driven curation: keep docs whose token count clears the
+    corpus p25, the threshold computed by the deterministic
+    (blocking-independent) t-digest — a sketch driving a pipeline
+    decision, not just a report. The sidecar twin computes the same
+    threshold bit-exactly in one process and the SQL re-derives the
+    kept set from it."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import token_stats
+    from raydedup.sketches.aggregates import tdigest_of_det
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = docs.map_batches(
+        lambda b: token_stats(b, "doc_id").select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    ).materialize()
+    thr = tdigest_of_det(counts, "n_tokens", n_buckets=32).quantile(0.25)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(pc.cast(b["n_tokens"], pa.float64()), thr))
+
+    return counts.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_tfidf(sf_dir: str):
     """Distributed TF-IDF (ops/tfidf.py): map-side-complete per-doc
     term counts, one vocabulary-sized DF groupby, one term-keyed hash
@@ -1212,6 +1267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "jsonl_docs": _q_jsonl_docs,
+        "partitioned_docs": _q_partitioned_docs,
         "distinct_orderkeys_theta": _q_distinct_orderkeys,
         "docs_per_source": _q_docs_per_source,
         "pricing_summary": _q_pricing_summary,
@@ -1264,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiered_dedup": _q_tiered_dedup,
         "pack_sequences": _q_pack_sequences,
         "tfidf": _q_tfidf,
+        "quantile_filter": _q_quantile_filter,
     }
 
 
@@ -1313,6 +1370,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
+            ("quantile_filter", "quantile_filter.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -1367,6 +1425,12 @@ def _ensure_oracle_sidecars() -> set[str]:
     outputs["stratified_sample"] = pa.table(
         {"doc_id": tbl["doc_id"], "priority": pa.array(pr1, pa.uint64())}
     )
+
+    from raydedup.ops.text_stats import token_stats as _tok
+
+    nt = _tok(tbl, "doc_id")["n_tokens"]
+    td_thr = tdigest_column_det(nt, n_buckets=32).quantile(0.25)
+    outputs["quantile_filter"] = pa.table({"thr": pa.array([float(td_thr)], pa.float64())})
 
     li = pq.read_table(f"{_ORACLE_SF_DIR}/lineitem.parquet", columns=["l_quantity"])
     td = tdigest_column_det(li["l_quantity"], n_buckets=32)
@@ -1454,6 +1518,20 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
+        """,
+        "quantile_filter": f"""
+            WITH t AS (
+              SELECT thr FROM read_parquet('{_ORACLE_SIDECAR_DIR}/quantile_filter.parquet')
+            ), s AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT s.doc_id, s.n_tokens FROM s, t
+            WHERE CAST(s.n_tokens AS DOUBLE) >= t.thr
+            ORDER BY doc_id
         """,
         "semantic_dedup": f"""
             SELECT vec_id, cluster, sim_centroid, keep
@@ -1652,6 +1730,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "partitioned_docs": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "tfidf": r"""
             WITH words AS (
