@@ -1077,6 +1077,19 @@ def _q_mix_sources(sf_dir: str):
     return mix_sources(docs, "doc_id", "source", _MIX_RATES).sort(["source", "doc_id"])
 
 
+def _q_shuffle_order(sf_dir: str):
+    """Deterministic global training-order shuffle: dense 0-based rank
+    under (murmur3 priority, doc_id) order — distributed via uniform
+    priority-bit bucketing + one bincount aggregate (sidecar oracle:
+    the shared doc_id→priority table + row_number)."""
+    import ray.data as rd
+
+    from raydedup.ops.sample import shuffle_ranks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return shuffle_ranks(docs, "doc_id", n_buckets=32).sort("doc_id")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic 20-per-language sample by murmur3 priority
     (sidecar oracle: in-process doc_id→priority table + row_number)."""
@@ -1313,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
         "domain_stats": _q_domain_stats,
@@ -1551,6 +1565,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
             FROM r WHERE rn <= 20 ORDER BY lang, sample_rank
         """,
+        "shuffle_order": f"""
+            WITH pr AS (
+              SELECT doc_id, priority
+              FROM read_parquet('{_ORACLE_SIDECAR_DIR}/stratified_sample.parquet')
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY priority, doc_id) - 1 AS BIGINT)
+                     AS shuffle_rank
+            FROM pr ORDER BY doc_id
+        """,
         "mix_sources": f"""
             WITH pr AS (
               SELECT doc_id, priority
@@ -1568,10 +1592,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source, doc_id
         """,
     }
-    # mix_sources shares the stratified_sample sidecar (same
-    # doc_id -> murmur3 priority table)
+    # mix_sources and shuffle_order share the stratified_sample sidecar
+    # (same doc_id -> murmur3 priority table)
     if "stratified_sample" in sidecars:
-        sidecars = sidecars | {"mix_sources"}
+        sidecars = sidecars | {"mix_sources", "shuffle_order"}
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     _vals = ", ".join(
         f"({i}, TIMESTAMP '{lo:%Y-%m-%d}', TIMESTAMP '{hi:%Y-%m-%d}')"

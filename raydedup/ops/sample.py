@@ -109,3 +109,60 @@ def mix_sources(ds, id_column: str, source_column: str, rates: dict, default_rat
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(mix, batch_format="pyarrow")
+
+
+def shuffle_ranks(ds, id_column: str, n_buckets: int = 64):
+    """Deterministic global training-order shuffle: each row's dense
+    0-based position under (murmur3 priority, id) order — the "shuffle
+    the corpus before packing" step, reproducible across runs and
+    cluster sizes (no RNG state).
+
+    Scale shape: priorities are uniform u64, so the top lg(B) bits are
+    an order-preserving, balanced bucketing by CONSTRUCTION — unlike
+    ``ops/packing.py`` (whose sort key, the id, is skewed and needs a
+    split-sampling pass). One tree-reduced bincount aggregate gives
+    bucket offsets (the driver exclusive-scans B numbers); the only
+    shuffle is the in-bucket groupby over (id, priority, bucket) rows.
+    """
+    import pandas as pd
+
+    from raydedup.sketches.aggregates import _column_hashes, block_reduce
+
+    lgb = int(n_buckets).bit_length() - 1
+    if (1 << lgb) != n_buckets:
+        raise ValueError("n_buckets must be a power of two")
+    shift = np.uint64(64 - lgb)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h, _ = _column_hashes(batch[id_column])
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "_priority": pa.array(h, pa.uint64()),
+                "_sbucket": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+
+    def bucket_counts(blk: pa.Table) -> np.ndarray:
+        b = blk["_sbucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        return np.bincount(b, minlength=n_buckets).astype(np.int64)
+
+    sums = tagged.aggregate(block_reduce(bucket_counts, lambda a, b: a + b, name="counts"))[
+        "counts"
+    ]
+    if sums is None:
+        sums = np.zeros(n_buckets, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bkt = int(g["_sbucket"].iloc[0])
+        h = g["_priority"].to_numpy().astype(np.uint64)
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, h))
+        ranks = np.empty(len(h), np.int64)
+        ranks[order] = offsets[bkt] + np.arange(len(h), dtype=np.int64)
+        return pd.DataFrame({id_column: ids, "shuffle_rank": ranks})
+
+    return tagged.groupby("_sbucket").map_groups(rank_bucket, batch_format="pandas")

@@ -881,3 +881,39 @@ def test_tfidf_matches_pandas_twin(ray_session):
     )
     # a term present in every remaining doc would weight 0; empty doc absent
     assert 0 not in set(out["doc_id"]) or texts[0] != ""
+
+
+@pytest.mark.parametrize("n_blocks", [1, 6])
+def test_shuffle_ranks_dense_and_split_invariant(ray_session, n_blocks):
+    import pandas as pd
+
+    from raydedup.ops.sample import shuffle_ranks
+    from raydedup.sketches.aggregates import _column_hashes
+
+    n = 700
+    ids = pa.array(np.arange(n, dtype=np.int64))
+    tbl = pa.table({"doc_id": ids})
+    df = tbl.to_pandas()
+    ds = rd.from_pandas(list(np.array_split(df, n_blocks)))
+    out = (
+        shuffle_ranks(ds, "doc_id", n_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # twin: argsort by (murmur priority, id)
+    h, _ = _column_hashes(ids)
+    order = np.lexsort((np.arange(n), h))
+    exp = np.empty(n, np.int64)
+    exp[order] = np.arange(n)
+    assert (out["shuffle_rank"].to_numpy() == exp).all()
+    # dense permutation 0..n-1
+    assert sorted(out["shuffle_rank"]) == list(range(n))
+
+
+def test_shuffle_ranks_rejects_non_pow2(ray_session):
+    from raydedup.ops.sample import shuffle_ranks
+
+    ds = rd.from_items([{"doc_id": 1}])
+    with pytest.raises(ValueError):
+        shuffle_ranks(ds, "doc_id", n_buckets=12)
