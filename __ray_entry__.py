@@ -665,6 +665,26 @@ def _q_ann_topk(sf_dir: str):
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def _q_rerank_topk(sf_dir: str):
+    """Retrieve-then-rerank: exact top-10 cosine candidates per query
+    (first 5 embedding rows) rescored by the deterministic stand-in
+    cross-encoder (ops/rerank.py) in an actor-pool stage — model built
+    once per actor, doc vectors attached by a vec_id hash join, one
+    einsum per batch. Sidecar oracle: the same pure kernels replayed
+    in one process."""
+    import ray.data as rd
+
+    from raydedup.ops.ann import topk_cosine
+    from raydedup.ops.rerank import rerank_candidates
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    queries_m = np.stack(qdf["embedding"].to_numpy())
+    cands = topk_cosine(ds, queries_m, k=10).select(["query_id", "vec_id"])
+    out = rerank_candidates(rd.from_arrow(cands), ds, queries_m)
+    return out.sort(["query_id", "rerank"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs over documents (rows-only)."""
     import ray.data as rd
@@ -1307,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
+        "rerank_topk": _q_rerank_topk,
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
         "regex_token_stats": _q_regex_token_stats,
@@ -1385,6 +1406,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
+            ("rerank_topk", "rerank_topk.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -1434,6 +1456,37 @@ def _ensure_oracle_sidecars() -> set[str]:
         embt["vec_id"].to_numpy(), _emb_matrix(embt, "embedding"), k=8, tau=0.45, n_iters=10
     )
     outputs["semantic_dedup"] = pa.Table.from_pandas(sem, preserve_index=False)
+
+    # rerank_topk twin: same retrieve (f32 cosine, ties by vec_id) and
+    # same scoring kernel (seeded bilinear W, round-6 f64), one process.
+    from raydedup.ops.ann import _normalize
+    from raydedup.ops.rerank import cross_scorer_weights, score_pairs
+
+    eids = embt["vec_id"].to_numpy()
+    E = np.ascontiguousarray(_emb_matrix(embt, "embedding"), dtype=np.float32)
+    qsel = np.argsort(eids)[: np.count_nonzero(eids < 5)]
+    qsel = qsel[eids[qsel] < 5]
+    qm = E[qsel]
+    cos = _normalize(qm) @ _normalize(E).T
+    rq, rv, rs, rr = [], [], [], []
+    W = cross_scorer_weights(qm.shape[1])
+    for qi in range(len(qm)):
+        order = np.lexsort((eids, -cos[qi]))[:10]
+        s = np.round(score_pairs(np.repeat(qm[qi][None, :], 10, 0), E[order], W), 6)
+        rerank = np.lexsort((eids[order], -s))
+        for r, j in enumerate(rerank):
+            rq.append(qi)
+            rv.append(int(eids[order][j]))
+            rs.append(float(s[j]))
+            rr.append(r + 1)
+    outputs["rerank_topk"] = pa.table(
+        {
+            "query_id": pa.array(rq, pa.int64()),
+            "vec_id": pa.array(rv, pa.int64()),
+            "rerank_score": pa.array(rs, pa.float64()),
+            "rerank": pa.array(rr, pa.int64()),
+        }
+    )
 
     pr1, _pr2 = _column_hashes(tbl["doc_id"].combine_chunks())
     outputs["stratified_sample"] = pa.table(
@@ -1532,6 +1585,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
+        """,
+        "rerank_topk": f"""
+            SELECT query_id, vec_id, rerank_score, rerank
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/rerank_topk.parquet')
+            ORDER BY query_id, rerank
         """,
         "quantile_filter": f"""
             WITH t AS (

@@ -917,3 +917,51 @@ def test_shuffle_ranks_rejects_non_pow2(ray_session):
     ds = rd.from_items([{"doc_id": 1}])
     with pytest.raises(ValueError):
         shuffle_ranks(ds, "doc_id", n_buckets=12)
+
+
+def test_rerank_candidates_matches_local_kernel(ray_session):
+    import pandas as pd
+
+    from raydedup.ops.rerank import cross_scorer_weights, rerank_candidates, score_pairs
+
+    rng = np.random.RandomState(3)
+    n, dim, nq = 120, 16, 3
+    E = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(E.ravel()), dim
+                ),
+            }
+        )
+    )
+    qm = E[:nq]
+    cands = pd.DataFrame(
+        {
+            "query_id": np.repeat(np.arange(nq, dtype=np.int64), 8),
+            "vec_id": rng.choice(n, nq * 8, replace=False).astype(np.int64),
+        }
+    )
+    out = (
+        rerank_candidates(rd.from_pandas(cands), emb, qm)
+        .to_pandas()
+        .sort_values(["query_id", "rerank"])
+        .reset_index(drop=True)
+    )
+    W = cross_scorer_weights(dim)
+    exp_rows = []
+    for qi, g in cands.groupby("query_id"):
+        d = E[g["vec_id"].to_numpy()]
+        s = np.round(score_pairs(np.repeat(qm[qi][None, :], len(g), 0), d, W), 6)
+        order = np.lexsort((g["vec_id"].to_numpy(), -s))
+        for r, j in enumerate(order):
+            exp_rows.append((qi, int(g["vec_id"].to_numpy()[j]), float(s[j]), r + 1))
+    exp = pd.DataFrame(exp_rows, columns=["query_id", "vec_id", "rerank_score", "rerank"])
+    pd.testing.assert_frame_equal(
+        out[["query_id", "vec_id", "rerank_score", "rerank"]].astype(
+            {"query_id": "int64", "vec_id": "int64", "rerank": "int64"}
+        ),
+        exp.astype({"query_id": "int64", "vec_id": "int64", "rerank": "int64"}),
+    )
