@@ -51,6 +51,10 @@ def ensure_corpus(sf: float, seed: int = 42) -> str:
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # bounded pre-run gate: don't start the record inside a deep host
+    # throttle window (see _await_clean_window); trace lands in the JSON
+    gate = _await_clean_window()
+
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -219,7 +223,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # window, 1.5-9 s inside this VM's whole-box throttle windows —
         # lets any recorded run be read alongside the window it ran in
         "canary_sec": _canary(),
+        **gate,
     }
+
+
+def _await_clean_window(limit_s: float = 240.0, thresh: float = 1.2) -> dict:
+    """Bounded pre-run gate: probe the host-throttle canary and wait
+    (≤ ``limit_s``, in 30 s idle steps) for it to drop below
+    ``thresh``. A deep throttle window (canary 2-9 s vs 0.15-0.4 s
+    clean) clamps the WHOLE box 2-3x and recovers after idle — timing
+    inside one measures the host, not the code. The threshold only
+    gates on real throttle (clean-window jitter is 0.15-0.9 s); the
+    wait is bounded so a caller on a schedule is never stalled.
+    Returns the probe trace for the record."""
+    probes = [_canary()]
+    t0 = time.time()
+    while probes[-1] > thresh and time.time() - t0 < limit_s:
+        time.sleep(30)
+        probes.append(_canary())
+    return {"canary_pre": probes, "canary_wait_sec": round(time.time() - t0, 1)}
 
 
 def _canary() -> float:
@@ -271,7 +293,9 @@ def run_scaling(sf_dir: str) -> dict:
             if not first:
                 time.sleep(cooldown)
             first = False
-            canaries[ncpu].append(_canary())
+            # gate each leg too (bounded): a leg started inside a deep
+            # window systematically biases the 8-vs-32 ratio
+            canaries[ncpu].append(_await_clean_window(limit_s=120.0)["canary_pre"][-1])
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
                 env=env,
