@@ -268,6 +268,25 @@ def _q_cosine_dup_pairs(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Grouped approximate distinct: HLL per event_type over user_id
+    via the sparse-partial grouped aggregate (``HllDistinct`` — tiny
+    groups shuffle ~4 B/coupon, not 2^lg_k registers). The merged
+    sketch is split-invariant (coupon-set union below the promotion
+    point, register max above), so the in-process sidecar twin matches
+    value-exactly."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import HllDistinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return (
+        ev.groupby("event_type")
+        .aggregate(HllDistinct("user_id", lg_k=12, alias_name="n_users_est"))
+        .sort("event_type")
+    )
+
+
 def _q_events_tumbling(sf_dir: str):
     """1-minute tumbling window count+sum per user."""
     import ray.data as rd
@@ -1310,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sizes": _q_cluster_sizes,
         "group_distinct_orders": _q_group_distinct_orders,
         "events_by_type": _q_events_by_type,
+        "events_distinct_users": _q_events_distinct_users,
         "top_users": _q_top_users,
         "segment_revenue": _q_segment_revenue,
         "top_parts_by_price": _q_top_parts_by_price,
@@ -1407,6 +1427,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
             ("rerank_topk", "rerank_topk.parquet"),
+            ("events_distinct_users", "events_distinct_users.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -1491,6 +1512,30 @@ def _ensure_oracle_sidecars() -> set[str]:
     pr1, _pr2 = _column_hashes(tbl["doc_id"].combine_chunks())
     outputs["stratified_sample"] = pa.table(
         {"doc_id": tbl["doc_id"], "priority": pa.array(pr1, pa.uint64())}
+    )
+
+    # events_distinct_users twin: same sparse-HLL build per group, one
+    # process (split-invariant merged state, see _q_events_distinct_users)
+    from raydedup.sketches.hll import HllSketch, coupons_from_hashes
+
+    evt = pq.read_table(
+        f"{_ORACLE_SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+    )
+    et = evt["event_type"].to_numpy(zero_copy_only=False)
+    uid = evt["user_id"].combine_chunks()
+    h1e, h2e = _column_hashes(uid)
+    names, ests = [], []
+    for t in sorted(set(et)):
+        mask = et == t
+        slot, value = coupons_from_hashes(h1e[mask], h2e[mask])
+        sk = HllSketch.sparse(12).update_coupons(slot, value)
+        names.append(t)
+        ests.append(int(round(sk.estimate())))
+    outputs["events_distinct_users"] = pa.table(
+        {
+            "event_type": pa.array(names, pa.string()),
+            "n_users_est": pa.array(ests, pa.int64()),
+        }
     )
 
     from raydedup.ops.text_stats import token_stats as _tok
@@ -1585,6 +1630,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY id_a, id_b
+        """,
+        "events_distinct_users": f"""
+            SELECT event_type, n_users_est
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/events_distinct_users.parquet')
+            ORDER BY event_type
         """,
         "rerank_topk": f"""
             SELECT query_id, vec_id, rerank_score, rerank
