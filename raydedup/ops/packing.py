@@ -39,11 +39,14 @@ import pyarrow as pa
 
 def _min_k_ids(ids: pa.ChunkedArray | pa.Array, k: int):
     """Per-block partial: k smallest (murmur priority, id) pairs."""
+    import pyarrow.compute as pc
+
     from raydedup.sketches.hashing import hash_strings
 
     vals = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
-    arr = vals.to_numpy(zero_copy_only=False)
-    h1, _ = hash_strings(list(arr))
+    svals = pc.cast(vals, pa.string())
+    arr = svals.to_numpy(zero_copy_only=False)
+    h1, _ = hash_strings(svals)  # Arrow path: zero-copy, no Python list
     if len(h1) > k:
         sel = np.argpartition(h1, k)[:k]
         return h1[sel], arr[sel]
