@@ -1314,6 +1314,34 @@ def _q_tiered_dedup(sf_dir: str):
     return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
 
 
+def _q_substring_dedup(sf_dir: str):
+    """Corpus-wide exact-substring duplication (Lee et al. 2022
+    ExactSubstr shape): per doc, the bytes covered by any 48-byte
+    window whose bytes occur >=2 times anywhere in the corpus (union
+    of duplicated spans). Copies with a distinct suffix are planted
+    for doc_id % 4 == 0 so originals mark fully duplicated while the
+    copies' planted tails stay clean; the corpus's natural near-dups
+    contribute the rest of the signal."""
+    import ray.data as rd
+
+    from raydedup.ops.substring import duplicated_span_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted_copies(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(_mod(batch["doc_id"], 4), 0))
+        s = pc.cast(sel["doc_id"], pa.string())
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], pa.scalar(200000, pa.int64())),
+                "text": pc.binary_join_element_wise(sel["text"], pc.binary_join_element_wise(pa.array(["zz"] * len(sel), pa.string()), s, ""), " "),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(planted_copies, batch_format="pyarrow"))
+    return duplicated_span_stats(corpus, "doc_id", min_len=48).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -1365,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "sig_distance_quantiles": _q_sig_distance_quantiles,
         "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dedup": _q_substring_dedup,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "shuffle_order": _q_shuffle_order,
@@ -1868,6 +1897,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "substring_dedup": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     text || ' zz' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id % 4 = 0
+            ), pos AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+                     substring(text, CAST(g.i + 1 AS BIGINT), 48) AS gram
+              FROM corpus,
+                   LATERAL (SELECT unnest(range(length(text) - 48 + 1)) AS i) g
+            ), dup AS (
+              SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1
+            ), marked AS (
+              SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)
+            ), gaps AS (
+              SELECT doc_id,
+                     LEAST(48, i - COALESCE(
+                       LAG(i) OVER (PARTITION BY doc_id ORDER BY i), i - 48))
+                       AS contrib
+              FROM marked
+            ), agg AS (
+              SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_chars
+              FROM gaps GROUP BY doc_id
+            )
+            SELECT c.doc_id, length(c.text) AS n_chars,
+                   COALESCE(a.dup_chars, 0) AS dup_chars,
+                   ROUND(COALESCE(a.dup_chars, 0) * 1.0 / length(c.text), 6)
+                     AS dup_frac
+            FROM corpus c LEFT JOIN agg a USING (doc_id)
+            ORDER BY c.doc_id
         """,
         "tfidf": r"""
             WITH words AS (
