@@ -1314,6 +1314,25 @@ def _q_tiered_dedup(sf_dir: str):
     return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
 
 
+def _q_lm_score(sf_dir: str):
+    """Bigram stupid-backoff LM quality scoring (the CCNet
+    perplexity-filter shape): the model trains on the even-doc_id half
+    of the corpus (so unseen bigrams and unseen words genuinely hit
+    the backoff branches when scoring odd docs), is broadcast once,
+    and every doc scores map-side with zero shuffle."""
+    import ray.data as rd
+
+    from raydedup.ops.lm import lm_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def even_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(_mod(b["doc_id"], 2), 0))
+
+    train = docs.map_batches(even_only, batch_format="pyarrow")
+    return lm_score(docs, train, "doc_id").sort("doc_id")
+
+
 def _q_substring_dedup(sf_dir: str):
     """Corpus-wide exact-substring duplication (Lee et al. 2022
     ExactSubstr shape): per doc, the bytes covered by any 48-byte
@@ -1394,6 +1413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_distance_quantiles": _q_sig_distance_quantiles,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
+        "lm_score": _q_lm_score,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "shuffle_order": _q_shuffle_order,
@@ -1897,6 +1917,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "lm_score": r"""
+            WITH wl AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS ws
+              FROM documents
+            ), uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ws) AS w FROM wl WHERE doc_id % 2 = 0)
+              GROUP BY w
+            ), tot AS (
+              SELECT CAST(count(*) AS DOUBLE) AS t
+              FROM (SELECT unnest(ws) AS w FROM wl WHERE doc_id % 2 = 0)
+            ), bi AS (
+              SELECT doc_id, ws[g.i + 1] AS w1, ws[g.i + 2] AS w2
+              FROM wl, LATERAL (SELECT unnest(range(len(ws) - 1)) AS i) g
+            ), bic AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+              FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2
+            ), scored AS (
+              SELECT b.doc_id,
+                     ln(CASE WHEN bc.c IS NOT NULL THEN bc.c * 1.0 / u1.c
+                             WHEN u2.c IS NOT NULL THEN 0.4 * u2.c / tot.t
+                             ELSE 0.4 * 0.4 / tot.t END) AS lp
+              FROM bi b
+              LEFT JOIN bic bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+              LEFT JOIN uni u1 ON b.w1 = u1.w
+              LEFT JOIN uni u2 ON b.w2 = u2.w
+              CROSS JOIN tot
+            ), agg AS (
+              SELECT doc_id, SUM(lp) AS s, COUNT(*) AS n
+              FROM scored GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.ws) AS BIGINT) AS n_words,
+                   CAST(GREATEST(len(w.ws) - 1, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(COALESCE(a.s / a.n, 0.0), 6) AS lm_score
+            FROM wl w LEFT JOIN agg a USING (doc_id)
+            ORDER BY w.doc_id
         """,
         "substring_dedup": r"""
             WITH corpus AS (
