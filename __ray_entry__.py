@@ -1361,6 +1361,32 @@ def _q_substring_dedup(sf_dir: str):
     return duplicated_span_stats(corpus, "doc_id", min_len=48).sort("doc_id")
 
 
+def _q_substring_cut(sf_dir: str):
+    """The ExactSubstr TRANSFORM over the same planted corpus as
+    `substring_dedup`: every byte covered by a duplicated 48-byte
+    window is cut from every occurrence; output is the cleaned text
+    (plus cut-byte count). Docs and their duplicated window starts
+    co-group on id-buckets; one mask-and-rebuild kernel per bucket."""
+    import ray.data as rd
+
+    from raydedup.ops.substring import remove_duplicated_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted_copies(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(_mod(batch["doc_id"], 4), 0))
+        s = pc.cast(sel["doc_id"], pa.string())
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], pa.scalar(200000, pa.int64())),
+                "text": pc.binary_join_element_wise(sel["text"], pc.binary_join_element_wise(pa.array(["zz"] * len(sel), pa.string()), s, ""), " "),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(planted_copies, batch_format="pyarrow"))
+    return remove_duplicated_spans(corpus, "doc_id", min_len=48).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -1413,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_distance_quantiles": _q_sig_distance_quantiles,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
+        "substring_cut": _q_substring_cut,
         "lm_score": _q_lm_score,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
@@ -1917,6 +1944,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "substring_cut": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     text || ' zz' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents WHERE doc_id % 4 = 0
+            ), pos AS (
+              SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+                     substring(text, CAST(g.i + 1 AS BIGINT), 48) AS gram
+              FROM corpus,
+                   LATERAL (SELECT unnest(range(length(text) - 48 + 1)) AS i) g
+            ), dup AS (
+              SELECT gram FROM pos GROUP BY gram HAVING COUNT(*) > 1
+            ), marked AS (
+              SELECT p.doc_id, p.i FROM pos p JOIN dup USING (gram)
+            ), gaps AS (
+              SELECT doc_id,
+                     LEAST(48, i - COALESCE(
+                       LAG(i) OVER (PARTITION BY doc_id ORDER BY i), i - 48))
+                       AS contrib
+              FROM marked
+            ), agg AS (
+              SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_chars
+              FROM gaps GROUP BY doc_id
+            ), isl AS (
+              SELECT doc_id, i,
+                     CASE WHEN i - COALESCE(
+                            LAG(i) OVER (PARTITION BY doc_id ORDER BY i),
+                            i - 49) > 48
+                          THEN 1 ELSE 0 END AS brk
+              FROM marked
+            ), isl2 AS (
+              SELECT doc_id, i,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, MIN(i) AS s, MAX(i) + 48 AS e
+              FROM isl2 GROUP BY doc_id, grp
+            ), segs AS (
+              SELECT doc_id,
+                     COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS b,
+                     s AS t
+              FROM spans
+              UNION ALL
+              SELECT doc_id, MAX(e) AS b, NULL AS t FROM spans GROUP BY doc_id
+            ), clean AS (
+              SELECT c.doc_id,
+                     COALESCE(string_agg(
+                       substring(c.text, g.b + 1,
+                                 COALESCE(g.t, length(c.text)) - g.b),
+                       '' ORDER BY g.b), '') AS clean_text
+              FROM corpus c JOIN segs g ON c.doc_id = g.doc_id
+              WHERE COALESCE(g.t, length(c.text)) > g.b
+              GROUP BY c.doc_id
+            )
+            SELECT c.doc_id,
+                   CASE WHEN cl.doc_id IS NOT NULL THEN cl.clean_text
+                        WHEN a.doc_id IS NOT NULL THEN ''
+                        ELSE c.text END AS clean_text,
+                   COALESCE(a.dup_chars, 0) AS dup_chars
+            FROM corpus c
+            LEFT JOIN clean cl USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY c.doc_id
         """,
         "lm_score": r"""
             WITH wl AS (

@@ -179,6 +179,19 @@ def _union_bucket(g: pa.Table, id_column: str, window: int) -> pa.Table:
     return pa.table({id_column: pa.array(uid), "dup_chars": pa.array(dup_chars)})
 
 
+def _marked_positions(texts, id_column: str, text_column: str, min_len: int, n_buckets: int):
+    """(id, pos) of every window start whose 128-bit hash repeats
+    corpus-wide — the shared front half of the stats and removal ops.
+    Includes the per-block sentinel rows (id = _SENTINEL_ID)."""
+    rows = texts.map_batches(
+        lambda b: _window_rows(b, id_column, text_column, min_len, n_buckets),
+        batch_format="pyarrow",
+    )
+    return rows.groupby("_bkt").map_groups(
+        lambda g: _mark_bucket(g, id_column), batch_format="pyarrow"
+    )
+
+
 def duplicated_span_stats(
     ds,
     id_column: str,
@@ -196,14 +209,7 @@ def duplicated_span_stats(
     ids). Byte semantics: n_chars/dup_chars count UTF-8 bytes.
     """
     texts = ds.select_columns([id_column, text_column])
-
-    rows = texts.map_batches(
-        lambda b: _window_rows(b, id_column, text_column, min_len, n_buckets),
-        batch_format="pyarrow",
-    )
-    marked = rows.groupby("_bkt").map_groups(
-        lambda g: _mark_bucket(g, id_column), batch_format="pyarrow"
-    )
+    marked = _marked_positions(texts, id_column, text_column, min_len, n_buckets)
 
     def add_id_bucket(b: pa.Table) -> pa.Table:
         ids = b[id_column].to_numpy(zero_copy_only=False)
@@ -267,3 +273,126 @@ def duplicated_span_stats(
         )
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+def _cut_bucket(g: pa.Table, id_column: str, window: int) -> pa.Table:
+    """Cut every covered byte from the docs of one id-bucket.
+
+    The group holds each doc's text row (kind 0) plus all of its
+    duplicated window starts (kind 1, same id-bucket by construction).
+    One coverage mask over the bucket's concatenated byte buffer
+    (+1/-1 deltas at span edges, cumsum > 0) selects kept bytes; the
+    cleaned strings rebuild zero-copy from the filtered buffer + new
+    offsets. No per-doc Python.
+    """
+    from raydedup.sketches.hashing import _string_array_bytes
+
+    kind = g["kind"].to_numpy(zero_copy_only=False)
+    docs = g.filter(pa.array(kind == 0))
+    spans = g.filter(pa.array(kind == 1))
+    ids = docs[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    text_sorted = docs["text"].take(pa.array(order))
+    data, offsets = _string_array_bytes(text_sorted)
+    offsets = offsets.astype(np.int64)
+    total = len(data)
+    n_docs = len(ids)
+
+    sid = spans[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    spos = spans["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    di = np.searchsorted(ids, sid)
+    ok = (di < n_docs) & (ids[np.minimum(di, max(n_docs - 1, 0))] == sid) if n_docs else np.zeros(len(sid), bool)
+    di, spos = di[ok], spos[ok]
+
+    delta = np.zeros(total + 1, dtype=np.int32)
+    starts = offsets[di] + spos
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, starts + window, -1)
+    cover = np.cumsum(delta[:-1]) > 0
+    keep = ~cover
+
+    if total:
+        doc_of_byte = np.searchsorted(offsets[1:], np.arange(total), side="right")
+        kept_per_doc = np.bincount(doc_of_byte, weights=keep, minlength=n_docs).astype(np.int64)
+        cut_per_doc = np.bincount(doc_of_byte, weights=cover, minlength=n_docs).astype(np.int64)
+        new_data = np.ascontiguousarray(data[keep])
+    else:
+        kept_per_doc = np.zeros(n_docs, dtype=np.int64)
+        cut_per_doc = np.zeros(n_docs, dtype=np.int64)
+        new_data = np.empty(0, dtype=np.uint8)
+    new_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(kept_per_doc, out=new_off[1:])
+    clean = pa.Array.from_buffers(
+        pa.large_binary(),
+        n_docs,
+        [None, pa.py_buffer(new_off), pa.py_buffer(new_data)],
+    ).cast(pa.string())
+    return pa.table(
+        {
+            id_column: pa.array(ids),
+            "clean_text": clean,
+            "dup_chars": pa.array(cut_per_doc),
+        }
+    )
+
+
+def remove_duplicated_spans(
+    ds,
+    id_column: str,
+    text_column: str = "text",
+    min_len: int = 48,
+    n_buckets: int = 64,
+    id_buckets: int = 32,
+):
+    """The ExactSubstr transform: cut from every doc all bytes covered
+    by a ``min_len``-byte window whose bytes occur >= 2 times anywhere
+    in the corpus (Lee et al. 2022 remove ALL occurrences of any
+    duplicated span; adjacent/overlapping spans merge by construction).
+
+    Returns (id, clean_text, dup_chars). Docs and their duplicated
+    window starts co-group on ``id % id_buckets`` — one union, one
+    groupby, then a pure mask-and-rebuild kernel per bucket. Size
+    ``id_buckets`` so one bucket's share of corpus bytes fits a worker
+    (buckets ≈ corpus_bytes / target_group_bytes). Byte semantics: on
+    non-ASCII text a cut can split a UTF-8 sequence (the paper
+    operates on tokens); this engine's corpus contract is ASCII text.
+    """
+    texts = ds.select_columns([id_column, text_column])
+    marked = _marked_positions(texts, id_column, text_column, min_len, n_buckets)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(b)
+        return pa.table(
+            {
+                id_column: b[id_column],
+                "_ibkt": pa.array((ids % id_buckets).astype(np.int64)),
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "text": b[text_column],
+                "pos": pa.array(np.full(n, -1, dtype=np.int64)),
+            }
+        )
+
+    def span_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        real = ids != _SENTINEL_ID
+        b = b.filter(pa.array(real))
+        ids = ids[real]
+        n = len(b)
+        return pa.table(
+            {
+                id_column: b[id_column],
+                "_ibkt": pa.array((ids % id_buckets).astype(np.int64)),
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "text": pa.array([""] * n, pa.string()),
+                "pos": b["pos"],
+            }
+        )
+
+    combined = texts.map_batches(doc_rows, batch_format="pyarrow").union(
+        marked.map_batches(span_rows, batch_format="pyarrow")
+    )
+    return combined.groupby("_ibkt").map_groups(
+        lambda g: _cut_bucket(g, id_column, min_len), batch_format="pyarrow"
+    )

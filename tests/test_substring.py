@@ -108,3 +108,72 @@ def test_substring_dedup_within_doc_repeat(ray_session):
     got = _run(docs, L, 1)
     assert got == expected
     assert got[5][1] > 0 and got[6][1] == 0
+
+
+def _brute_cut(docs: dict[int, str], L: int) -> dict[int, tuple[str, int]]:
+    cnt = Counter()
+    for s in docs.values():
+        b = s.encode()
+        for p in range(len(b) - L + 1):
+            cnt[b[p : p + L]] += 1
+    out = {}
+    for i, s in docs.items():
+        b = s.encode()
+        cov = np.zeros(len(b), dtype=bool)
+        for p in range(len(b) - L + 1):
+            if cnt[b[p : p + L]] > 1:
+                cov[p : p + L] = True
+        out[i] = (bytes(np.frombuffer(b, np.uint8)[~cov]).decode(), int(cov.sum()))
+    return out
+
+
+def test_remove_duplicated_spans_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.substring import remove_duplicated_spans
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "bravo", "chase", "delta", "eagle", "frost"]
+    docs = {}
+    for i in range(30):
+        docs[i] = " ".join(rng.choice(vocab, size=rng.integers(6, 35)).tolist())
+    docs[100] = docs[0]                       # full copy -> both fully cut
+    docs[101] = "HEAD " + docs[1]             # shared suffix
+    docs[102] = docs[2] + " TAIL"             # shared prefix
+    docs[103] = "totally novel words only here never repeated elsewhere"
+    L = 24
+    expected = _brute_cut(docs, L)
+    items = sorted(docs.items())
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in items], pa.int64()),
+            "text": pa.array([s for _, s in items], pa.string()),
+        }
+    )
+    for n_blocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        res = remove_duplicated_spans(ds, "doc_id", min_len=L).to_pandas()
+        assert len(res) == len(docs)
+        got = {int(r.doc_id): (r.clean_text, int(r.dup_chars)) for r in res.itertuples()}
+        assert got == expected, f"split {n_blocks}"
+    # sanity on intent: the exact copy pair got fully cut, the novel doc kept
+    assert expected[100][0] == "" and expected[103][1] == 0
+
+
+def test_remove_spans_stats_consistency(ray_session):
+    # dup_chars from the transform == dup_chars from the stats op
+    import ray.data as rd
+
+    from raydedup.ops.substring import duplicated_span_stats, remove_duplicated_spans
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 2 + f"tail {i}" for i in range(6)]
+    tbl = pa.table(
+        {"doc_id": pa.array(list(range(6)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    L = 40
+    stats = duplicated_span_stats(ds, "doc_id", min_len=L).to_pandas().sort_values("doc_id")
+    cut = remove_duplicated_spans(ds, "doc_id", min_len=L).to_pandas().sort_values("doc_id")
+    assert stats.dup_chars.tolist() == cut.dup_chars.tolist()
+    kept = [len(t.encode()) - d for t, d in zip(texts, stats.dup_chars)]
+    assert [len(c.encode()) for c in cut.clean_text] == kept
