@@ -179,6 +179,20 @@ def _union_bucket(g: pa.Table, id_column: str, window: int) -> pa.Table:
     return pa.table({id_column: pa.array(uid), "dup_chars": pa.array(dup_chars)})
 
 
+def _auto_buckets(ds, blowup: int = 28, target_group_bytes: int = 512 << 20) -> int:
+    """Bucket count sized so one bucket's share of the pos-row exchange
+    (~``blowup`` bytes per corpus byte) fits a worker: results are
+    bucket-count-invariant (grams group by global hash), so this knob
+    only trades shuffle-task overhead against per-group memory."""
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if not sz or sz <= 0:
+        return 64
+    return int(np.clip(sz * blowup // target_group_bytes + 1, 8, 1 << 20))
+
+
 def _marked_positions(texts, id_column: str, text_column: str, min_len: int, n_buckets: int):
     """(id, pos) of every window start whose 128-bit hash repeats
     corpus-wide — the shared front half of the stats and removal ops.
@@ -197,8 +211,8 @@ def duplicated_span_stats(
     id_column: str,
     text_column: str = "text",
     min_len: int = 48,
-    n_buckets: int = 64,
-    id_buckets: int = 32,
+    n_buckets: int | None = None,
+    id_buckets: int | None = None,
 ):
     """Corpus-wide exact-substring duplication statistics.
 
@@ -209,6 +223,10 @@ def duplicated_span_stats(
     ids). Byte semantics: n_chars/dup_chars count UTF-8 bytes.
     """
     texts = ds.select_columns([id_column, text_column])
+    if n_buckets is None:
+        n_buckets = _auto_buckets(texts)
+    if id_buckets is None:
+        id_buckets = max(n_buckets // 2, 8)
     marked = _marked_positions(texts, id_column, text_column, min_len, n_buckets)
 
     def add_id_bucket(b: pa.Table) -> pa.Table:
@@ -342,8 +360,8 @@ def remove_duplicated_spans(
     id_column: str,
     text_column: str = "text",
     min_len: int = 48,
-    n_buckets: int = 64,
-    id_buckets: int = 32,
+    n_buckets: int | None = None,
+    id_buckets: int | None = None,
 ):
     """The ExactSubstr transform: cut from every doc all bytes covered
     by a ``min_len``-byte window whose bytes occur >= 2 times anywhere
@@ -359,6 +377,12 @@ def remove_duplicated_spans(
     operates on tokens); this engine's corpus contract is ASCII text.
     """
     texts = ds.select_columns([id_column, text_column])
+    if n_buckets is None:
+        n_buckets = _auto_buckets(texts)
+    if id_buckets is None:
+        # id-bucket groups carry the bucket's full text share (~1x corpus
+        # bytes), so size them like the gram buckets without the blowup
+        id_buckets = max(_auto_buckets(texts, blowup=2), 8)
     marked = _marked_positions(texts, id_column, text_column, min_len, n_buckets)
 
     def doc_rows(b: pa.Table) -> pa.Table:
