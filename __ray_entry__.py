@@ -1314,6 +1314,41 @@ def _q_tiered_dedup(sf_dir: str):
     return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """Per-group quantiles via the GROUPED deterministic t-digest
+    (`grouped_tdigest_det`): every event type's digest is a pure
+    function of its value multiset (value-hash buckets, per-bucket
+    build over sorted values, ascending-bucket fold), so the sidecar
+    twin plants p50/p95 bit-identically and the gate checks the
+    distributed two-stage grouped reduce against in-process truth."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import grouped_tdigest_det
+    from raydedup.sketches.tdigest import TDigest
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    g = grouped_tdigest_det(ev, "event_type", "value", n_buckets=32)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        types, ns, p50, p95 = [], [], [], []
+        for t, blob in zip(b["event_type"].to_pylist(), b["blob"].to_pylist()):
+            td = TDigest.from_bytes(blob)
+            types.append(t)
+            ns.append(int(td.total_weight))
+            p50.append(td.quantile(0.5))
+            p95.append(td.quantile(0.95))
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n_events": pa.array(ns, pa.int64()),
+                "p50": pa.array(p50, pa.float64()),
+                "p95": pa.array(p95, pa.float64()),
+            }
+        )
+
+    return g.map_batches(finalize, batch_format="pyarrow").sort("event_type")
+
+
 def _q_lm_score(sf_dir: str):
     """Bigram stupid-backoff LM quality scoring (the CCNet
     perplexity-filter shape): the model trains on the even-doc_id half
@@ -1441,6 +1476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _q_substring_dedup,
         "substring_cut": _q_substring_cut,
         "lm_score": _q_lm_score,
+        "events_value_quantiles": _q_events_value_quantiles,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "shuffle_order": _q_shuffle_order,
@@ -1504,6 +1540,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("quantile_filter", "quantile_filter.parquet"),
             ("rerank_topk", "rerank_topk.parquet"),
             ("events_distinct_users", "events_distinct_users.parquet"),
+            ("events_value_quantiles", "events_value_quantiles.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -1614,6 +1651,24 @@ def _ensure_oracle_sidecars() -> set[str]:
         }
     )
 
+    # events_value_quantiles twin: same grouped deterministic digest
+    # (value-hash buckets, per-bucket sorted build, ascending fold), one
+    # process — p50/p95 per event type are bit-identical by construction.
+    from raydedup.sketches.aggregates import grouped_tdigest_column_det
+
+    evq = pq.read_table(f"{_ORACLE_SF_DIR}/events.parquet", columns=["event_type", "value"])
+    tds = grouped_tdigest_column_det(
+        evq["event_type"].to_numpy(zero_copy_only=False), evq["value"], n_buckets=32
+    )
+    outputs["events_value_quantiles"] = pa.table(
+        {
+            "event_type": pa.array(list(tds), pa.string()),
+            "n_events": pa.array([int(t.total_weight) for t in tds.values()], pa.int64()),
+            "p50": pa.array([t.quantile(0.5) for t in tds.values()], pa.float64()),
+            "p95": pa.array([t.quantile(0.95) for t in tds.values()], pa.float64()),
+        }
+    )
+
     from raydedup.ops.text_stats import token_stats as _tok
 
     nt = _tok(tbl, "doc_id")["n_tokens"]
@@ -1710,6 +1765,11 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": f"""
             SELECT event_type, n_users_est
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/events_distinct_users.parquet')
+            ORDER BY event_type
+        """,
+        "events_value_quantiles": f"""
+            SELECT event_type, n_events, p50, p95
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/events_value_quantiles.parquet')
             ORDER BY event_type
         """,
         "rerank_topk": f"""

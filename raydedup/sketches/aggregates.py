@@ -296,6 +296,66 @@ def tdigest_column_det(col, k: int = 200, n_buckets: int = 64) -> TDigest:
     return TDigest.from_bytes(blob) if blob else TDigest(k)
 
 
+def grouped_tdigest_det(ds, key: str, column: str, k: int = 200, n_buckets: int = 64):
+    """Per-GROUP blocking-independent t-digest: rows bucket on
+    (key, value-hash), each (key, bucket) group builds one digest over
+    its sorted values, then each key folds its bucket digests in
+    ascending bucket order — every group's digest is a pure function
+    of that group's value multiset, never of blocking. Returns a
+    Dataset of (key, blob). Exchanges carry (key, value) rows once and
+    (key, bucket, digest) rows once (≤ n_buckets digests per group)."""
+    build, merge = _tdigest_kernels(k)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                column: batch[column],
+                "bucket": pa.array(_value_buckets(batch[column], n_buckets)),
+            }
+        )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        v = np.sort(g[column].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                key: g[key].take(pa.array([0])),
+                "bucket": g["bucket"].take(pa.array([0])),
+                "blob": pa.array([build(v)], pa.large_binary()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        blobs = g["blob"].to_pylist()
+        acc = _merge_bucket_blobs(list(zip(buckets.tolist(), blobs)), merge)
+        return pa.table(
+            {key: g[key].take(pa.array([0])), "blob": pa.array([acc], pa.large_binary())}
+        )
+
+    return (
+        ds.select_columns([key, column])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby([key, "bucket"])
+        .map_groups(per_group, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def grouped_tdigest_column_det(keys: np.ndarray, col, k: int = 200, n_buckets: int = 64) -> dict:
+    """In-process twin of ``grouped_tdigest_det``: same value-hash
+    bucketing, per-bucket sort, and ascending-bucket fold per key."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = {}
+    for kv in sorted(set(keys.tolist())):
+        mask = keys == kv
+        blob = sketch_column_by_buckets(col.filter(pa.array(mask)), n_buckets, *_tdigest_kernels(k))
+        out[kv] = TDigest.from_bytes(blob) if blob else TDigest(k)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # grouped aggregations (ds.groupby(key).aggregate(...))
 # ---------------------------------------------------------------------------

@@ -182,3 +182,37 @@ def test_cpc_merged_estimate_blocking_independent(ray_session):
         ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey"]).repartition(blocks)
         est = cpc_union([cpc_distinct(ds, "o_custkey", lg_k=11)]).estimate()
         assert est == twin
+
+
+def test_grouped_tdigest_det_blocking_independent(ray_session):
+    """grouped_tdigest_det is bit-identical across block splits and
+    equals its in-process twin per group; quantiles track exact."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from raydedup.sketches.aggregates import (
+        grouped_tdigest_column_det,
+        grouped_tdigest_det,
+    )
+    from raydedup.sketches.tdigest import TDigest
+
+    tbl = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    twins = grouped_tdigest_column_det(
+        tbl["event_type"].to_numpy(zero_copy_only=False), tbl["value"], n_buckets=8
+    )
+    for blocks in (1, 3, 7):
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"]).repartition(
+            blocks
+        )
+        rows = grouped_tdigest_det(ds, "event_type", "value", n_buckets=8).take_all()
+        assert len(rows) == len(twins)
+        for r in rows:
+            assert r["blob"] == twins[r["event_type"]].to_bytes(), (blocks, r["event_type"])
+    exact = dict(
+        duckdb.sql(
+            f"select event_type, median(value) from '{SF}/events.parquet' group by 1"
+        ).fetchall()
+    )
+    for t, td in twins.items():
+        assert td.quantile(0.5) == pytest.approx(exact[t], abs=0.5)
+        assert TDigest.from_bytes(td.to_bytes()).total_weight == td.total_weight
