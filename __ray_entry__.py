@@ -1314,6 +1314,23 @@ def _q_tiered_dedup(sf_dir: str):
     return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
 
 
+def _q_exact_price_quantiles(sf_dir: str):
+    """EXACT distributed order statistics without a global sort:
+    histogram-bisection selection (`ops/selection.py::exact_quantile`)
+    — each round is a map-only scan tree-reduced to `bins` counts, the
+    driver narrows the value range to the bin holding the target rank,
+    and one bounded filter pass finishes with np.partition. The
+    max_materialize cap forces real bisection rounds even at sf0.01."""
+    import ray.data as rd
+
+    from raydedup.ops.selection import exact_quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    qs = [0.01, 0.25, 0.5, 0.75, 0.95]
+    vals = [exact_quantile(ds, "l_extendedprice", q, bins=256, max_materialize=2000) for q in qs]
+    return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(vals, pa.float64())})
+
+
 def _q_events_value_quantiles(sf_dir: str):
     """Per-group quantiles via the GROUPED deterministic t-digest
     (`grouped_tdigest_det`): every event type's digest is a pure
@@ -1477,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_cut": _q_substring_cut,
         "lm_score": _q_lm_score,
         "events_value_quantiles": _q_events_value_quantiles,
+        "exact_price_quantiles": _q_exact_price_quantiles,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "shuffle_order": _q_shuffle_order,
@@ -2004,6 +2022,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "exact_price_quantiles": r"""
+            SELECT CAST(0.01 AS DOUBLE) AS q,
+                   CAST(quantile_disc(l_extendedprice, 0.01) AS DOUBLE) AS value
+            FROM lineitem
+            UNION ALL SELECT CAST(0.25 AS DOUBLE),
+                   CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT CAST(0.5 AS DOUBLE),
+                   CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT CAST(0.75 AS DOUBLE),
+                   CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE) FROM lineitem
+            UNION ALL SELECT CAST(0.95 AS DOUBLE),
+                   CAST(quantile_disc(l_extendedprice, 0.95) AS DOUBLE) FROM lineitem
+            ORDER BY q
         """,
         "substring_cut": r"""
             WITH corpus AS (

@@ -201,7 +201,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # operator queries over the driver-provided tables
     import __ray_entry__ as entrymod
 
-    for name in ("exact_dedup", "pricing_summary", "distinct_orderkeys_theta"):
+    for name in (
+        "exact_dedup",
+        "pricing_summary",
+        "distinct_orderkeys_theta",
+        "substring_cut",
+        "lm_score",
+    ):
         fn = entrymod.queries()[name]
         _best_of(name, lambda fn=fn: fn(sf_dir))
 
