@@ -127,6 +127,9 @@ def train_bigram_lm(ds, text_column: str = "text"):
         .aggregate(Sum("count", alias_name="count"))
         .to_pandas()
     )
+    if len(counts) == 0:  # zero trained words: the groupby loses the schema
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy(), z.copy(), 0
     uni = counts[counts.is_bigram == 0]
     bi = counts[counts.is_bigram == 1]
     uni_h = uni["h"].to_numpy().astype(np.int64)
@@ -181,7 +184,9 @@ def score_batch(
         cb = _lookup(bi_h, bi_c, _mix_pair(prev_h, cur_h).view(np.int64)).astype(np.float64)
         cp = _lookup(uni_h, uni_c, prev_h.view(np.int64)).astype(np.float64)
         cc = _lookup(uni_h, uni_c, cur_h.view(np.int64)).astype(np.float64)
-        t = float(total)
+        # empty model (zero trained words): every pair takes the
+        # unknown-word branch with T treated as 1 -> finite alpha^2
+        t = float(total) if total > 0 else 1.0
         p = np.where(
             cb > 0,
             np.divide(cb, cp, out=np.ones_like(cb), where=cp > 0),

@@ -126,3 +126,9 @@ def test_score_batch_kernel_direct():
     exp1 = round((math.log(2 / 3) * 3) / 3, 6)
     assert out.lm_score[0] == pytest.approx(exp1, abs=1e-9)
     assert out.n_words.tolist() == [4, 2] and out.n_bigrams.tolist() == [3, 1]
+
+
+def test_lm_score_empty_model(ray_session):
+    # zero trained words: every bigram scores ln(alpha^2) finitely
+    got = _run([""], ["a b c"], 1)
+    assert got == [(3, 2, round(math.log(0.16), 6))]
