@@ -1314,6 +1314,22 @@ def _q_tiered_dedup(sf_dir: str):
     return tiered_dedup(aug, emb, tau_semantic=0.45).sort("doc_id")
 
 
+def _q_top_words_per_source(sf_dir: str):
+    """Per-group frequent items: top-10 words per source via mergeable
+    Misra-Gries partials (one bounded sketch image per (block, group)
+    through the exchange, never per-token rows). The synth vocabulary
+    sits far below the 0.75*max_map_size exactness bound, so counts
+    are exact and the SQL oracle re-derives them with a plain
+    group-count + row_number window (same (count desc, word asc)
+    tie-break)."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import top_words_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return top_words_per_group(docs, "source", k=10).sort(["source", "rank"])
+
+
 def _q_exact_price_quantiles(sf_dir: str):
     """EXACT distributed order statistics without a global sort:
     histogram-bisection selection (`ops/selection.py::exact_quantile`)
@@ -1495,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "events_value_quantiles": _q_events_value_quantiles,
         "exact_price_quantiles": _q_exact_price_quantiles,
+        "top_words_per_source": _q_top_words_per_source,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "shuffle_order": _q_shuffle_order,
@@ -2022,6 +2039,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "top_words_per_source": r"""
+            WITH words AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> len(w) > 0)) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, CAST(count(*) AS BIGINT) AS n
+              FROM words GROUP BY 1, 2
+            ), r AS (
+              SELECT source, word, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, word) AS BIGINT)
+                       AS rank
+              FROM c
+            )
+            SELECT source, word, n, rank FROM r
+            WHERE rank <= 10 ORDER BY source, rank
         """,
         "exact_price_quantiles": r"""
             SELECT CAST(0.01 AS DOUBLE) AS q,

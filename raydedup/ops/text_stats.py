@@ -447,3 +447,78 @@ def pii_redact(batch: pa.Table, id_column: str, text_column: str = "text") -> pa
         text = pc.replace_substring_regex(text, pattern, token)
     out["clean_text"] = text
     return pa.table(out)
+
+
+def top_words_per_group(
+    ds,
+    group_column: str,
+    text_column: str = "text",
+    k: int = 10,
+    max_map_size: int = 1024,
+):
+    """Per-group frequent words via mergeable Misra-Gries partials.
+
+    Map-side, each block collapses every group it holds to ONE bounded
+    MG sketch image (`FrequentItemsSketch`, the reference's
+    frequencies family) — the exchange carries (group, blob) rows with
+    blob size O(max_map_size), never per-token rows, at any corpus
+    size. The per-group fold merges images and emits the top ``k``
+    items ordered by (count desc, word asc). Counts are EXACT while a
+    group's distinct-word count stays below 0.75*max_map_size (the
+    reference's exactness bound, `frequencies/mod.rs:43-44`); beyond
+    it they carry the documented <= 3.5W/M error envelope.
+    """
+    from raydedup.sketches.frequencies import FrequentItemsSketch
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        out_g, out_b = [], []
+        if len(text):
+            words = pc.utf8_split_whitespace(pc.utf8_lower(text))
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            flat = words.flatten()
+            off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off = off - off[0]
+            n_docs = len(off) - 1
+            doc_of_word = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+            wv = flat.to_numpy(zero_copy_only=False)
+            nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+            wv, doc_of_word = wv[nonempty], doc_of_word[nonempty]
+            groups = batch[group_column].to_numpy(zero_copy_only=False)
+            wg = groups[doc_of_word]
+            for g in np.unique(wg):
+                sk = FrequentItemsSketch(max_map_size).update_batch(wv[wg == g])
+                out_g.append(g)
+                out_b.append(sk.to_bytes())
+        return pa.table(
+            {
+                group_column: pa.array(out_g, pa.string()),
+                "blob": pa.array(out_b, pa.large_binary()),
+            }
+        )
+
+    def fold(g: pa.Table) -> pa.Table:
+        sks = [FrequentItemsSketch.from_bytes(b) for b in g["blob"].to_pylist()]
+        acc = sks[0]
+        for s in sks[1:]:
+            acc = acc.merge(s)
+        top = acc.frequent_items()[:k]
+        n = len(top)
+        return pa.table(
+            {
+                group_column: g[group_column].take(pa.array([0] * n)),
+                "word": pa.array([str(t[0]) for t in top], pa.string()),
+                "n": pa.array([int(t[1]) for t in top], pa.int64()),
+                "rank": pa.array(list(range(1, n + 1)), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_column, text_column])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(group_column)
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -965,3 +965,41 @@ def test_rerank_candidates_matches_local_kernel(ray_session):
         ),
         exp.astype({"query_id": "int64", "vec_id": "int64", "rerank": "int64"}),
     )
+
+
+def test_top_words_per_group_exact_regime(ray_session):
+    """Grouped MG top-k equals brute-force counts (exact regime) for
+    any block split; tie-break is (count desc, word asc)."""
+    from collections import Counter
+
+    from raydedup.ops.text_stats import top_words_per_group
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(60):
+        g = f"s{i % 3}"
+        rows.append((g, " ".join(rng.choice(vocab, size=rng.integers(1, 25)))))
+    tbl = pa.table(
+        {
+            "source": pa.array([g for g, _ in rows], pa.string()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }
+    )
+    exp = {}
+    for g, t in rows:
+        for w in t.lower().split():
+            exp[(g, w)] = exp.get((g, w), 0) + 1
+    want = {}
+    for g in ("s0", "s1", "s2"):
+        items = sorted(
+            ((w, n) for (gg, w), n in exp.items() if gg == g), key=lambda x: (-x[1], x[0])
+        )[:4]
+        want[g] = items
+    for n_blocks in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = top_words_per_group(ds, "source", k=4).to_pandas()
+        got = {}
+        for r in out.sort_values(["source", "rank"]).itertuples():
+            got.setdefault(r.source, []).append((r.word, int(r.n)))
+        assert got == want, n_blocks
