@@ -28,9 +28,9 @@ Scale design (100 TB lens):
   lexsort-by-(id, pos) gap kernel computes the union size per doc:
   the first start of a doc contributes ``min_len`` bytes, every later
   start contributes ``min(min_len, pos - prev_pos)``.
-- Docs with zero duplicated windows rejoin via one left-outer hash
-  join against the per-doc byte counts (map-side, never shuffled with
-  text attached).
+- Docs with zero duplicated windows rejoin via a union + one
+  groupby-sum against the per-doc byte counts (map-side derived,
+  never shuffled with text attached).
 
 Collisions: window identity is the 128-bit (h1, h2) pair; two distinct
 windows colliding on both independent rolling hashes is ~2^-128 per
