@@ -331,6 +331,31 @@ def _q_events_sessions(sf_dir: str):
     return session_windows(ds, "user_id", "ts", gap_s=1800).sort(["user_id", "session_start"])
 
 
+def _q_cumulative_spend(sf_dir: str):
+    """Per-customer running spend in order-date order — the
+    ordered-window aggregate (``SUM() OVER (PARTITION BY key ORDER BY
+    ...)``) Ray Data has no native form for. Coarse-bucketed
+    lexsort + segmented-cumsum kernel (no per-key groups); values
+    accumulate as integer cents, so the running sums are exact under
+    any blocking and bit-match the oracle's integer window sum."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import cumulative_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = cumulative_per_key(
+        ds,
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+        out_col="running_spend",
+    )
+    return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
+
+
 def _q_top2_parts_per_brand(sf_dir: str):
     """Per-group top-k (row_number window semantics): the 2 priciest
     parts of each brand, ties broken by partkey."""
@@ -1485,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
+        "cumulative_spend": _q_cumulative_spend,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2380,6 +2406,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "cumulative_spend": """
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
+            FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
         """,
         "ngram_dup_pairs": r"""
             WITH words AS (

@@ -73,6 +73,68 @@ def hopping_window_aggregate(
     )
 
 
+def cumulative_per_key(
+    ds,
+    key: str,
+    order_cols: list[str],
+    value: str,
+    out_col: str = "running_total",
+    decimals: int = 2,
+    n_buckets: int = 64,
+):
+    """Per-key running (cumulative) sum of ``value`` in ``order_cols``
+    order — the ordered-window aggregate (``SUM() OVER (PARTITION BY
+    key ORDER BY ...)``) Ray Data has no native form for.
+
+    Scale shape: the same coarse-bucket contract as
+    ``session_windows`` — keys bucket on ``hash(key) % n_buckets`` and
+    ONE vectorized lexsort + segmented-cumsum kernel handles every key
+    in a bucket (never a pandas group per key); ``order_cols`` must be
+    a total order within a key (pass a unique tiebreak column last).
+
+    Exactness: values are scaled to integers at ``decimals`` places
+    and accumulated in int64, so the running sums are EXACT — immune
+    to float summation-order differences across blockings, cluster
+    sizes, and oracle engines. The output column is
+    ``scaled / 10**decimals`` as float64.
+    """
+    scale = float(10**decimals)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_cbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key], sort=False)
+        order_arrays = [g[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
+        c = codes[order]
+        cents = np.rint(g[value].to_numpy()[order] * scale).astype(np.int64)
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        cs = np.cumsum(cents)
+        starts = np.flatnonzero(new)
+        seg_base = cs[starts] - cents[starts]
+        running = cs - seg_base[np.cumsum(new) - 1]
+        out = {key: g[key].to_numpy()[order]}
+        for col in order_cols:
+            out[col] = g[col].to_numpy()[order]
+        out[out_col] = running / scale
+        return pd.DataFrame(out)
+
+    cols = [key, *order_cols, value]
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_cbucket")
+        .map_groups(cumsum_bucket, batch_format="pandas")
+    )
+
+
 def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event

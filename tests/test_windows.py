@@ -126,3 +126,68 @@ def test_asof_join_matches_duckdb(ray_session):
     lhs = out.o_orderkey.fillna(-1).to_numpy()
     rhs = oracle.o_orderkey.fillna(-1).to_numpy()
     assert (lhs == rhs).all()
+
+
+def test_cumulative_per_key_matches_duckdb(ray_session):
+    from raydedup.ops.windows import cumulative_per_key
+
+    ds = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = (
+        cumulative_per_key(
+            ds, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice",
+            out_col="running_spend", n_buckets=8,
+        )
+        .sort(["o_custkey", "o_orderdate", "o_orderkey"])
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
+            FROM '{SF}/orders.parquet'
+            ORDER BY o_custkey, o_orderdate, o_orderkey"""
+    ).df()
+    assert len(out) == len(oracle)
+    assert (out.o_orderkey.to_numpy() == oracle.o_orderkey.to_numpy()).all()
+    # integer-cent accumulation -> exact equality, not tolerance
+    assert (out.running_spend.to_numpy() == oracle.running_spend.to_numpy()).all()
+
+
+def test_cumulative_per_key_split_invariant(ray_session):
+    """Running sums are a pure function of the rows: 1-block and
+    7-block datasets produce identical output (integer accumulation,
+    bucket kernel independent of blocking)."""
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.ops.windows import cumulative_per_key
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n),
+            "t": rng.integers(0, 10_000, n),
+            "uid": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.uniform(-50, 50, n), 2),
+        }
+    )
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas([d for _, d in df.groupby(np.arange(n) % blocks)])
+        out = (
+            cumulative_per_key(ds, "k", ["t", "uid"], "v", out_col="run", n_buckets=4)
+            .sort(["k", "t", "uid"])
+            .to_pandas()
+        )
+        outs.append(out)
+    assert (outs[0]["run"].to_numpy() == outs[1]["run"].to_numpy()).all()
+    # brute-force twin
+    exp = df.sort_values(["k", "t", "uid"]).copy()
+    cents = np.rint(exp["v"].to_numpy() * 100).astype(np.int64)
+    exp["run"] = pd.Series(cents).groupby(exp["k"].to_numpy()).cumsum().to_numpy() / 100.0
+    assert (outs[0]["run"].to_numpy() == exp["run"].to_numpy()).all()
