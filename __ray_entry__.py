@@ -824,6 +824,19 @@ def _q_top_ngrams(sf_dir: str):
     )
 
 
+def _q_collocations(sf_dir: str):
+    """PMI collocation mining: top-20 word pairs co-occurring far more
+    than chance (support >= 5). Map-side combined unigram/bigram
+    partials (vocabulary-sized exchanges), support filter BEFORE the
+    two unigram hash joins, one vectorized PMI kernel over candidates."""
+    import ray.data as rd
+
+    from raydedup.ops.collocations import collocations
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocations(ds, min_count=5, top_k=20)
+
+
 def _q_incremental_dedup(sf_dir: str):
     """Cross-snapshot exact dedup (the continuous-crawl shape): docs
     from the 'new crawl' half of the sources flagged against the
@@ -1527,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
+        "collocations": _q_collocations,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -2734,6 +2748,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
             GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+        """,
+        "collocations": r"""
+            WITH w AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM documents
+              ) raw WHERE word <> ''
+            ), uni AS (
+              SELECT word, count(*) AS c FROM w GROUP BY word
+            ), tu AS (SELECT count(*) AS t FROM w
+            ), g AS (
+              SELECT word AS w1,
+                     lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM w
+            ), bi AS (
+              SELECT w1, w2, count(*) AS c FROM g WHERE w2 IS NOT NULL
+              GROUP BY w1, w2
+            ), tb AS (SELECT sum(c) AS t FROM bi)
+            SELECT bi.w1 || ' ' || bi.w2 AS gram, bi.c AS n,
+                   round(ln(CAST(bi.c AS DOUBLE) / tb.t * tu.t / u1.c
+                            * tu.t / u2.c), 6) AS pmi
+            FROM bi
+            JOIN uni u1 ON bi.w1 = u1.word
+            JOIN uni u2 ON bi.w2 = u2.word
+            CROSS JOIN tb CROSS JOIN tu
+            WHERE bi.c >= 5
+            ORDER BY pmi DESC, gram LIMIT 20
         """,
         "dedup_assignments": r"""
             WITH RECURSIVE words AS (

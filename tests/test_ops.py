@@ -1003,3 +1003,55 @@ def test_top_words_per_group_exact_regime(ray_session):
         for r in out.sort_values(["source", "rank"]).itertuples():
             got.setdefault(r.source, []).append((r.word, int(r.n)))
         assert got == want, n_blocks
+
+
+def test_collocations_matches_duckdb(ray_session):
+    import duckdb
+
+    from raydedup.ops.collocations import collocations
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    out = collocations(ds, min_count=3, top_k=15).to_pandas()
+    oracle = duckdb.sql(
+        f"""WITH w AS (
+              SELECT doc_id, word, pos FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word,
+                       generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+                FROM '{sf}/documents.parquet') raw WHERE word <> ''
+            ), uni AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+            tu AS (SELECT count(*) AS t FROM w),
+            g AS (SELECT word AS w1,
+                         lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM w),
+            bi AS (SELECT w1, w2, count(*) AS c FROM g WHERE w2 IS NOT NULL GROUP BY w1, w2),
+            tb AS (SELECT sum(c) AS t FROM bi)
+            SELECT bi.w1 || ' ' || bi.w2 AS gram, bi.c AS n,
+                   round(ln(CAST(bi.c AS DOUBLE) / tb.t * tu.t / u1.c * tu.t / u2.c), 6) AS pmi
+            FROM bi JOIN uni u1 ON bi.w1 = u1.word JOIN uni u2 ON bi.w2 = u2.word
+            CROSS JOIN tb CROSS JOIN tu
+            WHERE bi.c >= 3 ORDER BY pmi DESC, gram LIMIT 15"""
+    ).df()
+    assert len(out) == len(oracle)
+    assert list(out.gram) == list(oracle.gram)
+    assert (out.n.to_numpy() == oracle.n.to_numpy()).all()
+    assert (out.pmi.to_numpy() == oracle.pmi.to_numpy()).all()
+
+
+def test_collocations_tiny_corpus_exact(ray_session):
+    """Hand-computable corpus: bigrams (a b)x3 (b c)x2 (c a)x1 so
+    T_b=6; unigrams a=3 b=3 c=2, T_u=8; pmi(a b) = ln((3/6)/((3/8)*(3/8)))."""
+    import math
+
+    import pyarrow as pa
+
+    from raydedup.ops.collocations import collocations
+
+    docs = pa.table({"text": ["a b c", "a b c a b", ""]})
+    for n_blocks in (1, 3):
+        ds = rd.from_arrow(docs).repartition(n_blocks)
+        out = collocations(ds, min_count=1, top_k=10).to_pandas()
+        got = dict(zip(out.gram, out.pmi))
+        assert got["a b"] == round(math.log(3 / 6 * 8 / 3 * 8 / 3), 6)
+        assert got["b c"] == round(math.log(2 / 6 * 8 / 3 * 8 / 2), 6)
+        assert got["c a"] == round(math.log(1 / 6 * 8 / 2 * 8 / 3), 6)
+        assert len(out) == 3
