@@ -824,6 +824,23 @@ def _q_top_ngrams(sf_dir: str):
     )
 
 
+_BM25_TERMS = ["hash", "join", "vector", "spark"]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 keyword retrieval: top-10 docs for a 4-term query — the
+    lexical-search baseline next to embedding ANN. One tokenize pass to
+    a |Q|+2-column narrow table, ONE tree aggregate for N/avgdl/df,
+    zero-shuffle scoring, per-block partial top-k before the final
+    sort+limit."""
+    import ray.data as rd
+
+    from raydedup.ops.bm25 import bm25_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=10)
+
+
 def _q_collocations(sf_dir: str):
     """PMI collocation mining: top-20 word pairs co-occurring far more
     than chance (support >= 5). Map-side combined unigram/bigram
@@ -1541,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_near_dup": _q_incremental_near_dup,
         "top_ngrams": _q_top_ngrams,
         "collocations": _q_collocations,
+        "bm25_topk": _q_bm25_topk,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
@@ -2748,6 +2766,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
             GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+        """,
+        "bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+              ) raw WHERE word <> ''
+            ), dl AS (
+              SELECT d.doc_id, count(w.word) AS dl
+              FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+              GROUP BY d.doc_id
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+            ), q(term) AS (VALUES ('hash'), ('join'), ('vector'), ('spark')),
+            tf AS (
+              SELECT doc_id, word AS term, count(*) AS tf FROM w
+              WHERE word IN ('hash', 'join', 'vector', 'spark')
+              GROUP BY doc_id, word
+            ), dfq AS (
+              SELECT q.term, count(DISTINCT tf.doc_id) AS df
+              FROM q LEFT JOIN tf USING (term) GROUP BY q.term
+            ), contrib AS (
+              SELECT tf.doc_id,
+                     ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                          / (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS c
+              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+            )
+            SELECT doc_id, round(sum(c), 6) AS bm25 FROM contrib
+            GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
         """,
         "collocations": r"""
             WITH w AS (

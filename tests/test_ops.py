@@ -1055,3 +1055,57 @@ def test_collocations_tiny_corpus_exact(ray_session):
         assert got["b c"] == round(math.log(2 / 6 * 8 / 3 * 8 / 2), 6)
         assert got["c a"] == round(math.log(1 / 6 * 8 / 2 * 8 / 3), 6)
         assert len(out) == 3
+
+
+def test_bm25_matches_brute_force_twin(ray_session):
+    """BM25 top-k equals a single-process numpy twin on sf0.001 docs,
+    independent of blocking."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from raydedup.ops.bm25 import bm25_topk
+
+    sf = "/root/testdata/sf0.001"
+    terms = ["hash", "join", "vector", "spark"]
+    tbl = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy()
+    texts = [t.lower().split() for t in tbl["text"].to_pylist()]
+    dl = np.array([len(t) for t in texts], dtype=np.float64)
+    n = float(len(texts))
+    avgdl = dl.sum() / n
+    k1, b = 1.2, 0.75
+    tf = np.array([[t.count(term) for term in terms] for t in texts], dtype=np.float64)
+    df = (tf > 0).sum(axis=0).astype(np.float64)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    s = np.zeros(len(texts))
+    for i in range(len(terms)):
+        s += idf[i] * tf[:, i] * (k1 + 1.0) / (tf[:, i] + norm)
+    s = np.round(s, 6)
+    order = np.lexsort((ids, -s))[:10]
+    expect = list(zip(ids[order], s[order]))
+
+    for n_blocks in (1, 5):
+        ds = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]).repartition(
+            n_blocks
+        )
+        out = bm25_topk(ds, terms, k=10).to_pandas()
+        got = list(zip(out.doc_id, out.bm25))
+        assert [int(i) for i, _ in got] == [int(i) for i, _ in expect], n_blocks
+        assert all(abs(a - e) == 0 for (_, a), (_, e) in zip(got, expect)), n_blocks
+
+
+def test_bm25_absent_term_and_empty_doc(ray_session):
+    """A query term absent from the corpus contributes idf*0 = 0; empty
+    docs score 0 and never enter the top-k."""
+    import pyarrow as pa
+
+    from raydedup.ops.bm25 import bm25_topk
+
+    docs = pa.table(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta alpha", "beta gamma", ""]}
+    )
+    out = bm25_topk(rd.from_arrow(docs), ["alpha", "zzz_missing"], k=2).to_pandas()
+    assert list(out.doc_id) == [1, 2]
+    assert out.bm25.iloc[0] > 0
+    assert out.bm25.iloc[1] == 0.0
