@@ -1195,6 +1195,20 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, "doc_id", "lang", k=20).sort(["lang", "sample_rank"])
 
 
+def _q_weighted_sample(sf_dir: str):
+    """A-ES weighted sampling without replacement: 25 docs with
+    inclusion probability proportional to n_chars (quality-weighted
+    data selection). Map-side keys + per-block partial top-k; the
+    final sort sees blocks*k rows (sidecar oracle: the shared
+    doc_id→priority table + the same ln(u)/w ordering)."""
+    import ray.data as rd
+
+    from raydedup.ops.sample import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", k=25)
+
+
 def _derive_messy_urls(b: pa.Table) -> pa.Table:
     """doc_id → deterministically messy URL (mixed case, default and
     non-default ports, tracking params, fragments) — identically
@@ -1572,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_source": _q_top_words_per_source,
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
+        "weighted_sample": _q_weighted_sample,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -1928,11 +1943,26 @@ def oracle_sql() -> dict[str, str]:
             )} ELSE FALSE END
             ORDER BY source, doc_id
         """,
+        "weighted_sample": f"""
+            WITH pr AS (
+              SELECT doc_id, priority
+              FROM read_parquet('{_ORACLE_SIDECAR_DIR}/stratified_sample.parquet')
+            ), sel AS (
+              SELECT d.doc_id, d.n_chars
+              FROM documents d JOIN pr USING (doc_id)
+              WHERE d.n_chars > 0
+              ORDER BY ln((CAST(pr.priority AS DOUBLE) + 0.5)
+                          / 18446744073709551616.0) / d.n_chars DESC,
+                       d.doc_id
+              LIMIT 25
+            )
+            SELECT doc_id, n_chars FROM sel ORDER BY doc_id
+        """,
     }
     # mix_sources and shuffle_order share the stratified_sample sidecar
     # (same doc_id -> murmur3 priority table)
     if "stratified_sample" in sidecars:
-        sidecars = sidecars | {"mix_sources", "shuffle_order"}
+        sidecars = sidecars | {"mix_sources", "shuffle_order", "weighted_sample"}
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     _vals = ", ".join(
         f"({i}, TIMESTAMP '{lo:%Y-%m-%d}', TIMESTAMP '{hi:%Y-%m-%d}')"

@@ -81,6 +81,58 @@ def stratified_sample(
     return partials.groupby(strata_column).map_groups(final_topk, batch_format="pyarrow")
 
 
+def weighted_sample(ds, id_column: str, weight_column: str, k: int):
+    """Weighted sampling without replacement, A-ES (Efraimidis &
+    Spirakis 2006): each row draws u = (murmur3(id)+0.5)/2^64 and the
+    sample is the k rows with the largest key u^(1/w) — selected here
+    by the order-equivalent ln(u)/w, one log + one divide per row.
+    Inclusion probability is proportional to weight w (rows with
+    w <= 0 are excluded), and the draw is deterministic: reproducible
+    across runs, blockings, and cluster sizes, with the same
+    nested-sample property as the engine's other priority samplers.
+
+    Scale shape: key computation is map-side; each block keeps only
+    its k best (partial top-k), so the final sort+limit sees
+    blocks·k rows, never the corpus. Output: (id, weight) sorted by
+    id."""
+    TWO64 = float(1 << 64)
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        w = batch[weight_column].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = w > 0
+        batch = batch.filter(pa.array(pos))
+        w = w[pos]
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    weight_column: pa.array([], pa.int64()),
+                    "_key": pa.array([], pa.float64()),
+                }
+            )
+        h, _ = _column_hashes(batch[id_column])
+        key = np.log((h.astype(np.float64) + 0.5) / TWO64) / w
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ids, -key))[:k]
+        return pa.table(
+            {
+                id_column: batch[id_column].take(pa.array(keep)),
+                weight_column: batch[weight_column].take(pa.array(keep)).cast(pa.int64()),
+                "_key": pa.array(key[keep], pa.float64()),
+            }
+        )
+
+    sel = (
+        ds.select_columns([id_column, weight_column])
+        .map_batches(block_topk, batch_format="pyarrow")
+        .sort(["_key", id_column], descending=[True, False])
+        .limit(k)
+    )
+    return sel.drop_columns(["_key"]).sort(id_column)
+
+
 def mix_sources(ds, id_column: str, source_column: str, rates: dict, default_rate: float = 0.0):
     """Dataset mixing — the training-data "recipe" step (per-source
     sampling rates, RedPajama/Dolma style): keep a row of source s

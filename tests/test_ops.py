@@ -1109,3 +1109,46 @@ def test_bm25_absent_term_and_empty_doc(ray_session):
     assert list(out.doc_id) == [1, 2]
     assert out.bm25.iloc[0] > 0
     assert out.bm25.iloc[1] == 0.0
+
+
+def test_weighted_sample_twin_and_split_invariant(ray_session):
+    """Selection equals the single-process A-ES twin under any
+    blocking; zero/negative weights are excluded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.ops.sample import weighted_sample
+    from raydedup.sketches.aggregates import _column_hashes
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = (ids % 7).astype(np.int64)  # includes zeros -> excluded
+    tbl = pa.table({"doc_id": ids, "wt": w})
+    h, _ = _column_hashes(tbl["doc_id"])
+    key = np.log((h.astype(np.float64) + 0.5) / 2.0**64) / w.astype(np.float64)
+    pos = w > 0
+    order = np.lexsort((ids[pos], -key[pos]))[:50]
+    expect = sorted(ids[pos][order])
+
+    for n_blocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = weighted_sample(ds, "doc_id", "wt", k=50).to_pandas()
+        assert list(out.doc_id) == [int(x) for x in expect], n_blocks
+        assert (out.wt > 0).all()
+
+
+def test_weighted_sample_favors_heavy_weights(ray_session):
+    """With two weight classes 50x apart, the heavy class dominates the
+    sample (probability-proportional-to-size behavior)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.ops.sample import weighted_sample
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 100, 2).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "wt": w}))
+    out = weighted_sample(ds, "doc_id", "wt", k=100).to_pandas()
+    heavy = (out.wt == 100).sum()
+    assert heavy >= 85  # E[heavy] ~ 98; far above any light-dominated draw
