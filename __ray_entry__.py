@@ -1195,6 +1195,22 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample(docs, "doc_id", "lang", k=20).sort(["lang", "sample_rank"])
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+
+
+def _q_profile_orders(sf_dir: str):
+    """Column profiling (the SUMMARIZE/data-quality pass): per-column
+    rows/nulls/EXACT distinct/numeric min-max. Counts+min/max are one
+    O(blocks*columns) exchange; exact distinct dedups 128-bit value
+    hashes map-side, then globally."""
+    import ray.data as rd
+
+    from raydedup.ops.profile import profile_columns
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=_PROFILE_COLS)
+    return profile_columns(ds, _PROFILE_COLS)
+
+
 def _q_weighted_sample(sf_dir: str):
     """A-ES weighted sampling without replacement: 25 docs with
     inclusion probability proportional to n_chars (quality-weighted
@@ -1587,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "stratified_sample": _q_stratified_sample,
         "weighted_sample": _q_weighted_sample,
+        "profile_orders": _q_profile_orders,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -2797,6 +2814,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*) AS n FROM g WHERE gram IS NOT NULL
             GROUP BY gram ORDER BY n DESC, gram LIMIT 20
         """,
+        "profile_orders": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   {f"CAST(min({c}) AS DOUBLE)" if c not in ("o_orderstatus", "o_orderpriority") else "CAST(NULL AS DOUBLE)"} AS min_num,
+                   {f"CAST(max({c}) AS DOUBLE)" if c not in ("o_orderstatus", "o_orderpriority") else "CAST(NULL AS DOUBLE)"} AS max_num
+            FROM orders
+            """
+            for c in _PROFILE_COLS
+        )
+        + " ORDER BY col_name",
         "bm25_topk": r"""
             WITH w AS (
               SELECT doc_id, word FROM (

@@ -1152,3 +1152,44 @@ def test_weighted_sample_favors_heavy_weights(ray_session):
     out = weighted_sample(ds, "doc_id", "wt", k=100).to_pandas()
     heavy = (out.wt == 100).sum()
     assert heavy >= 85  # E[heavy] ~ 98; far above any light-dominated draw
+
+
+def test_profile_columns_with_nulls_matches_duckdb(ray_session):
+    """Profile with genuine NULLs: nulls excluded from distinct and
+    min/max, null counts exact, split-invariant."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.ops.profile import profile_columns
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    vals = rng.integers(0, 50, n).astype("float64")
+    vals[rng.random(n) < 0.1] = np.nan
+    strs = np.array([f"s{i % 17}" for i in range(n)], dtype=object)
+    strs[rng.random(n) < 0.05] = None
+    tbl = pa.table(
+        {
+            "num": pa.array([None if np.isnan(v) else v for v in vals], pa.float64()),
+            "cat": pa.array(list(strs), pa.string()),
+        }
+    )
+    oracle = duckdb.sql(
+        """SELECT 'cat' AS col_name, count(*) n_rows, count(*)-count(cat) n_nulls,
+                  count(DISTINCT cat) n_distinct, CAST(NULL AS DOUBLE) min_num,
+                  CAST(NULL AS DOUBLE) max_num FROM tbl
+           UNION ALL
+           SELECT 'num', count(*), count(*)-count(num), count(DISTINCT num),
+                  CAST(min(num) AS DOUBLE), CAST(max(num) AS DOUBLE) FROM tbl
+           ORDER BY col_name"""
+    ).df()
+    for n_blocks in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(n_blocks)
+        out = profile_columns(ds, ["num", "cat"]).to_pandas()
+        assert list(out.col_name) == list(oracle.col_name), n_blocks
+        for c in ("n_rows", "n_nulls", "n_distinct"):
+            assert (out[c].to_numpy() == oracle[c].to_numpy()).all(), (n_blocks, c)
+        assert out.min_num.iloc[1] == oracle.min_num.iloc[1]
+        assert out.max_num.iloc[1] == oracle.max_num.iloc[1]
+        assert np.isnan(out.min_num.iloc[0]) and np.isnan(oracle.min_num.iloc[0])
