@@ -356,6 +356,29 @@ def _q_cumulative_spend(sf_dir: str):
     return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
 
 
+def _q_rolling_user_value(sf_dir: str):
+    """Per-user rolling 5-event sum (ROWS BETWEEN 4 PRECEDING AND
+    CURRENT ROW) — the sliding ordered-window frame, same bucketed
+    segmented-cumsum kernel as cumulative_spend with a lag bound;
+    integer-cent accumulation keeps it exact under any blocking."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import cumulative_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    out = cumulative_per_key(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        "value",
+        out_col="rolling_value",
+        window=5,
+    )
+    return out.sort(["user_id", "ts", "event_id"])
+
+
 def _q_top2_parts_per_brand(sf_dir: str):
     """Per-group top-k (row_number window semantics): the 2 priciest
     parts of each brand, ties broken by partkey."""
@@ -1571,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "cumulative_spend": _q_cumulative_spend,
+        "rolling_user_value": _q_rolling_user_value,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2493,6 +2517,14 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_orderdate, o_orderkey
                            ROWS UNBOUNDED PRECEDING) / 100.0 AS running_spend
             FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        """,
+        "rolling_user_value": """
+            SELECT user_id, ts, event_id,
+                   sum(CAST(round(value * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
+                     AS rolling_value
+            FROM events ORDER BY user_id, ts, event_id
         """,
         "ngram_dup_pairs": r"""
             WITH words AS (

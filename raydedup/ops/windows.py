@@ -81,10 +81,14 @@ def cumulative_per_key(
     out_col: str = "running_total",
     decimals: int = 2,
     n_buckets: int = 64,
+    window: int | None = None,
 ):
-    """Per-key running (cumulative) sum of ``value`` in ``order_cols``
-    order — the ordered-window aggregate (``SUM() OVER (PARTITION BY
-    key ORDER BY ...)``) Ray Data has no native form for.
+    """Per-key running sum of ``value`` in ``order_cols`` order — the
+    ordered-window aggregate (``SUM() OVER (PARTITION BY key ORDER BY
+    ...)``) Ray Data has no native form for. ``window=None`` is the
+    cumulative (UNBOUNDED PRECEDING) frame; ``window=w`` is the
+    rolling frame over the last w rows (``ROWS BETWEEN w-1 PRECEDING
+    AND CURRENT ROW``).
 
     Scale shape: the same coarse-bucket contract as
     ``session_windows`` — keys bucket on ``hash(key) % n_buckets`` and
@@ -118,8 +122,13 @@ def cumulative_per_key(
         new[1:] = c[1:] != c[:-1]
         cs = np.cumsum(cents)
         starts = np.flatnonzero(new)
-        seg_base = cs[starts] - cents[starts]
-        running = cs - seg_base[np.cumsum(new) - 1]
+        seg_start = starts[np.cumsum(new) - 1]
+        if window is None:
+            lo = seg_start
+        else:
+            lo = np.maximum(np.arange(len(cs), dtype=np.int64) - (window - 1), seg_start)
+        base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        running = cs - base
         out = {key: g[key].to_numpy()[order]}
         for col in order_cols:
             out[col] = g[col].to_numpy()[order]
