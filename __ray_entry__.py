@@ -356,6 +356,24 @@ def _q_cumulative_spend(sf_dir: str):
     return out.sort(["o_custkey", "o_orderdate", "o_orderkey"])
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_events(sf_dir: str):
+    """Pivot (long → wide): per-user value sums, one column per event
+    type (explicit category contract). Map-side completion to one wide
+    row per (block, user); ONE groupby exchange of wide rows;
+    integer-cent sums exact under any blocking."""
+    import ray.data as rd
+
+    from raydedup.ops.pivot import pivot_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+    return pivot_sum(ds, "user_id", "event_type", "value", _EVENT_TYPES).sort("user_id")
+
+
 def _q_rolling_user_value(sf_dir: str):
     """Per-user rolling 5-event sum (ROWS BETWEEN 4 PRECEDING AND
     CURRENT ROW) — the sliding ordered-window frame, same bucketed
@@ -1595,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "cumulative_spend": _q_cumulative_spend,
         "rolling_user_value": _q_rolling_user_value,
+        "pivot_events": _q_pivot_events,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2525,6 +2544,18 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
                      AS rolling_value
             FROM events ORDER BY user_id, ts, event_id
+        """,
+        "pivot_events": """
+            SELECT user_id,
+        """
+        + ",\n".join(
+            f"""sum(CASE WHEN event_type = '{c}'
+                         THEN CAST(round(value * 100, 0) AS BIGINT)
+                         ELSE 0 END) / 100.0 AS {c}"""
+            for c in _EVENT_TYPES
+        )
+        + """
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "ngram_dup_pairs": r"""
             WITH words AS (

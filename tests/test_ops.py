@@ -1193,3 +1193,49 @@ def test_profile_columns_with_nulls_matches_duckdb(ray_session):
         assert out.min_num.iloc[1] == oracle.min_num.iloc[1]
         assert out.max_num.iloc[1] == oracle.max_num.iloc[1]
         assert np.isnan(out.min_num.iloc[0]) and np.isnan(oracle.min_num.iloc[0])
+
+
+def test_pivot_sum_matches_duckdb_and_split_invariant(ray_session):
+    import duckdb
+    import numpy as np
+
+    from raydedup.ops.pivot import pivot_sum
+
+    sf = "/root/testdata/sf0.001"
+    cats = ["click", "error", "purchase", "signup", "view"]
+    oracle = duckdb.sql(
+        "SELECT user_id, "
+        + ", ".join(
+            f"sum(CASE WHEN event_type = '{c}' THEN CAST(round(value*100,0) AS BIGINT)"
+            f" ELSE 0 END)/100.0 AS {c}"
+            for c in cats
+        )
+        + f" FROM '{sf}/events.parquet' GROUP BY user_id ORDER BY user_id"
+    ).df()
+    for n_blocks in (1, 6):
+        ds = rd.read_parquet(
+            f"{sf}/events.parquet", columns=["user_id", "event_type", "value"]
+        ).repartition(n_blocks)
+        out = pivot_sum(ds, "user_id", "event_type", "value", cats).sort("user_id").to_pandas()
+        assert len(out) == len(oracle), n_blocks
+        assert (out.user_id.to_numpy() == oracle.user_id.to_numpy()).all()
+        for c in cats:
+            assert (out[c].to_numpy() == oracle[c].to_numpy()).all(), (n_blocks, c)
+
+
+def test_pivot_sum_absent_category_is_zero(ray_session):
+    import pyarrow as pa
+
+    from raydedup.ops.pivot import pivot_sum
+
+    tbl = pa.table(
+        {"k": [1, 1, 2], "t": ["a", "b", "a"], "v": [1.5, 2.25, 3.0]}
+    )
+    out = (
+        pivot_sum(rd.from_arrow(tbl), "k", "t", "v", ["a", "b", "zzz"])
+        .sort("k")
+        .to_pandas()
+    )
+    assert list(out.a) == [1.5, 3.0]
+    assert list(out.b) == [2.25, 0.0]
+    assert list(out.zzz) == [0.0, 0.0]
