@@ -359,6 +359,31 @@ def _q_cumulative_spend(sf_dir: str):
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _q_customers_no_orders(sf_dir: str):
+    """Semi/anti join (EXISTS flags): which customers placed an order
+    since 1998. Bloom of the right keys broadcast once — left Bloom
+    misses never shuffle; hits confirm exactly in a bucketed 128-bit
+    cogroup (ops/antijoin.py, the flag_new_docs shape on arbitrary
+    keys). Both join polarities checked in one flag table."""
+    import ray.data as rd
+
+    from raydedup.ops.antijoin import key_match_flags
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    import datetime as _dt
+
+    _cut = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["o_orderdate"], _cut)),
+        batch_format="pyarrow",
+    )
+    return key_match_flags(
+        cust, orders, "c_custkey", "c_custkey", "o_custkey"
+    ).sort("c_custkey")
+
+
 def _q_pivot_events(sf_dir: str):
     """Pivot (long → wide): per-user value sums, one column per event
     type (explicit category contract). Map-side completion to one wide
@@ -1614,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_spend": _q_cumulative_spend,
         "rolling_user_value": _q_rolling_user_value,
         "pivot_events": _q_pivot_events,
+        "customers_no_orders": _q_customers_no_orders,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2544,6 +2570,14 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
                      AS rolling_value
             FROM events ORDER BY user_id, ts, event_id
+        """,
+        "customers_no_orders": """
+            SELECT c_custkey,
+                   EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1998-01-01')
+                     AS matched
+            FROM customer ORDER BY c_custkey
         """,
         "pivot_events": """
             SELECT user_id,

@@ -1239,3 +1239,51 @@ def test_pivot_sum_absent_category_is_zero(ray_session):
     assert list(out.a) == [1.5, 3.0]
     assert list(out.b) == [2.25, 0.0]
     assert list(out.zzz) == [0.0, 0.0]
+
+
+def test_key_match_flags_forced_bloom_fp(ray_session):
+    """With a 0.5-fpp Bloom, many misses become candidates — the
+    cogroup confirm must clear every false positive; result equals
+    the exact set regardless of blocking."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raydedup.ops.antijoin import anti_join_keys, key_match_flags, semi_join_keys
+
+    left = pa.table({"id": np.arange(1000, dtype=np.int64),
+                     "k": np.arange(1000, dtype=np.int64)})
+    right = pa.table({"rk": np.arange(0, 1000, 3, dtype=np.int64)})  # every 3rd
+    for n_blocks in (1, 5):
+        l = rd.from_arrow(left).repartition(n_blocks)
+        r = rd.from_arrow(right).repartition(n_blocks)
+        flags = key_match_flags(l, r, "id", "k", "rk", bloom_fpp=0.5).to_pandas()
+        flags = flags.sort_values("id").reset_index(drop=True)
+        assert len(flags) == 1000
+        expect = (np.arange(1000) % 3) == 0
+        assert (flags.matched.to_numpy() == expect).all(), n_blocks
+
+        anti = anti_join_keys(l, r, "id", "k", "rk").to_pandas()
+        semi = semi_join_keys(l, r, "id", "k", "rk").to_pandas()
+        assert sorted(anti.id) == [int(i) for i in np.arange(1000)[~expect]]
+        assert sorted(semi.id) == [int(i) for i in np.arange(1000)[expect]]
+
+
+def test_key_match_flags_string_keys_and_empty_right(ray_session):
+    import pyarrow as pa
+
+    from raydedup.ops.antijoin import key_match_flags
+
+    left = pa.table({"id": [1, 2, 3], "k": ["a", "b", "c"]})
+    right = pa.table({"rk": pa.array([], pa.string())})
+    flags = key_match_flags(
+        rd.from_arrow(left), rd.from_arrow(right), "id", "k", "rk"
+    ).to_pandas()
+    assert len(flags) == 3 and not flags.matched.any()
+
+    right2 = pa.table({"rk": ["b", "zz"]})
+    flags2 = (
+        key_match_flags(rd.from_arrow(left), rd.from_arrow(right2), "id", "k", "rk")
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert list(flags2.matched) == [False, True, False]
