@@ -1277,6 +1277,18 @@ def _q_profile_orders(sf_dir: str):
     return profile_columns(ds, _PROFILE_COLS)
 
 
+def _q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of l_extendedprice (5000-wide bins):
+    per-block distinct (bin, count) partials, one O(blocks*bins)
+    exchange, bit-identical bin math vs the oracle."""
+    import ray.data as rd
+
+    from raydedup.ops.profile import histogram_fixed
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return histogram_fixed(ds, "l_extendedprice", lo=0.0, width=5000.0)
+
+
 def _q_weighted_sample(sf_dir: str):
     """A-ES weighted sampling without replacement: 25 docs with
     inclusion probability proportional to n_chars (quality-weighted
@@ -1673,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "weighted_sample": _q_weighted_sample,
         "profile_orders": _q_profile_orders,
+        "price_histogram": _q_price_histogram,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -2923,6 +2936,11 @@ def oracle_sql() -> dict[str, str]:
             for c in _PROFILE_COLS
         )
         + " ORDER BY col_name",
+        "price_histogram": """
+            SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM lineitem GROUP BY bin ORDER BY bin
+        """,
         "bm25_topk": r"""
             WITH w AS (
               SELECT doc_id, word FROM (

@@ -27,6 +27,37 @@ def _is_numeric(t: pa.DataType) -> bool:
     return pa.types.is_integer(t) or pa.types.is_floating(t)
 
 
+def histogram_fixed(ds, column: str, lo: float, width: float):
+    """Fixed-width histogram → (bin, n) with bin = floor((x−lo)/width)
+    — the distribution report next to ``profile_columns``. Each block
+    collapses to its distinct (bin, count) pairs map-side (np.unique),
+    so the one groupby exchange carries O(blocks · occupied-bins)
+    rows; values outside any planned range keep their natural floor
+    bin (no silent clamping). NULLs are dropped (SQL count semantics).
+    The bin expression is the same two double ops an oracle runs, so
+    bin assignment is bit-identical."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
+        x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.floor((x - lo) / width).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    agg = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort("bin")
+
+
 def profile_columns(ds, columns: list[str]):
     """→ (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)
     sorted by col_name; min/max are DOUBLE for numeric columns, null

@@ -1287,3 +1287,23 @@ def test_key_match_flags_string_keys_and_empty_right(ray_session):
         .sort_values("id")
     )
     assert list(flags2.matched) == [False, True, False]
+
+
+def test_histogram_fixed_matches_duckdb(ray_session):
+    import duckdb
+
+    from raydedup.ops.profile import histogram_fixed
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_extendedprice"])
+    out = histogram_fixed(ds, "l_extendedprice", lo=0.0, width=2500.0).to_pandas()
+    oracle = duckdb.sql(
+        f"""SELECT CAST(floor((l_extendedprice - 0.0) / 2500.0) AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM '{sf}/lineitem.parquet' GROUP BY bin ORDER BY bin"""
+    ).df()
+    assert (out.bin.to_numpy() == oracle.bin.to_numpy()).all()
+    assert (out.n.to_numpy() == oracle.n.to_numpy()).all()
+    assert out.n.sum() == duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/lineitem.parquet'"
+    ).fetchone()[0]
