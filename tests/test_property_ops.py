@@ -73,3 +73,89 @@ def test_range_join_property(ray_session, vals, bounds):
         return
     out = out.sort_values(["row_id", "range_id"]).reset_index(drop=True)
     assert list(zip(out["row_id"], out["range_id"])) == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=30),   # order
+            st.integers(min_value=-999, max_value=999),  # value in cents
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_blocks=st.integers(min_value=1, max_value=4),
+    window=st.sampled_from([None, 1, 2, 4]),
+)
+def test_cumulative_rolling_property(ray_session, rows, n_blocks, window):
+    """cumulative_per_key equals the pandas window twin for arbitrary
+    keys/orders/values, any blocking, any frame."""
+    from raydedup.ops.windows import cumulative_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "t": [r[1] for r in rows],
+            "uid": np.arange(len(rows), dtype=np.int64),
+            "v": [r[2] / 100.0 for r in rows],
+        }
+    )
+    ds = rd.from_pandas(list(np.array_split(df, min(n_blocks, len(df)))))
+    out = (
+        cumulative_per_key(ds, "k", ["t", "uid"], "v", out_col="run",
+                           n_buckets=4, window=window)
+        .to_pandas()
+        .sort_values(["k", "t", "uid"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t", "uid"]).reset_index(drop=True)
+    cents = np.rint(exp["v"].to_numpy() * 100).astype(np.int64)
+    g = pd.Series(cents).groupby(exp["k"].to_numpy())
+    if window is None:
+        want = g.cumsum().to_numpy() / 100.0
+    else:
+        want = (
+            g.rolling(window, min_periods=1).sum().reset_index(level=0, drop=True)
+        ).sort_index().to_numpy() / 100.0
+    assert (out["run"].to_numpy() == want).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.sampled_from(["a", "b", "c"]),        # category
+            st.integers(min_value=-500, max_value=500),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    n_blocks=st.integers(min_value=1, max_value=4),
+)
+def test_pivot_sum_property(ray_session, rows, n_blocks):
+    """pivot_sum equals the pandas pivot_table twin for arbitrary
+    inputs and blockings; absent categories are exact zeros."""
+    from raydedup.ops.pivot import pivot_sum
+
+    df = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "c": [r[1] for r in rows],
+            "v": [r[2] / 100.0 for r in rows],
+        }
+    )
+    ds = rd.from_pandas(list(np.array_split(df, min(n_blocks, len(df)))))
+    cats = ["a", "b", "c", "never"]
+    out = pivot_sum(ds, "k", "c", "v", cats).sort("k").to_pandas()
+    cents = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    for cat in cats:
+        want = (
+            pd.Series(np.where(df["c"] == cat, cents, 0))
+            .groupby(df["k"].to_numpy())
+            .sum()
+            .sort_index()
+        )
+        assert (out[cat].to_numpy() == want.to_numpy() / 100.0).all(), cat
