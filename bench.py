@@ -207,6 +207,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "distinct_orderkeys_theta",
         "substring_cut",
         "lm_score",
+        "cumulative_spend",
+        "bm25_topk",
     ):
         fn = entrymod.queries()[name]
         _best_of(name, lambda fn=fn: fn(sf_dir))
