@@ -1564,6 +1564,22 @@ def _q_lm_score(sf_dir: str):
     return lm_score(docs, train, "doc_id").sort("doc_id")
 
 
+def _read_docs_scaled(sf_dir: str, columns):
+    """documents read with a byte-scaled block count (~32 MB of file
+    per block, min 8). The multi-stage substring ops pay per-task
+    scheduling overhead on EVERY stage, so a tiny corpus split into
+    the default 64 blocks spends its wall time launching 64-128
+    near-empty tasks per stage; at real scale the file size drives the
+    block count back up and parallelism is unchanged."""
+    import os
+
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    nb = int(max(8, os.path.getsize(path) // (32 << 20)))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def _q_substring_dedup(sf_dir: str):
     """Corpus-wide exact-substring duplication (Lee et al. 2022
     ExactSubstr shape): per doc, the bytes covered by any 48-byte
@@ -1572,11 +1588,9 @@ def _q_substring_dedup(sf_dir: str):
     for doc_id % 4 == 0 so originals mark fully duplicated while the
     copies' planted tails stay clean; the corpus's natural near-dups
     contribute the rest of the signal."""
-    import ray.data as rd
-
     from raydedup.ops.substring import duplicated_span_stats
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_docs_scaled(sf_dir, ["doc_id", "text"])
 
     def planted_copies(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.equal(_mod(batch["doc_id"], 4), 0))
@@ -1598,11 +1612,9 @@ def _q_substring_cut(sf_dir: str):
     window is cut from every occurrence; output is the cleaned text
     (plus cut-byte count). Docs and their duplicated window starts
     co-group on id-buckets; one mask-and-rebuild kernel per bucket."""
-    import ray.data as rd
-
     from raydedup.ops.substring import remove_duplicated_spans
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_docs_scaled(sf_dir, ["doc_id", "text"])
 
     def planted_copies(batch: pa.Table) -> pa.Table:
         sel = batch.filter(pc.equal(_mod(batch["doc_id"], 4), 0))
