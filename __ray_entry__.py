@@ -1551,11 +1551,9 @@ def _q_lm_score(sf_dir: str):
     of the corpus (so unseen bigrams and unseen words genuinely hit
     the backoff branches when scoring odd docs), is broadcast once,
     and every doc scores map-side with zero shuffle."""
-    import ray.data as rd
-
     from raydedup.ops.lm import lm_score
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read_docs_scaled(sf_dir, ["doc_id", "text"])
 
     def even_only(b: pa.Table) -> pa.Table:
         return b.filter(pc.equal(_mod(b["doc_id"], 2), 0))
