@@ -1264,6 +1264,26 @@ def _q_stratified_sample(sf_dir: str):
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
 
 
+def _q_rollup_pricing(sf_dir: str):
+    """ROLLUP (grouping sets): pricing sums at (returnflag, linestatus),
+    (returnflag, ALL), (ALL, ALL). One corpus pass (map-side integer
+    partials + the finest groupby); coarser levels re-aggregate the
+    previous groups-sized level only."""
+    import ray.data as rd
+
+    from raydedup.ops.rollup import rollup_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return rollup_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": 0, "l_extendedprice": 2},
+    )
+
+
 def _q_profile_orders(sf_dir: str):
     """Column profiling (the SUMMARIZE/data-quality pass): per-column
     rows/nulls/EXACT distinct/numeric min-max. Counts+min/max are one
@@ -1696,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "profile_orders": _q_profile_orders,
         "price_histogram": _q_price_histogram,
+        "rollup_pricing": _q_rollup_pricing,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -2946,6 +2967,18 @@ def oracle_sql() -> dict[str, str]:
             for c in _PROFILE_COLS
         )
         + " ORDER BY col_name",
+        "rollup_pricing": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   sum(CAST(round(l_quantity, 0) AS BIGINT)) * 1.0
+                     AS sum_l_quantity,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                     AS sum_l_extendedprice,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
         "price_histogram": """
             SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT) AS bin,
                    count(*) AS n
