@@ -384,6 +384,38 @@ def _q_customers_no_orders(sf_dir: str):
     ).sort("c_custkey")
 
 
+def _q_order_rank_in_cust(sf_dir: str):
+    """Per-customer order ranking (RANK + PERCENT_RANK window
+    semantics): same coarse-bucket lexsort kernel, unique tiebreak so
+    rank == row_number, (rnk-1)/(n-1) identical to SQL percent_rank."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import rank_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderkey"],
+    )
+    return rank_per_key(ds, "o_custkey", ["o_totalprice", "o_orderkey"]).sort(
+        ["o_custkey", "rnk"]
+    )
+
+
+def _q_event_interarrival(sf_dir: str):
+    """Per-user inter-arrival time (ts - LAG(ts), null first row) —
+    the lag/lead window family over the bucketed kernel."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import lag_delta_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return lag_delta_per_key(ds, "user_id", "ts", ["ts", "event_id"]).sort(
+        ["user_id", "ts", "event_id"]
+    )
+
+
 def _q_pivot_events(sf_dir: str):
     """Pivot (long → wide): per-user value sums, one column per event
     type (explicit category contract). Map-side completion to one wide
@@ -1682,6 +1714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": _q_rolling_user_value,
         "pivot_events": _q_pivot_events,
         "customers_no_orders": _q_customers_no_orders,
+        "order_rank_in_cust": _q_order_rank_in_cust,
+        "event_interarrival": _q_event_interarrival,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2613,6 +2647,21 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
                      AS rolling_value
+            FROM events ORDER BY user_id, ts, event_id
+        """,
+        "order_rank_in_cust": """
+            SELECT o_custkey, o_totalprice, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rnk,
+                   round(percent_rank() OVER w, 6) AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_custkey, rnk
+        """,
+        "event_interarrival": """
+            SELECT user_id, ts, event_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS DOUBLE) AS delta_us
             FROM events ORDER BY user_id, ts, event_id
         """,
         "customers_no_orders": """

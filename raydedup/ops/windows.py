@@ -144,6 +144,91 @@ def cumulative_per_key(
     )
 
 
+def rank_per_key(ds, key: str, order_cols: list[str], n_buckets: int = 64):
+    """Per-key rank analytics: 1-based ``rnk`` and ``pct_rank`` =
+    (rnk−1)/(n−1) (0 for singleton keys — SQL percent_rank semantics)
+    in ``order_cols`` order. ``order_cols`` must end in a unique
+    tiebreak so rank == row_number == RANK. Same coarse-bucket
+    lexsort kernel as the other window ops — no per-key groups."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_rbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key], sort=False)
+        order_arrays = [g[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
+        c = codes[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        rnk = np.arange(len(c), dtype=np.int64) - starts[grp] + 1
+        sizes = np.diff(np.append(starts, len(c)))
+        n_of = sizes[grp].astype(np.float64)
+        pct = np.where(n_of > 1, (rnk - 1) / (n_of - 1), 0.0)
+        out = {key: g[key].to_numpy()[order]}
+        for col in order_cols:
+            out[col] = g[col].to_numpy()[order]
+        out["rnk"] = rnk
+        out["pct_rank"] = np.round(pct, 6)
+        return pd.DataFrame(out)
+
+    cols = [key, *order_cols]
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_rbucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def lag_delta_per_key(ds, key: str, ts: str, order_cols: list[str], n_buckets: int = 64):
+    """Per-key delta to the previous row: ``delta_us`` = ts − lag(ts)
+    in microseconds (null for each key's first row) — the
+    inter-arrival-time signal. Same bucketed kernel; ``order_cols``
+    must be a total order within a key and start with ``ts``."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_lbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def delta_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key], sort=False)
+        order_arrays = [g[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
+        c = codes[order]
+        t = g[ts].to_numpy()[order].astype("datetime64[us]").view(np.int64)
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        delta = np.empty(len(t), dtype=np.float64)
+        delta[0] = np.nan
+        delta[1:] = (t[1:] - t[:-1]).astype(np.float64)
+        delta[new] = np.nan
+        out = {key: g[key].to_numpy()[order]}
+        for col in order_cols:
+            out[col] = g[col].to_numpy()[order]
+        out["delta_us"] = delta
+        return pd.DataFrame(out)
+
+    cols = list(dict.fromkeys([key, ts, *order_cols]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_lbucket")
+        .map_groups(delta_bucket, batch_format="pandas")
+    )
+
+
 def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event

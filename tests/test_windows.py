@@ -239,3 +239,52 @@ def test_rolling_window_one_equals_value(ray_session):
         f"SELECT round(value, 2) AS v FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"
     ).df()
     assert (out.roll.to_numpy() == vals.v.to_numpy()).all()
+
+
+def test_rank_per_key_matches_duckdb(ray_session):
+    from raydedup.ops.windows import rank_per_key
+
+    ds = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice", "o_orderkey"]
+    )
+    out = (
+        rank_per_key(ds, "o_custkey", ["o_totalprice", "o_orderkey"], n_buckets=8)
+        .sort(["o_custkey", "rnk"])
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT o_orderkey, CAST(row_number() OVER w AS BIGINT) AS rnk,
+                   round(percent_rank() OVER w, 6) AS pct
+            FROM '{SF}/orders.parquet'
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_custkey, rnk"""
+    ).df()
+    assert (out.o_orderkey.to_numpy() == oracle.o_orderkey.to_numpy()).all()
+    assert (out.rnk.to_numpy() == oracle.rnk.to_numpy()).all()
+    assert (out.pct_rank.to_numpy() == oracle.pct.to_numpy()).all()
+
+
+def test_lag_delta_per_key_matches_duckdb(ray_session):
+    import numpy as np
+
+    from raydedup.ops.windows import lag_delta_per_key
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = (
+        lag_delta_per_key(ds, "user_id", "ts", ["ts", "event_id"], n_buckets=8)
+        .sort(["user_id", "ts", "event_id"])
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT event_id,
+                   CAST(epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS d
+            FROM '{SF}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).df()
+    assert (out.event_id.to_numpy() == oracle.event_id.to_numpy()).all()
+    a, b = out.delta_us.to_numpy(), oracle.d.to_numpy()
+    nan = np.isnan(a)
+    assert (nan == np.isnan(b)).all()
+    assert (a[~nan] == b[~nan]).all()
+    # exactly one null (first row) per user
+    assert nan.sum() == out.user_id.nunique()
