@@ -384,6 +384,24 @@ def _q_customers_no_orders(sf_dir: str):
     ).sort("c_custkey")
 
 
+def _q_funnel_stages(sf_dir: str):
+    """Behavioral funnel: per user, the longest prefix of view →
+    click → purchase completed in strict temporal order
+    (first-completion semantics). Map-side type filter, one bucketed
+    exchange of relevant (user, ts, step) rows, vectorized
+    groupby-min per step inside the bucket kernel."""
+    import ray.data as rd
+
+    from raydedup.ops.funnel import funnel_stages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_stages(
+        ds, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).sort("user_id")
+
+
 def _q_order_rank_in_cust(sf_dir: str):
     """Per-customer order ranking (RANK + PERCENT_RANK window
     semantics): same coarse-bucket lexsort kernel, unique tiebreak so
@@ -1716,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _q_customers_no_orders,
         "order_rank_in_cust": _q_order_rank_in_cust,
         "event_interarrival": _q_event_interarrival,
+        "funnel_stages": _q_funnel_stages,
         "ngram_dup_pairs": _q_ngram_dup_pairs,
         "distinct_custkeys_cpc": _q_distinct_custkeys_cpc,
         "ann_topk": _q_ann_topk,
@@ -2648,6 +2667,33 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0
                      AS rolling_value
             FROM events ORDER BY user_id, ts, event_id
+        """,
+        "funnel_stages": """
+            WITH u AS (
+              SELECT DISTINCT user_id FROM events
+              WHERE event_type IN ('view', 'click', 'purchase')
+            ), v AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT u.user_id,
+                   CASE WHEN p.user_id IS NOT NULL THEN 3
+                        WHEN c.user_id IS NOT NULL THEN 2
+                        WHEN v.user_id IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM u
+            LEFT JOIN v USING (user_id)
+            LEFT JOIN c USING (user_id)
+            LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id
         """,
         "order_rank_in_cust": """
             SELECT o_custkey, o_totalprice, o_orderkey,

@@ -1344,3 +1344,44 @@ def test_rollup_sum_matches_duckdb(ray_session):
         ].iloc[0] == len(
             duckdb.sql(f"SELECT 1 FROM '{sf}/lineitem.parquet'").df()
         )
+
+
+def test_funnel_stages_hand_case_and_splits(ray_session):
+    """Hand-built sequences exercising every stage and the strict
+    after-previous-step rule (a purchase BEFORE the click must not
+    count)."""
+    import pandas as pd
+
+    from raydedup.ops.funnel import funnel_stages
+
+    rows = [
+        # u1: full funnel in order -> 3
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2: purchase before click -> stops at 2
+        (2, 10, "view"), (2, 15, "purchase"), (2, 20, "click"),
+        # u3: click before view -> stage 1 (view exists, no click after)
+        (3, 20, "view"), (3, 10, "click"),
+        # u4: only irrelevant events -> excluded entirely
+        (4, 10, "error"),
+        # u5: no view at all -> 0
+        (5, 10, "click"), (5, 20, "purchase"),
+        # u6: second click after view rescues the funnel -> 3
+        (6, 10, "click"), (6, 20, "view"), (6, 30, "click"), (6, 40, "purchase"),
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "event_type": [r[2] for r in rows],
+        }
+    )
+    want = {1: 3, 2: 2, 3: 1, 5: 0, 6: 3}
+    for n_blocks in (1, 4):
+        import numpy as np
+
+        ds = rd.from_pandas(list(np.array_split(df.sample(frac=1, random_state=0), n_blocks)))
+        out = funnel_stages(
+            ds, "user_id", "ts", "event_type", ["view", "click", "purchase"], n_buckets=4
+        ).to_pandas()
+        got = dict(zip(out.user_id, out.stage))
+        assert got == want, n_blocks
