@@ -159,3 +159,49 @@ def test_pivot_sum_property(ray_session, rows, n_blocks):
             .sort_index()
         )
         assert (out[cat].to_numpy() == want.to_numpy() / 100.0).all(), cat
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),          # user
+            st.integers(min_value=0, max_value=40),         # ts (seconds)
+            st.sampled_from(["view", "click", "purchase", "error", "other"]),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    n_blocks=st.integers(min_value=1, max_value=4),
+)
+def test_funnel_stages_property(ray_session, events, n_blocks):
+    """funnel_stages equals a literal per-user reference (first
+    completion of each step strictly after the previous step's
+    completion) for arbitrary event streams and blockings."""
+    from raydedup.ops.funnel import funnel_stages
+
+    steps = ["view", "click", "purchase"]
+    df = pd.DataFrame(
+        {
+            "u": [e[0] for e in events],
+            "ts": pd.to_datetime([e[1] for e in events], unit="s"),
+            "t": [e[2] for e in events],
+        }
+    )
+    want = {}
+    rel = df[df["t"].isin(steps)]
+    for u, g in rel.groupby("u"):
+        stage, t_prev = 0, pd.Timestamp.min
+        for s in steps:
+            cand = g[(g["t"] == s) & (g["ts"] > t_prev)]
+            if len(cand) == 0:
+                break
+            t_prev = cand["ts"].min()
+            stage += 1
+        want[u] = stage
+
+    ds = rd.from_pandas(list(np.array_split(df, min(n_blocks, len(df)))))
+    out = funnel_stages(ds, "u", "ts", "t", steps, n_buckets=4).to_pandas()
+    # no relevant events at all -> legitimately empty (schema-less) output
+    got = dict(zip(out["u"], out["stage"])) if "u" in out.columns else {}
+    assert got == want
