@@ -1334,6 +1334,26 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_lineitem_corr_stats(sf_dir: str):
+    """One-pass mergeable moments: per-returnflag count / mean /
+    sample-variance / stddev / Pearson corr(quantity, price). Each
+    block ships exact int128 (hi/lo int64) moment sums per group; all
+    statistics are fixed double expressions over the exact integer
+    totals, so the result is blocking-invariant and the SQL oracle
+    (DuckDB HUGEINT sums) reproduces it bit-for-bit."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_moments
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_moments(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice", 0, 2
+    ).sort("l_returnflag")
+
+
 def _q_profile_orders(sf_dir: str):
     """Column profiling (the SUMMARIZE/data-quality pass): per-column
     rows/nulls/EXACT distinct/numeric min-max. Counts+min/max are one
@@ -1770,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_orders": _q_profile_orders,
         "price_histogram": _q_price_histogram,
         "rollup_pricing": _q_rollup_pricing,
+        "lineitem_corr_stats": _q_lineitem_corr_stats,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3073,6 +3094,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "lineitem_corr_stats": """
+            WITH c AS (
+              SELECT l_returnflag,
+                     CAST(round(l_quantity, 0) AS BIGINT) AS qc,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+              FROM lineitem
+            ), m AS (
+              SELECT l_returnflag,
+                     count(*) AS n_rows,
+                     CAST(sum(qc) AS DOUBLE) AS sx,
+                     CAST(sum(pc) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(qc AS HUGEINT) * qc) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(pc AS HUGEINT) * pc) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(qc AS HUGEINT) * pc) AS DOUBLE) AS sxy
+              FROM c GROUP BY l_returnflag
+            ), v AS (
+              SELECT *,
+                     (sxx - sx * sx / n_rows) / (n_rows - 1) AS varcx,
+                     (syy - sy * sy / n_rows) / (n_rows - 1) AS varcy
+              FROM m
+            )
+            SELECT l_returnflag, n_rows,
+                   round(sx / n_rows / 1.0, 6) AS mean_l_quantity,
+                   round(sy / n_rows / 100.0, 6) AS mean_l_extendedprice,
+                   round(varcx / 1.0, 6) AS var_l_quantity,
+                   round(varcy / 10000.0, 6) AS var_l_extendedprice,
+                   round(sqrt(greatest(varcx, 0.0)) / 1.0, 6) AS std_l_quantity,
+                   round(sqrt(greatest(varcy, 0.0)) / 100.0, 6)
+                     AS std_l_extendedprice,
+                   round((n_rows * sxy - sx * sy)
+                         / (sqrt(n_rows * sxx - sx * sx)
+                            * sqrt(n_rows * syy - sy * sy)), 6) AS corr
+            FROM v ORDER BY l_returnflag
         """,
         "price_histogram": """
             SELECT CAST(floor((l_extendedprice - 0.0) / 5000.0) AS BIGINT) AS bin,

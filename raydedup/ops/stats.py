@@ -1,0 +1,160 @@
+"""One-pass mergeable moment statistics: grouped count / mean /
+sample-variance / stddev / Pearson correlation from a single scan.
+
+The mergeable-summary discipline of the sketch core applied to exact
+moments: each block collapses map-side to per-(block, group) integer
+moment sums (n, Σx, Σy, Σx², Σy², Σxy in scaled integer units), ONE
+groups-keyed exchange of those partials, and every statistic is a
+fixed left-to-right double expression over the exact integer totals —
+so results are bit-identical under any blocking / merge order, and a
+SQL oracle can reproduce them exactly (DuckDB's sum(BIGINT) is
+HUGEINT, i.e. exact).
+
+Scale design (100 TB lens):
+- Squared-cents products overflow int64 when summed (Σc², c ≤ 1e7,
+  n ≥ 1e5 already exceeds 2^63), so every moment sum travels as an
+  int128 emulated by two int64 columns (hi = Σ(p >> 32),
+  lo = Σ(p & 0xFFFFFFFF), carry-normalized per block). Cross-block
+  ``Sum`` then adds one normalized pair per (block, group):
+  lo < 2^32 per partial keeps the exchange exact past 10^6 blocks
+  per group (documented bound ~2^31 partials).
+- The exchange carries one 11-column row per (block, group) — never
+  data rows; finalize sees a groups-sized table and reconstructs
+  exact Python-int totals (hi·2^32 + lo) before the double math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MASK32 = np.int64(0xFFFFFFFF)
+
+# moment column stems: n plus five hi/lo pairs
+_MOMS = ("sx", "sy", "sxx", "syy", "sxy")
+
+
+def _hilo(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split int64 products into (hi, lo) int64 halves (p >= 0)."""
+    return p >> np.int64(32), p & _MASK32
+
+
+def grouped_moments(
+    ds,
+    group: str,
+    x: str,
+    y: str,
+    decimals_x: int = 0,
+    decimals_y: int = 2,
+):
+    """→ one row per group: ``n_rows, mean_<x>, mean_<y>, var_<x>,
+    var_<y>, std_<x>, std_<y>, corr`` (floats rounded to 6; variance
+    is the n−1 sample form, NULL below 2 rows; corr NULL when either
+    side is constant)."""
+    from ray.data.aggregate import Sum
+
+    scale_x = float(10**decimals_x)
+    scale_y = float(10**decimals_y)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False)
+        cx = np.rint(
+            batch[x].to_numpy(zero_copy_only=False).astype(np.float64) * scale_x
+        ).astype(np.int64)
+        cy = np.rint(
+            batch[y].to_numpy(zero_copy_only=False).astype(np.float64) * scale_y
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        cols = {"_g": codes, "n_rows": np.ones(len(codes), np.int64)}
+        prods = {
+            "sx": cx,
+            "sy": cy,
+            "sxx": cx * cx,
+            "syy": cy * cy,
+            "sxy": cx * cy,
+        }
+        for stem, p in prods.items():
+            hi, lo = _hilo(p)
+            cols[f"_{stem}_hi"] = hi
+            cols[f"_{stem}_lo"] = lo
+        sums = pd.DataFrame(cols).groupby("_g", sort=False).sum()
+        out = {group: pa.array(uniq)}
+        out["n_rows"] = pa.array(sums["n_rows"].to_numpy())
+        for stem in _MOMS:
+            hi = sums[f"_{stem}_hi"].to_numpy()
+            lo = sums[f"_{stem}_lo"].to_numpy()
+            # carry-normalize so each partial ships lo < 2^32
+            hi = hi + (lo >> np.int64(32))
+            lo = lo & _MASK32
+            out[f"_{stem}_hi"] = pa.array(hi)
+            out[f"_{stem}_lo"] = pa.array(lo)
+        return pa.table(out)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    for stem in _MOMS:
+        aggs.append(Sum(f"_{stem}_hi", alias_name=f"_{stem}_hi"))
+        aggs.append(Sum(f"_{stem}_lo", alias_name=f"_{stem}_lo"))
+
+    agg = (
+        ds.select_columns([group, x, y])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group)
+        .aggregate(*aggs)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.to_pydict()
+        n_grp = len(t[group])
+        out = {
+            group: t[group],
+            "n_rows": t["n_rows"],
+        }
+        stats = {
+            k: []
+            for k in (
+                f"mean_{x}",
+                f"mean_{y}",
+                f"var_{x}",
+                f"var_{y}",
+                f"std_{x}",
+                f"std_{y}",
+                "corr",
+            )
+        }
+        for i in range(n_grp):
+            n = int(t["n_rows"][i])
+            tot = {}
+            for stem in _MOMS:
+                tot[stem] = (int(t[f"_{stem}_hi"][i]) << 32) + int(t[f"_{stem}_lo"][i])
+            fn = float(n)
+            # fixed left-to-right double expressions, mirrored by the SQL oracle
+            stats[f"mean_{x}"].append(round(float(tot["sx"]) / fn / scale_x, 6))
+            stats[f"mean_{y}"].append(round(float(tot["sy"]) / fn / scale_y, 6))
+            for col, sc, s1, s2 in (
+                (x, scale_x, "sx", "sxx"),
+                (y, scale_y, "sy", "syy"),
+            ):
+                if n < 2:
+                    stats[f"var_{col}"].append(None)
+                    stats[f"std_{col}"].append(None)
+                    continue
+                varc = (
+                    float(tot[s2]) - float(tot[s1]) * float(tot[s1]) / fn
+                ) / float(n - 1)
+                stats[f"var_{col}"].append(round(varc / (sc * sc), 6))
+                stats[f"std_{col}"].append(round(math.sqrt(max(varc, 0.0)) / sc, 6))
+            num = fn * float(tot["sxy"]) - float(tot["sx"]) * float(tot["sy"])
+            dx = fn * float(tot["sxx"]) - float(tot["sx"]) * float(tot["sx"])
+            dy = fn * float(tot["syy"]) - float(tot["sy"]) * float(tot["sy"])
+            if n < 2 or dx <= 0.0 or dy <= 0.0:
+                stats["corr"].append(None)
+            else:
+                stats["corr"].append(round(num / (math.sqrt(dx) * math.sqrt(dy)), 6))
+        for k, v in stats.items():
+            out[k] = pa.array(v, pa.float64())
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
