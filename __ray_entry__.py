@@ -1334,6 +1334,24 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_order_ntile(sf_dir: str):
+    """Per-customer NTILE(4) + DENSE_RANK window analytics: quartile
+    assignment over (o_orderdate, o_orderkey) order and dense rank
+    over o_orderdate — both from ONE coarse-bucket lexsort pass (no
+    per-key groups)."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import ntile_dense_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    return ntile_dense_per_key(
+        ds, "o_custkey", ["o_orderdate", "o_orderkey"], 4, "o_orderdate"
+    ).sort(["o_custkey", "rnk"])
+
+
 def _q_lineitem_corr_stats(sf_dir: str):
     """One-pass mergeable moments: per-returnflag count / mean /
     sample-variance / stddev / Pearson corr(quantity, price). Each
@@ -1791,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": _q_price_histogram,
         "rollup_pricing": _q_rollup_pricing,
         "lineitem_corr_stats": _q_lineitem_corr_stats,
+        "order_ntile": _q_order_ntile,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3094,6 +3113,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "order_ntile": """
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   CAST(row_number() OVER w AS BIGINT) AS rnk,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile,
+                   CAST(dense_rank() OVER
+                        (PARTITION BY o_custkey ORDER BY o_orderdate)
+                     AS BIGINT) AS drnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, rnk
         """,
         "lineitem_corr_stats": """
             WITH c AS (

@@ -188,6 +188,72 @@ def rank_per_key(ds, key: str, order_cols: list[str], n_buckets: int = 64):
     )
 
 
+def ntile_dense_per_key(
+    ds,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    dense_col: str,
+    n_buckets: int = 64,
+):
+    """Per-key NTILE(k) + DENSE_RANK window analytics: ``rnk`` =
+    row_number in ``order_cols`` order (must end in a unique
+    tiebreak), ``tile`` = SQL NTILE semantics (first n%k tiles get
+    ⌈n/k⌉ rows), ``drnk`` = dense rank over ``dense_col`` — which must
+    be a PREFIX of the sort order (typically ``order_cols[0]``) so one
+    lexsort serves both. Same coarse-bucket kernel as the other window
+    ops: hash(key) % n_buckets, one vectorized pass per bucket, no
+    per-key groups."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_nbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[key], sort=False)
+        order_arrays = [g[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
+        c = codes[order]
+        n = len(c)
+        new = np.ones(n, dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        grp = np.cumsum(new) - 1
+        i0 = np.arange(n, dtype=np.int64) - starts[grp]
+        sizes = np.diff(np.append(starts, n))
+        nn = sizes[grp]
+        q, r = nn // k, nn % k
+        cut = r * (q + 1)
+        tile = (
+            np.where(i0 < cut, i0 // (q + 1), r + (i0 - cut) // np.maximum(q, 1)) + 1
+        )
+        dv = g[dense_col].to_numpy()[order]
+        ch = np.ones(n, dtype=bool)
+        ch[1:] = dv[1:] != dv[:-1]
+        ch |= new
+        cs = np.cumsum(ch)
+        drnk = cs - cs[starts[grp]] + 1
+        out = {key: g[key].to_numpy()[order]}
+        for col in order_cols:
+            out[col] = g[col].to_numpy()[order]
+        out["rnk"] = i0 + 1
+        out["tile"] = tile.astype(np.int64)
+        out["drnk"] = drnk.astype(np.int64)
+        return pd.DataFrame(out)
+
+    cols = list(dict.fromkeys([key, *order_cols, dense_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_nbucket")
+        .map_groups(ntile_bucket, batch_format="pandas")
+    )
+
+
 def lag_delta_per_key(ds, key: str, ts: str, order_cols: list[str], n_buckets: int = 64):
     """Per-key delta to the previous row: ``delta_us`` = ts − lag(ts)
     in microseconds (null for each key's first row) — the

@@ -288,3 +288,58 @@ def test_lag_delta_per_key_matches_duckdb(ray_session):
     assert (a[~nan] == b[~nan]).all()
     # exactly one null (first row) per user
     assert nan.sum() == out.user_id.nunique()
+
+
+def test_ntile_dense_matches_duckdb(ray_session):
+    from raydedup.ops.windows import ntile_dense_per_key
+
+    ds = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    )
+    out = (
+        ntile_dense_per_key(
+            ds, "o_custkey", ["o_orderdate", "o_orderkey"], 4, "o_orderdate",
+            n_buckets=8,
+        )
+        .sort(["o_custkey", "rnk"])
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT o_orderkey, CAST(row_number() OVER w AS BIGINT) AS rnk,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile,
+                   CAST(dense_rank() OVER
+                        (PARTITION BY o_custkey ORDER BY o_orderdate) AS BIGINT) AS drnk
+            FROM '{SF}/orders.parquet'
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, rnk"""
+    ).df()
+    for c in ("o_orderkey", "rnk", "tile", "drnk"):
+        assert (out[c].to_numpy() == oracle[c].to_numpy()).all(), c
+
+
+def test_ntile_dense_hand_cases(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.ops.windows import ntile_dense_per_key
+
+    # key 'a': 7 rows, k=4 -> NTILE sizes 2,2,2,1; dup dates -> dense ties
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 7 + ["b"] * 2,
+            "d": [1, 1, 2, 2, 2, 3, 9, 5, 5],
+            "u": list(range(9)),
+        }
+    )
+    ds = rd.from_pandas([d for _, d in df.groupby(np.arange(9) % 3)])
+    out = (
+        ntile_dense_per_key(ds, "k", ["d", "u"], 4, "d", n_buckets=4)
+        .sort(["k", "rnk"])
+        .to_pandas()
+    )
+    a = out[out.k == "a"]
+    assert a.tile.tolist() == [1, 1, 2, 2, 3, 3, 4]
+    assert a.drnk.tolist() == [1, 1, 2, 2, 2, 3, 4]
+    b = out[out.k == "b"]
+    assert b.tile.tolist() == [1, 2]  # n < k: one row per tile
+    assert b.drnk.tolist() == [1, 1]
