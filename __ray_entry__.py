@@ -1334,6 +1334,26 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE: pricing sums at every subset of (returnflag,
+    linestatus) — adds the (ALL, linestatus) slice to the ROLLUP
+    levels. One corpus pass; every coarser set re-aggregates the
+    groups-sized finest level."""
+    import ray.data as rd
+
+    from raydedup.ops.rollup import cube_sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return cube_sum(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"l_quantity": 0, "l_extendedprice": 2},
+    )
+
+
 def _q_order_ntile(sf_dir: str):
     """Per-customer NTILE(4) + DENSE_RANK window analytics: quartile
     assignment over (o_orderdate, o_orderkey) order and dense rank
@@ -1810,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_pricing": _q_rollup_pricing,
         "lineitem_corr_stats": _q_lineitem_corr_stats,
         "order_ntile": _q_order_ntile,
+        "cube_pricing": _q_cube_pricing,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3112,6 +3133,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "cube_pricing": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   sum(CAST(round(l_quantity, 0) AS BIGINT)) * 1.0
+                     AS sum_l_quantity,
+                   sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                     AS sum_l_extendedprice,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
         """,
         "order_ntile": """

@@ -1346,6 +1346,46 @@ def test_rollup_sum_matches_duckdb(ray_session):
         )
 
 
+def test_cube_sum_matches_duckdb(ray_session):
+    import duckdb
+
+    from raydedup.ops.rollup import cube_sum
+
+    sf = "/root/testdata/sf0.001"
+    for n_blocks in (1, 5):
+        ds = rd.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        ).repartition(n_blocks)
+        out = (
+            cube_sum(
+                ds,
+                ["l_returnflag", "l_linestatus"],
+                {"l_quantity": 0, "l_extendedprice": 2},
+            )
+            .to_pandas()
+        )
+        oracle = duckdb.sql(
+            f"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                       COALESCE(l_linestatus, 'ALL') AS ls,
+                       sum(CAST(round(l_quantity, 0) AS BIGINT)) * 1.0 AS sq,
+                       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sp,
+                       count(*) AS n
+                FROM '{sf}/lineitem.parquet'
+                GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls"""
+        ).df()
+        assert len(out) == len(oracle), n_blocks
+        assert list(out.l_returnflag) == list(oracle.rf)
+        assert list(out.l_linestatus) == list(oracle.ls)
+        assert (out.sum_l_quantity.to_numpy() == oracle.sq.to_numpy()).all()
+        assert (out.sum_l_extendedprice.to_numpy() == oracle.sp.to_numpy()).all()
+        assert (out.n_rows.to_numpy() == oracle.n.to_numpy()).all()
+        # CUBE adds the (ALL, linestatus) slice that ROLLUP lacks
+        assert (
+            (out.l_returnflag == "ALL") & (out.l_linestatus != "ALL")
+        ).sum() == out[out.l_linestatus != "ALL"].l_linestatus.nunique()
+
+
 def test_funnel_stages_hand_case_and_splits(ray_session):
     """Hand-built sequences exercising every stage and the strict
     after-previous-step rule (a purchase BEFORE the click must not
