@@ -1334,6 +1334,23 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_user_event_path(sf_dir: str):
+    """Clickstream journey per user: the ordered event-type path
+    string (string_agg ORDER BY ts) + step count — one bucketed
+    exchange, per-bucket vectorized lexsort, paths assembled inside
+    the bucket kernel."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import path_per_key
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return path_per_key(
+        ds, "user_id", ["ts", "event_id"], "event_type", sep=">"
+    ).sort("user_id")
+
+
 def _q_cube_pricing(sf_dir: str):
     """GROUP BY CUBE: pricing sums at every subset of (returnflag,
     linestatus) — adds the (ALL, linestatus) slice to the ROLLUP
@@ -1831,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": _q_lineitem_corr_stats,
         "order_ntile": _q_order_ntile,
         "cube_pricing": _q_cube_pricing,
+        "user_event_path": _q_user_event_path,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3134,6 +3152,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "user_event_path": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*) AS n_steps
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "cube_pricing": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

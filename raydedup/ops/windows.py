@@ -188,6 +188,55 @@ def rank_per_key(ds, key: str, order_cols: list[str], n_buckets: int = 64):
     )
 
 
+def path_per_key(
+    ds,
+    key: str,
+    order_cols: list[str],
+    step_col: str,
+    sep: str = ">",
+    n_buckets: int = 64,
+):
+    """Per-key ordered path string (``string_agg(step, sep ORDER BY
+    ...)``): the session-path / clickstream-journey aggregate. Same
+    coarse-bucket lexsort kernel; each bucket assembles every key's
+    joined path in one pass (string assembly is inherently per-key,
+    but keys never cross buckets and no per-key exchange happens).
+    ``order_cols`` must end in a unique tiebreak for a deterministic
+    path. → (key, path, n_steps)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[key])
+        return batch.append_column(
+            "_pbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def path_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g[key], sort=False)
+        order_arrays = [g[c].to_numpy() for c in order_cols]
+        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
+        c = codes[order]
+        steps = pd.Series(g[step_col].to_numpy()[order])
+        paths = steps.groupby(c, sort=True).agg(sep.join)
+        counts = np.bincount(c, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                key: uniq[paths.index.to_numpy()],
+                "path": paths.to_numpy(),
+                "n_steps": counts[paths.index.to_numpy()],
+            }
+        )
+
+    cols = list(dict.fromkeys([key, *order_cols, step_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pbucket")
+        .map_groups(path_bucket, batch_format="pandas")
+    )
+
+
 def ntile_dense_per_key(
     ds,
     key: str,

@@ -343,3 +343,49 @@ def test_ntile_dense_hand_cases(ray_session):
     b = out[out.k == "b"]
     assert b.tile.tolist() == [1, 2]  # n < k: one row per tile
     assert b.drnk.tolist() == [1, 1]
+
+
+def test_path_per_key_matches_duckdb_and_splits(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.ops.windows import path_per_key
+
+    ds = rd.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    out = (
+        path_per_key(ds, "user_id", ["ts", "event_id"], "event_type", n_buckets=8)
+        .sort("user_id")
+        .to_pandas()
+    )
+    oracle = duckdb.sql(
+        f"""SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   count(*) AS n
+            FROM '{SF}/events.parquet' GROUP BY user_id ORDER BY user_id"""
+    ).df()
+    assert list(out.path) == list(oracle.path)
+    assert (out.n_steps.to_numpy() == oracle.n.to_numpy()).all()
+
+    # blocking invariance on a small synthetic log
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "a", "b"],
+            "t": [3, 1, 2, 2, 1],
+            "u": [0, 1, 2, 3, 4],
+            "s": ["x", "y", "z", "w", "v"],
+        }
+    )
+    outs = []
+    for blocks in (1, 2, 5):
+        d = rd.from_pandas([p for _, p in df.groupby(np.arange(5) % blocks)])
+        outs.append(
+            path_per_key(d, "k", ["t", "u"], "s", n_buckets=4)
+            .sort("k")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+    assert list(outs[0].path) == ["y>w>x", "v>z"]
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], o)
