@@ -1334,6 +1334,42 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_snapshot_churn(sf_dir: str):
+    """Crawl-delta report between two deterministic snapshots derived
+    from documents (old = id%5!=4 original text, new = id%5!=0 with
+    id%3==0 texts edited): urls classified added / removed / changed.
+    Payload never shuffles — narrow (url-hash, content-hash, side)
+    rows through ONE bucketed exchange, lexsort + run analysis per
+    bucket."""
+    import ray.data as rd
+
+    from raydedup.ops.snapshots import snapshot_churn
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mk_url(b: pa.Table) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            "https://synth.local/doc/", pc.cast(b["doc_id"], pa.string()), ""
+        )
+
+    def snap_old(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        b = b.filter(pc.not_equal(_mod(ids, 5), 4))
+        return pa.table({"url": mk_url(b), "text": b["text"]})
+
+    def snap_new(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        b = b.filter(pc.not_equal(_mod(ids, 5), 0))
+        ids = pc.cast(b["doc_id"], pa.int64())
+        edited = pc.binary_join_element_wise(b["text"], " updated v2", "")
+        text = pc.if_else(pc.equal(_mod(ids, 3), 0), edited, b["text"])
+        return pa.table({"url": mk_url(b), "text": text})
+
+    old = ds.map_batches(snap_old, batch_format="pyarrow")
+    new = ds.map_batches(snap_new, batch_format="pyarrow")
+    return snapshot_churn(old, new, n_buckets=32).sort("url")
+
+
 def _q_user_event_path(sf_dir: str):
     """Clickstream journey per user: the ordered event-type path
     string (string_agg ORDER BY ts) + step count — one bucketed
@@ -1849,6 +1885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ntile": _q_order_ntile,
         "cube_pricing": _q_cube_pricing,
         "user_event_path": _q_user_event_path,
+        "snapshot_churn": _q_snapshot_churn,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3152,6 +3189,25 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "snapshot_churn": """
+            WITH old AS (
+              SELECT 'https://synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     text
+              FROM documents WHERE doc_id % 5 <> 4
+            ), new AS (
+              SELECT 'https://synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN text || ' updated v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT COALESCE(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.url = n.url
+            WHERE o.url IS NULL OR n.url IS NULL OR o.text <> n.text
+            ORDER BY url
         """,
         "user_event_path": """
             SELECT user_id,

@@ -1425,3 +1425,37 @@ def test_funnel_stages_hand_case_and_splits(ray_session):
         ).to_pandas()
         got = dict(zip(out.user_id, out.stage))
         assert got == want, n_blocks
+
+
+def test_snapshot_churn_hand_case(ray_session):
+    import pandas as pd
+    import pytest as _pytest
+
+    from raydedup.ops.snapshots import snapshot_churn
+
+    old = pd.DataFrame(
+        {
+            "url": ["u/a", "u/b", "u/c"],
+            "text": ["alpha", "beta", "gamma"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "url": ["u/b", "u/c", "u/d"],
+            "text": ["beta", "gamma EDITED", "delta"],
+        }
+    )
+    out = (
+        snapshot_churn(rd.from_pandas(old), rd.from_pandas(new), n_buckets=4)
+        .sort("url")
+        .to_pandas()
+    )
+    assert list(zip(out.url, out.status)) == [
+        ("u/a", "removed"),
+        ("u/c", "changed"),
+        ("u/d", "added"),
+    ]
+    # contract violation: duplicate url within one snapshot must raise
+    dup = pd.concat([old, old.iloc[[0]]], ignore_index=True)
+    with _pytest.raises(Exception):
+        snapshot_churn(rd.from_pandas(dup), rd.from_pandas(new)).materialize()
