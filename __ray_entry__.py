@@ -1334,6 +1334,74 @@ def _q_rollup_pricing(sf_dir: str):
     )
 
 
+def _q_doc_pagerank(sf_dir: str):
+    """Iterative distributed graph analytics: 5 rounds of
+    integer-arithmetic PageRank (d=0.85 in micro-units, bit
+    deterministic under any blocking) over a deterministic synthetic
+    link graph (doc i → (i²+1) mod N and (13i+3) mod N — the quadratic
+    map is non-bijective, so indegrees and hence ranks vary). Each round =
+    two bucketed cogroup exchanges of narrow int64 rows; ranks
+    materialize per round (checkpoint boundary). Oracle: the same
+    integer recurrence unrolled as 5 chained SQL CTE levels."""
+    import ray.data as rd
+
+    from raydedup.ops.graph import pagerank_int
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(i * i + 1) % n, (i * 13 + 3) % n])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(
+        docs, edges, node_col="doc_id", iterations=5, n_buckets=32
+    ).sort("doc_id")
+
+
+_PAGERANK_SQL_HEAD = """
+    WITH nodes AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM documents
+    ),
+    od AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)
+"""
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    levels = []
+    for t in range(1, iterations + 1):
+        levels.append(
+            f""", pr{t} AS (
+              SELECT n.node,
+                     CAST(150000 + (85 * COALESCE(s.inflow, 0)) // 100
+                       AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.r // od.d) AS inflow
+                FROM edges e
+                JOIN pr{t - 1} p ON p.node = e.src
+                JOIN od ON od.node = e.src
+                GROUP BY e.dst
+              ) s USING (node)
+            )"""
+        )
+    return (
+        _PAGERANK_SQL_HEAD
+        + "".join(levels)
+        + f" SELECT node AS doc_id, r AS rank_u FROM pr{iterations} ORDER BY doc_id"
+    )
+
+
 def _q_snapshot_churn(sf_dir: str):
     """Crawl-delta report between two deterministic snapshots derived
     from documents (old = id%5!=4 original text, new = id%5!=0 with
@@ -1886,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_pricing": _q_cube_pricing,
         "user_event_path": _q_user_event_path,
         "snapshot_churn": _q_snapshot_churn,
+        "doc_pagerank": _q_doc_pagerank,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3190,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
         """,
+        "doc_pagerank": _pagerank_sql(5),
         "snapshot_churn": """
             WITH old AS (
               SELECT 'https://synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -1,0 +1,65 @@
+"""pagerank_int vs a literal per-node Python reference loop."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ref_pagerank(nodes, edges, iterations, r0=1_000_000, dn=85, dd=100):
+    """Dict-based literal transcription of the integer recurrence."""
+    base = (dd - dn) * r0 // dd
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {v: base + (dn * inflow[v]) // dd for v in nodes}
+    return r
+
+
+def _run(nodes, edges, iterations, **kw):
+    import ray.data as rd
+
+    from raydedup.ops.graph import pagerank_int
+
+    nds = rd.from_pandas(pd.DataFrame({"node": list(nodes)}))
+    eds = rd.from_pandas(
+        pd.DataFrame({"src": [s for s, _ in edges], "dst": [d for _, d in edges]})
+    )
+    out = pagerank_int(nds, eds, iterations=iterations, n_buckets=8, **kw)
+    return dict(
+        zip(
+            out.to_pandas()["node"].to_numpy(),
+            out.to_pandas()["rank_u"].to_numpy(),
+        )
+    )
+
+
+def test_pagerank_matches_reference_loop(ray_session):
+    # deliberately lumpy graph: a hub, dangling nodes, parallel edges
+    rng = np.random.default_rng(7)
+    nodes = list(range(60))
+    edges = [(int(s), int(d)) for s, d in rng.integers(0, 60, size=(300, 2))]
+    edges += [(5, 9)] * 4  # parallel edges count multiply
+    edges += [(int(v), 0) for v in range(30)]  # hub
+    # nodes 55..59 get no out-edges from this trim: dangling
+    edges = [(s, d) for s, d in edges if s < 55]
+    got = _run(nodes, edges, iterations=4)
+    want = _ref_pagerank(nodes, edges, iterations=4)
+    assert got == want
+
+
+def test_pagerank_fixed_point_on_permutation(ray_session):
+    # a bijective graph (outdeg == indeg == 1) stays at r0 exactly
+    nodes = list(range(40))
+    edges = [(i, (i * 7 + 3) % 40) for i in nodes]
+    got = _run(nodes, edges, iterations=3)
+    assert set(got.values()) == {1_000_000}
+
+
+def test_pagerank_rejects_unknown_src(ray_session):
+    with pytest.raises(Exception):
+        _run([0, 1], [(0, 1), (7, 0)], iterations=1)
