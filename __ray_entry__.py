@@ -1402,6 +1402,39 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_part_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier (maximize p_size, p_retailprice):
+    block-local skylines via one lexsort + prefix-max kernel, then one
+    tiny merge task over the pruned survivors — the local-prune /
+    global-merge shape; no pairwise O(n²) anywhere. Oracle: the
+    NOT EXISTS dominance anti-join."""
+    import ray.data as rd
+
+    from raydedup.ops.skyline import skyline2d
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return skyline2d(parts, "p_size", "p_retailprice").sort("p_partkey")
+
+
+def _q_orders_zscore(sf_dir: str):
+    """Per-priority z-score of order totals: one exact integer moment
+    row per group (int128 hi/lo sums), broadcast via ray.put, then a
+    stateless streaming normalize pass — the classic small-side lookup
+    instead of a shuffle join-back. Oracle mirrors the identical
+    left-to-right double expression over the same exact integer sums."""
+    import ray.data as rd
+
+    from raydedup.ops.zscore import grouped_zscore
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return grouped_zscore(orders, "o_orderpriority", "o_totalprice").sort("o_orderkey")
+
+
 def _q_snapshot_churn(sf_dir: str):
     """Crawl-delta report between two deterministic snapshots derived
     from documents (old = id%5!=4 original text, new = id%5!=0 with
@@ -1955,6 +1988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": _q_user_event_path,
         "snapshot_churn": _q_snapshot_churn,
         "doc_pagerank": _q_doc_pagerank,
+        "part_skyline": _q_part_skyline,
+        "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
         "url_normalize": _q_url_normalize,
@@ -3260,6 +3295,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "part_skyline": """
+            SELECT p_partkey, p_size, p_retailprice FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_size >= a.p_size
+                AND b.p_retailprice >= a.p_retailprice
+                AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
+            ORDER BY p_partkey
+        """,
+        "orders_zscore": """
+            WITH c AS (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), m AS (
+              SELECT o_orderpriority, count(*) AS n,
+                     sum(cents) AS s, sum(cents * cents) AS ss
+              FROM c GROUP BY o_orderpriority
+            )
+            SELECT c.o_orderkey, c.o_orderpriority, c.o_totalprice,
+                   round((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         / sqrt((CAST(ss AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n - 1 AS DOUBLE)), 6) AS z
+            FROM c JOIN m USING (o_orderpriority)
+            ORDER BY c.o_orderkey
+        """,
         "snapshot_churn": """
             WITH old AS (
               SELECT 'https://synth.local/doc/' || CAST(doc_id AS VARCHAR) AS url,

@@ -1,0 +1,86 @@
+"""skyline2d / grouped_zscore vs literal brute-force references."""
+
+import numpy as np
+import pandas as pd
+
+
+def _brute_skyline(x, y):
+    n = len(x)
+    keep = np.ones(n, bool)
+    for i in range(n):
+        dom = (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+        if dom.any():
+            keep[i] = False
+    return keep
+
+
+def test_skyline_mask_matches_brute_force():
+    from raydedup.ops.skyline import skyline_mask
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(1, 120))
+        # small int domain forces heavy x-ties; occasional duplicates
+        x = rng.integers(0, 8, n)
+        y = rng.integers(0, 8, n).astype(np.float64)
+        got = skyline_mask(x, y)
+        assert (got == _brute_skyline(x, y)).all(), (trial, x, y)
+
+
+def test_skyline2d_distributed_equals_local(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.skyline import skyline2d, skyline_mask
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "x": rng.integers(0, 50, 500),
+            "y": np.round(rng.uniform(0, 100, 500), 2),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)  # force multi-block local pass
+    got = (
+        skyline2d(ds, "x", "y").to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    want = (
+        df[skyline_mask(df.x.to_numpy(), df.y.to_numpy())]
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_zscore_matches_literal(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.zscore import grouped_zscore
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": np.arange(400),
+            "g": rng.choice(["a", "b", "c"], 400),
+            "v": np.round(rng.uniform(1, 1000, 400), 2),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    got = (
+        grouped_zscore(ds, "g", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # literal per-group loop over exact cents
+    z = np.empty(len(df))
+    cents = np.rint(df.v.to_numpy() * 100).astype(np.int64)
+    for g in "abc":
+        m = (df.g == g).to_numpy()
+        c = cents[m]
+        n = len(c)
+        s, ss = int(c.sum()), int((c.astype(object) ** 2).sum())
+        mean = float(s) / float(n)
+        std = np.sqrt((float(ss) - float(s) * float(s) / float(n)) / float(n - 1))
+        z[m] = np.round((c.astype(np.float64) - mean) / std, 6)
+    assert (got["z"].to_numpy() == z).all()
