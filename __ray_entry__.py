@@ -1402,6 +1402,46 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_prefix_jaccard_join(sf_dir: str):
+    """Exact 5-gram-Jaccard self-join (J >= 0.7) via PREFIX FILTERING
+    (PPJoin-style) instead of LSH: each doc emits only the first
+    m - ceil(0.7 m) + 1 hash-ordered shingles, shared prefix tokens
+    generate a provably complete candidate superset (no probabilistic
+    recall bound), and the shared verify stage computes exact Jaccard.
+    Oracle: the brute-force cross join — which here checks the prefix
+    filter's COMPLETENESS, not a recall approximation."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.ppjoin import prefix_candidates
+    from raydedup.pipeline.run import build_signatures
+    from raydedup.pipeline.verify import verify_pairs
+    import pandas as pd
+
+    pages = _documents_as_pages(sf_dir)
+
+    def id_as_url(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": pc.cast(batch["doc_id"], pa.string()), "text": batch["text"]}
+        )
+
+    pages = pages.map_batches(id_as_url, batch_format="pyarrow")
+    cfg = DedupConfig(threshold=0.7)
+    sigs = build_signatures(pages, cfg).materialize()
+    cands = prefix_candidates(sigs, cfg, n_buckets=32).materialize()
+    ver = verify_pairs(cands, sigs, cfg).to_pandas()
+    dups = ver[ver.is_dup].copy()
+    a = dups.url_a.astype(np.int64).to_numpy()
+    b = dups.url_b.astype(np.int64).to_numpy()
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    out = (
+        pd.DataFrame(
+            {"doc_a": lo, "doc_b": hi, "jaccard": dups.exact_jaccard.round(6).to_numpy()}
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_part_skyline(sf_dir: str):
     """2-D skyline / Pareto frontier (maximize p_size, p_retailprice):
     block-local skylines via one lexsort + prefix-max kernel, then one
@@ -1989,6 +2029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_churn": _q_snapshot_churn,
         "doc_pagerank": _q_doc_pagerank,
         "part_skyline": _q_part_skyline,
+        "prefix_jaccard_join": _q_prefix_jaccard_join,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3295,6 +3336,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "prefix_jaccard_join": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+            ORDER BY doc_a, doc_b
+        """,
         "part_skyline": """
             SELECT p_partkey, p_size, p_retailprice FROM part a
             WHERE NOT EXISTS (
