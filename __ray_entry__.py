@@ -1402,6 +1402,32 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_doc_triangles(sf_dir: str):
+    """Directed triangle (closed 3-walk) count over the same synthetic
+    link graph as doc_pagerank: round 1 cogroups edges-by-dst with
+    edges-by-src and emits length-2 paths per-key cross-product; round
+    2 matches packed closing-edge keys with both sides pre-aggregated
+    to (key, count). Oracle: the SQL triple self-join count."""
+    import ray.data as rd
+
+    from raydedup.ops.graph import count_closed_triangles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(i * i + 1) % n, (i * 13 + 3) % n])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow").materialize()
+    tri = count_closed_triangles(edges, n_buckets=32)
+    return pa.table({"triangles": pa.array([tri], pa.int64())})
+
+
 def _q_prefix_jaccard_join(sf_dir: str):
     """Exact 5-gram-Jaccard self-join (J >= 0.7) via PREFIX FILTERING
     (PPJoin-style) instead of LSH: each doc emits only the first
@@ -2030,6 +2056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank": _q_doc_pagerank,
         "part_skyline": _q_part_skyline,
         "prefix_jaccard_join": _q_prefix_jaccard_join,
+        "doc_triangles": _q_doc_triangles,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3336,6 +3363,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "doc_triangles": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src,
+                     (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM edges a
+            JOIN edges b ON a.dst = b.src
+            JOIN edges c ON b.dst = c.src AND c.dst = a.src
+        """,
         "prefix_jaccard_join": r"""
             WITH words AS (
               SELECT doc_id,

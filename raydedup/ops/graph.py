@@ -260,3 +260,149 @@ def pagerank_int(
         return pa.table({node_col: batch[node_col], "rank_u": batch["r"]})
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def count_closed_triangles(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 64,
+) -> int:
+    """Count directed closed 3-walks (a→b, b→c, c→a; multigraph
+    multiplicities multiply, self-loops and rotations count as SQL's
+    triple self-join counts them). Node ids must fit 31 bits — the
+    closing-edge match packs (x, y) into one exact int64 key.
+
+    Scale design (100 TB lens): the standard two-round distributed
+    plan. Round 1 cogroups edges-by-dst with edges-by-src (one bucketed
+    exchange of (bucket, k, v) int64 rows) and emits length-2 paths via
+    a per-key vectorized cross product; round 2 cogroups the paths with
+    the edge set on the packed closing-edge key, BOTH sides map-side
+    pre-aggregated to (key, count), so the exchange carries distinct
+    keys, not walks. Hot vertices make round 1 quadratic in degree —
+    the standard remedy (splitting high-degree vertices / ordering by
+    degree) composes on top; documented, not implemented."""
+    P32 = np.int64(1) << np.int64(32)
+
+    def in_rows(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(dst, n_buckets)),
+                "k": pa.array(dst),
+                "v": pa.array(src),
+                "side": pa.array(np.zeros(len(src), np.int64)),
+            }
+        )
+
+    def out_rows(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(src, n_buckets)),
+                "k": pa.array(src),
+                "v": pa.array(dst),
+                "side": pa.array(np.ones(len(src), np.int64)),
+            }
+        )
+
+    def paths_kernel(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ins, outs = side == 0, side == 1
+        k0, v0 = k[ins], v[ins]  # b ← a rows keyed by b
+        k1, v1 = k[outs], v[outs]  # b → c rows keyed by b
+        empty = pa.table({"pk": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        if len(k0) == 0 or len(k1) == 0:
+            return empty
+        o0 = np.argsort(k0, kind="stable")
+        o1 = np.argsort(k1, kind="stable")
+        k0, v0, k1, v1 = k0[o0], v0[o0], k1[o1], v1[o1]
+        ku = np.intersect1d(k0, k1)
+        if len(ku) == 0:
+            return empty
+        s0 = np.searchsorted(k0, ku)
+        c0 = np.searchsorted(k0, ku, side="right") - s0
+        s1 = np.searchsorted(k1, ku)
+        c1 = np.searchsorted(k1, ku, side="right") - s1
+        ppk = c0 * c1  # paths per shared key: per-key cross product
+        cum = np.cumsum(ppk)
+        total = int(cum[-1])
+        t = np.arange(total, dtype=np.int64)
+        key_id = np.searchsorted(cum, t, side="right")
+        within = t - (cum - ppk)[key_id]
+        a = v0[s0[key_id] + within // c1[key_id]]
+        c = v1[s1[key_id] + within % c1[key_id]]
+        pk = c * P32 + a  # closing edge needed: c → a
+        # map-side pre-aggregate: ship (key, count), not walks
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(pku, pa.int64()), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def path_close_rows(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(pk, n_buckets)),
+                "k": pa.array(pk),
+                "v": pa.array(batch["cnt"].to_numpy(zero_copy_only=False)),
+                "side": pa.array(np.zeros(len(pk), np.int64)),
+            }
+        )
+
+    def edge_close_rows(batch: pa.Table) -> pa.Table:
+        src = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = src * P32 + dst
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "_gb": pa.array(_bucket_of(pku, n_buckets)),
+                "k": pa.array(pku),
+                "v": pa.array(cnt.astype(np.int64)),
+                "side": pa.array(np.ones(len(pku), np.int64)),
+            }
+        )
+
+    def close_kernel(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        pk, pc = k[side == 0], v[side == 0]
+        ek, ec = k[side == 1], v[side == 1]
+        if len(pk) == 0 or len(ek) == 0:
+            return pa.table({"partial": pa.array([0], pa.int64())})
+        o = np.argsort(ek, kind="stable")
+        ek, ec = ek[o], ec[o]
+        # edge keys are distinct within a block partial but may repeat
+        # across blocks: segment-sum the counts per distinct key
+        new = np.ones(len(ek), bool)
+        new[1:] = ek[1:] != ek[:-1]
+        seg = np.cumsum(new) - 1
+        eku = ek[new]
+        ecs = np.bincount(seg, weights=ec).astype(np.int64)
+        pos = np.minimum(np.searchsorted(eku, pk), len(eku) - 1)
+        hit = eku[pos] == pk
+        total = int((pc[hit] * ecs[pos[hit]]).sum())
+        return pa.table({"partial": pa.array([total], pa.int64())})
+
+    paths = (
+        edges.map_batches(in_rows, batch_format="pyarrow")
+        .union(edges.map_batches(out_rows, batch_format="pyarrow"))
+        .groupby("_gb")
+        .map_groups(paths_kernel, batch_format="pyarrow")
+    )
+    partials = (
+        paths.map_batches(path_close_rows, batch_format="pyarrow")
+        .union(edges.map_batches(edge_close_rows, batch_format="pyarrow"))
+        .groupby("_gb")
+        .map_groups(close_kernel, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    res = partials.aggregate(Sum("partial", alias_name="triangles"))
+    return int(res["triangles"])

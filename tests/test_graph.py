@@ -63,3 +63,23 @@ def test_pagerank_fixed_point_on_permutation(ray_session):
 def test_pagerank_rejects_unknown_src(ray_session):
     with pytest.raises(Exception):
         _run([0, 1], [(0, 1), (7, 0)], iterations=1)
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.graph import count_closed_triangles
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 25
+        # multigraph with duplicate edges and self-loops
+        e = rng.integers(0, n, size=(140, 2)).astype(np.int64)
+        e = np.vstack([e, e[:10]])  # force duplicates
+        # brute force: closed 3-walks with multiplicity
+        adj = np.zeros((n, n), np.int64)
+        np.add.at(adj, (e[:, 0], e[:, 1]), 1)
+        want = int(np.trace(adj @ adj @ adj))
+        eds = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})).repartition(4)
+        got = count_closed_triangles(eds, n_buckets=8)
+        assert got == want, (trial, got, want)
