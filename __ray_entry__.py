@@ -1402,6 +1402,22 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Positional phrase search ('table value') over the documents
+    token stream: a pure map-side vectorized k-shift scan over murmur
+    word hashes — no shuffle, no index, doc boundaries enforced per
+    window. Oracle derives the same tokens and positions with DuckDB
+    list lambdas."""
+    import ray.data as rd
+
+    from raydedup.ops.phrase import phrase_match
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return phrase_match(docs, "table value").sort("doc_id")
+
+
 def _q_doc_triangles(sf_dir: str):
     """Directed triangle (closed 3-walk) count over the same synthetic
     link graph as doc_pagerank: round 1 cogroups edges-by-dst with
@@ -2057,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _q_part_skyline,
         "prefix_jaccard_join": _q_prefix_jaccard_join,
         "doc_triangles": _q_doc_triangles,
+        "phrase_search": _q_phrase_search,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3363,6 +3380,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "phrase_search": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, i
+              FROM words, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE w[i] = 'table' AND w[i + 1] = 'value'
+            )
+            SELECT doc_id, count(*) AS n_matches, min(i) AS first_pos
+            FROM hits GROUP BY doc_id ORDER BY doc_id
+        """,
         "doc_triangles": """
             WITH nn AS (SELECT count(*) AS n FROM documents),
             edges AS (
