@@ -1402,6 +1402,44 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components over a deterministic multi-component graph
+    (path segments broken every 7 ids + sparse long-range chords) via
+    the distributed min-label propagation of pipeline/cluster.py — the
+    driver materializes nothing O(nodes). Ids travel zero-padded so
+    the engine's lexicographic min-label equals numeric min. Oracle:
+    recursive-CTE reachability, min reachable id per node."""
+    import ray.data as rd
+
+    from raydedup.pipeline.cluster import label_propagation_components
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = i[(i % 7 != 6) & (i + 1 < n)]
+        chord = i[i % 35 == 0]
+        a = np.concatenate([seg, chord])
+        bb = np.concatenate([seg + 1, (chord + 13) % n])
+        pad = np.char.zfill(a.astype("U6"), 6)
+        pad_b = np.char.zfill(bb.astype("U6"), 6)
+        return pa.table({"url_a": pa.array(pad), "url_b": pa.array(pad_b)})
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow").materialize()
+    comps = label_propagation_components(edges, n_buckets=16)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["url"], pa.int64()),
+                "cluster_id": pc.cast(batch["cluster_id"], pa.int64()),
+            }
+        )
+
+    return comps.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_phrase_search(sf_dir: str):
     """Positional phrase search ('table value') over the documents
     token stream: a pure map-side vectorized k-shift scan over murmur
@@ -2074,6 +2112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_jaccard_join": _q_prefix_jaccard_join,
         "doc_triangles": _q_doc_triangles,
         "phrase_search": _q_phrase_search,
+        "graph_components": _q_graph_components,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3380,6 +3419,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "graph_components": """
+            WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+            base AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 7 <> 6 AND doc_id + 1 < (SELECT n FROM nn)
+              UNION ALL
+              SELECT doc_id, (doc_id + 13) % (SELECT n FROM nn) FROM documents
+              WHERE doc_id % 35 = 0
+            ),
+            e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+            vs AS (SELECT DISTINCT a AS v FROM e),
+            reach(a, b) AS (
+              SELECT v, v FROM vs
+              UNION
+              SELECT reach.a, e.b FROM reach JOIN e ON e.a = reach.b
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
         "phrase_search": r"""
             WITH words AS (
               SELECT doc_id,
