@@ -1402,6 +1402,33 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_co_citation(sf_dir: str):
+    """Co-citation pairs over the synthetic link graph: sources sharing
+    common destinations, counted per pair. Stage 1 groups edges by dst
+    and emits per-dst source pairs map-side pre-aggregated to (packed
+    pair key, count); stage 2 is a pairs-only bucketed sum. Oracle:
+    distinct-edge self-join on dst with a < b."""
+    import ray.data as rd
+
+    from raydedup.ops.graph import co_citation_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(i * i + 1) % n, (i * 13 + 3) % n])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return co_citation_counts(edges, min_common=1, n_buckets=32).sort(
+        ["doc_a", "doc_b"]
+    )
+
+
 def _q_graph_components(sf_dir: str):
     """Connected components over a deterministic multi-component graph
     (path segments broken every 7 ids + sparse long-range chords) via
@@ -2113,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_triangles": _q_doc_triangles,
         "phrase_search": _q_phrase_search,
         "graph_components": _q_graph_components,
+        "co_citation": _q_co_citation,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3419,6 +3447,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "co_citation": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+              SELECT doc_id AS src,
+                     (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM documents
+            ),
+            de AS (SELECT DISTINCT src, dst FROM edges)
+            SELECT a.src AS doc_a, b.src AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM de a JOIN de b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2
+            ORDER BY doc_a, doc_b
+        """,
         "graph_components": """
             WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
             base AS (

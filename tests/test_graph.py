@@ -65,6 +65,33 @@ def test_pagerank_rejects_unknown_src(ray_session):
         _run([0, 1], [(0, 1), (7, 0)], iterations=1)
 
 
+def test_co_citation_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.graph import co_citation_counts
+
+    rng = np.random.default_rng(29)
+    n = 20
+    e = rng.integers(0, n, size=(120, 2)).astype(np.int64)
+    e = np.vstack([e, e[:15]])  # duplicates must count once per dst
+    want = {}
+    by_dst = {}
+    for s, d in e:
+        by_dst.setdefault(int(d), set()).add(int(s))
+    for d, srcs in by_dst.items():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                want[(ss[i], ss[j])] = want.get((ss[i], ss[j]), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    eds = rd.from_pandas(pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})).repartition(4)
+    got_df = co_citation_counts(eds, min_common=2, n_buckets=8).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): int(r.n_common) for r in got_df.itertuples()
+    }
+    assert got == want
+
+
 def test_triangle_count_matches_brute_force(ray_session):
     import ray.data as rd
 
