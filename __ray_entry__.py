@@ -1402,6 +1402,52 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_event_intervals(sf_dir: str):
+    """Per-user interval coalescing: events become [ts, ts+dur) spans
+    (dur = 60 + event_id % 120 seconds, deterministic) and
+    overlapping/touching spans merge into islands — gaps-and-islands
+    with explicit durations, one lexsort + segment-cummax kernel per
+    hash bucket (never per-key groups). Oracle: the window-function
+    max-end / break / island formulation."""
+    import ray.data as rd
+
+    from raydedup.ops.intervals import coalesce_intervals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        s = ts.astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = s + (60 + eid % 120) * 1_000_000
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "s": pa.array(s),
+                "e": pa.array(e),
+            }
+        )
+
+    iv = ev.map_batches(spans, batch_format="pyarrow")
+    out = coalesce_intervals(iv, key="user_id", start="s", end="e", n_buckets=16)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "start_us": batch["s"],
+                "end_us": batch["e"],
+                "n_events": batch["n_events"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort(
+        ["user_id", "start_us"]
+    )
+
+
 def _q_co_citation(sf_dir: str):
     """Co-citation pairs over the synthetic link graph: sources sharing
     common destinations, counted per pair. Stage 1 groups edges by dst
@@ -2141,6 +2187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "graph_components": _q_graph_components,
         "co_citation": _q_co_citation,
+        "event_intervals": _q_event_intervals,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3447,6 +3494,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "event_intervals": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (60 + event_id % 120) * 1000000 AS e
+              FROM events
+            ), o AS (
+              SELECT *, max(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM iv
+            ), m AS (
+              SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+                             THEN 1 ELSE 0 END AS brk
+              FROM o
+            ), g AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS UNBOUNDED PRECEDING) AS island
+              FROM m
+            )
+            SELECT user_id, min(s) AS start_us, max(e) AS end_us,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, island
+            ORDER BY user_id, start_us
+        """,
         "co_citation": """
             WITH nn AS (SELECT count(*) AS n FROM documents),
             edges AS (
