@@ -1402,6 +1402,24 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_part_name_linkage(sf_dir: str):
+    """Record linkage: parts sharing a brand (blocking key) whose names
+    are within Levenshtein distance 3 — one bucketed exchange, equal-key
+    runs per bucket, and a Wagner-Fischer DP batched across the pair
+    axis (the insertion prefix-min closed-form via minimum.accumulate).
+    Oracle: DuckDB's levenshtein over the blocked self-join."""
+    import ray.data as rd
+
+    from raydedup.ops.linkage import linkage_pairs
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    return linkage_pairs(
+        parts, block_col="p_brand", name_col="p_name", id_col="p_partkey", max_dist=3
+    ).sort(["id_a", "id_b"])
+
+
 def _q_event_intervals(sf_dir: str):
     """Per-user interval coalescing: events become [ts, ts+dur) spans
     (dur = 60 + event_id % 120 seconds, deterministic) and
@@ -2188,6 +2206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "co_citation": _q_co_citation,
         "event_intervals": _q_event_intervals,
+        "part_name_linkage": _q_part_name_linkage,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3494,6 +3513,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "part_name_linkage": """
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a
+            JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            ORDER BY id_a, id_b
+        """,
         "event_intervals": """
             WITH iv AS (
               SELECT user_id, epoch_us(ts) AS s,
