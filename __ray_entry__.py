@@ -1402,6 +1402,32 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_user_mode_event(sf_dir: str):
+    """Per-user modal event type (ties → lexicographically smallest):
+    map-side (user, type, count) combiner partials, one bucketed
+    exchange, per-bucket lexsort argmax kernel. Oracle: row_number over
+    (count desc, type asc)."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_mode
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = grouped_mode(ev, group="user_id", value="event_type", n_buckets=16)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "mode_type": batch["mode_value"],
+                "n_events": batch["n_rows"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("user_id")
+
+
 def _q_part_name_linkage(sf_dir: str):
     """Record linkage: parts sharing a brand (blocking key) whose names
     are within Levenshtein distance 3 — one bucketed exchange, equal-key
@@ -2207,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "co_citation": _q_co_citation,
         "event_intervals": _q_event_intervals,
         "part_name_linkage": _q_part_name_linkage,
+        "user_mode_event": _q_user_mode_event,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3513,6 +3540,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "user_mode_event": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, event_type AS mode_type, n AS n_events
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+            ORDER BY user_id
+        """,
         "part_name_linkage": """
             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
                    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -158,3 +158,67 @@ def grouped_moments(
         return pa.table(out)
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_mode(ds, group: str, value: str, n_buckets: int = 64):
+    """Most frequent ``value`` per ``group`` (ties → lexicographically
+    smallest value): map-side (group, value, count) combiner partials,
+    ONE bucketed exchange keyed on hash(group), and a per-bucket
+    lexsort kernel that segment-sums counts and takes each group's
+    first row under (count desc, value asc) — never per-group Python.
+    Output: (group, mode_value, n_rows)."""
+    from raydedup.sketches.hashing import hash_u64_column
+
+    U64 = np.uint64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group: batch[group].to_numpy(zero_copy_only=False),
+                value: batch[value].to_numpy(zero_copy_only=False),
+            }
+        )
+        cnt = df.groupby([group, value], sort=False).size().reset_index(name="_n")
+        g = cnt[group].to_numpy()
+        h1, _ = hash_u64_column(
+            pa.chunked_array([pa.array(g.astype(np.int64), pa.int64())])
+        )
+        return pa.table(
+            {
+                "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                group: pa.array(g),
+                value: pa.array(cnt[value].to_numpy()),
+                "_n": pa.array(cnt["_n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def kernel(gt: pa.Table) -> pa.Table:
+        g = gt[group].to_numpy(zero_copy_only=False)
+        v = gt[value].to_numpy(zero_copy_only=False)
+        n = gt["_n"].to_numpy(zero_copy_only=False)
+        vu, v_codes = np.unique(v, return_inverse=True)  # codes in lex order
+        order = np.lexsort((v_codes, g))
+        g, v_codes, n = g[order], v_codes[order], n[order]
+        new = np.ones(len(g), bool)
+        new[1:] = (g[1:] != g[:-1]) | (v_codes[1:] != v_codes[:-1])
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=n).astype(np.int64)
+        gs, vs = g[new], v_codes[new]
+        pick = np.lexsort((vs, -tot, gs))
+        gs, vs, tot = gs[pick], vs[pick], tot[pick]
+        first = np.ones(len(gs), bool)
+        first[1:] = gs[1:] != gs[:-1]
+        return pa.table(
+            {
+                group: pa.array(gs[first]),
+                "mode_value": pa.array(vu[vs[first]]),
+                "n_rows": pa.array(tot[first]),
+            }
+        )
+
+    return (
+        ds.select_columns([group, value])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(kernel, batch_format="pyarrow")
+    )

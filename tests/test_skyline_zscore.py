@@ -52,6 +52,32 @@ def test_skyline2d_distributed_equals_local(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_grouped_mode_matches_literal(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_mode
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 15, 500).astype(np.int64),
+            "v": rng.choice(["zz", "aa", "mm", "bb"], 500),
+        }
+    )
+    got = (
+        grouped_mode(rd.from_pandas(df).repartition(6), "g", "v", n_buckets=4)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.groupby("g"):
+        c = grp.v.value_counts()
+        top = c.max()
+        want_v = sorted(c[c == top].index)[0]  # tie → lexicographically smallest
+        assert got.loc[g, "mode_value"] == want_v, g
+        assert got.loc[g, "n_rows"] == top, g
+
+
 def test_grouped_zscore_matches_literal(ray_session):
     import ray.data as rd
 
