@@ -1402,6 +1402,35 @@ def _pagerank_sql(iterations: int = 5) -> str:
     )
 
 
+def _q_csv_events(sf_dir: str):
+    """Source-format parity for CSV: integer/string event columns →
+    sharded CSV → read back → per-type rollup. Oracle reads the
+    ORIGINAL parquet, so green proves the CSV sink+source round-trips
+    the rows exactly (floats deliberately excluded — CSV is not a
+    lossless float wire format)."""
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = f"/tmp/raydedup_csv/{abs(hash(sf_dir)) & 0xFFFFFFFF:x}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    ds.write_csv(out)
+    back = rd.read_csv(out)
+    return (
+        back.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("event_id", alias_name="sum_event_id"),
+            Max("user_id", alias_name="max_user_id"),
+        )
+        .sort("event_type")
+    )
+
+
 def _q_user_mode_event(sf_dir: str):
     """Per-user modal event type (ties → lexicographically smallest):
     map-side (user, type, count) combiner partials, one bucketed
@@ -2234,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_intervals": _q_event_intervals,
         "part_name_linkage": _q_part_name_linkage,
         "user_mode_event": _q_user_mode_event,
+        "csv_events": _q_csv_events,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3540,6 +3570,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "csv_events": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+                   max(user_id) AS max_user_id
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "user_mode_event": """
             WITH c AS (
               SELECT user_id, event_type, count(*) AS n
