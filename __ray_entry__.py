@@ -1550,7 +1550,7 @@ def _q_co_citation(sf_dir: str):
 
 def _q_graph_components(sf_dir: str):
     """Connected components over a deterministic multi-component graph
-    (path segments broken every 7 ids + sparse long-range chords) via
+    (path segments broken every 5 ids + sparse long-range chords) via
     the distributed min-label propagation of pipeline/cluster.py — the
     driver materializes nothing O(nodes). Ids travel zero-padded so
     the engine's lexicographic min-label equals numeric min. Oracle:
@@ -1564,10 +1564,10 @@ def _q_graph_components(sf_dir: str):
 
     def mk_edges(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seg = i[(i % 7 != 6) & (i + 1 < n)]
-        chord = i[i % 35 == 0]
+        seg = i[(i % 5 != 4) & (i + 1 < n)]
+        chord = i[i % 40 == 0]
         a = np.concatenate([seg, chord])
-        bb = np.concatenate([seg + 1, (chord + 13) % n])
+        bb = np.concatenate([seg + 1, (chord + 7) % n])
         pad = np.char.zfill(a.astype("U6"), 6)
         pad_b = np.char.zfill(bb.astype("U6"), 6)
         return pa.table({"url_a": pa.array(pad), "url_b": pa.array(pad_b)})
@@ -3641,10 +3641,10 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
             base AS (
               SELECT doc_id AS a, doc_id + 1 AS b FROM documents
-              WHERE doc_id % 7 <> 6 AND doc_id + 1 < (SELECT n FROM nn)
+              WHERE doc_id % 5 <> 4 AND doc_id + 1 < (SELECT n FROM nn)
               UNION ALL
-              SELECT doc_id, (doc_id + 13) % (SELECT n FROM nn) FROM documents
-              WHERE doc_id % 35 = 0
+              SELECT doc_id, (doc_id + 7) % (SELECT n FROM nn) FROM documents
+              WHERE doc_id % 40 = 0
             ),
             e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
             vs AS (SELECT DISTINCT a AS v FROM e),
