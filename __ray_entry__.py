@@ -223,6 +223,29 @@ def _q_dedup_assignments(sf_dir: str):
     return _dedup_result(sf_dir).assignments.sort("url")
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val split: the split key is the near-dup
+    CLUSTER representative, not the document, so near-duplicates can
+    never straddle train and val (the classic eval-contamination bug
+    in web-corpus splits). Composition: dedup assignments → pure map
+    (val iff cluster-representative id % 10 == 0). Oracle: the
+    recursive-CTE connected components + the same modulo rule."""
+    prefix = "https://synth.local/doc/"
+
+    res = _dedup_result(sf_dir)
+
+    def split(batch: pa.Table) -> pa.Table:
+        cid = batch["cluster_id"]
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+        num = pc.cast(pc.utf8_slice_codeunits(cid, len(prefix), 64), pa.int64())
+        n = num.to_numpy(zero_copy_only=False)
+        lab = np.where(n % 10 == 0, "val", "train")
+        return pa.table({"url": batch["url"], "split": pa.array(lab)})
+
+    return res.assignments.map_batches(split, batch_format="pyarrow").sort("url")
+
+
 def _q_best_in_cluster(sf_dir: str):
     """Representative selection after near-dup clustering: keep the
     highest-token-count member of every cluster (ties → min url) —
@@ -2264,6 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_linkage": _q_part_name_linkage,
         "user_mode_event": _q_user_mode_event,
         "csv_events": _q_csv_events,
+        "leakage_safe_split": _q_leakage_safe_split,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3909,6 +3933,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "leakage_safe_split": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), asg AS (
+              SELECT node AS url, min(label) AS cluster_id
+              FROM cc GROUP BY node
+            )
+            SELECT url,
+                   CASE WHEN CAST(substr(cluster_id, 25) AS BIGINT) % 10 = 0
+                        THEN 'val' ELSE 'train' END AS split
+            FROM asg ORDER BY url
         """,
         "best_in_cluster": r"""
             WITH RECURSIVE words AS (
