@@ -223,6 +223,69 @@ def _q_dedup_assignments(sf_dir: str):
     return _dedup_result(sf_dir).assignments.sort("url")
 
 
+def _q_window_anomalies(sf_dir: str):
+    """Per-user hourly event-rate anomaly detection: window counts
+    (map-side packed-key combiner partials, one exchange), then each
+    user's windows z-scored against that user's own window-count
+    moments (exact integer sums, broadcast lookup) and flagged when
+    z > 2. Oracle mirrors the identical double expression."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raydedup.ops.zscore import grouped_zscore
+
+    HOUR_US = 3_600_000_000
+    P32 = np.int64(1) << np.int64(32)
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        w = ts.astype(np.int64) // HOUR_US
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = u * P32 + w
+        pku, cnt = np.unique(pk, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(pku, pa.int64()), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(wc_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(pk // P32),
+                "window_start_us": pa.array((pk % P32) * HOUR_US),
+                "n": batch["n"],
+            }
+        )
+
+    wc = counts.map_batches(unpack, batch_format="pyarrow")
+    scored = grouped_zscore(wc, group="user_id", x="n", decimals=0)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        keep = z > 2.0  # NaN (degenerate users) compares False
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "window_start_us": t["window_start_us"],
+                "n_events": t["n"],
+                "z": t["z"],
+            }
+        )
+
+    return scored.map_batches(flag, batch_format="pyarrow").sort(
+        ["user_id", "window_start_us"]
+    )
+
+
 def _q_leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val split: the split key is the near-dup
     CLUSTER representative, not the document, so near-duplicates can
@@ -2288,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event": _q_user_mode_event,
         "csv_events": _q_csv_events,
         "leakage_safe_split": _q_leakage_safe_split,
+        "window_anomalies": _q_window_anomalies,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3933,6 +3997,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "window_anomalies": """
+            WITH wc AS (
+              SELECT user_id, epoch_us(ts) // 3600000000 AS w, count(*) AS n
+              FROM events GROUP BY user_id, w
+            ), m AS (
+              SELECT user_id, count(*) AS k,
+                     CAST(sum(n) AS BIGINT) AS s,
+                     CAST(sum(n * n) AS BIGINT) AS ss
+              FROM wc GROUP BY user_id
+            ), scored AS (
+              SELECT wc.user_id, wc.w * 3600000000 AS window_start_us,
+                     wc.n AS n_events,
+                     round((CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                           / sqrt((CAST(ss AS DOUBLE)
+                                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                     / CAST(k AS DOUBLE))
+                                  / CAST(k - 1 AS DOUBLE)), 6) AS z
+              FROM wc JOIN m USING (user_id)
+              WHERE k >= 2
+                AND (CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE) > 0.0
+            )
+            SELECT * FROM scored WHERE z > 2.0
+            ORDER BY user_id, window_start_us
         """,
         "leakage_safe_split": r"""
             WITH RECURSIVE words AS (
