@@ -223,6 +223,79 @@ def _q_dedup_assignments(sf_dir: str):
     return _dedup_result(sf_dir).assignments.sort("url")
 
 
+def _q_corpus_vocab(sf_dir: str):
+    """Corpus-wide vocabulary report in ONE scan: total words, exact
+    distinct words, exact distinct 5-gram shingles. Blocks emit their
+    LOCAL unique hash sets tagged by kind (plus one total-words row);
+    per-bucket kernels count bucket-level uniques, one Sum finishes.
+    The exchange carries unique hashes, never tokens. Distinctness is
+    over murmur u64 hashes (collision odds ~n²/2⁶⁵ — documented, not
+    defended). Oracle: DuckDB distinct over the same word/gram
+    derivation the ngram oracles use."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raydedup.pipeline.extract import text_to_shingle_sets, tokenize_word_hashes
+    from raydedup.sketches.hashing import fmix64
+
+    U64 = np.uint64
+    NB = 32
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wh, offs = tokenize_word_hashes(batch["text"])
+        sh, _, _ = text_to_shingle_sets(batch["text"], k=5)
+        wu = np.unique(wh)
+        su = np.unique(sh)
+        kind = np.concatenate(
+            [
+                np.zeros(len(wu), np.int64),
+                np.ones(len(su), np.int64),
+                np.full(1, 2, np.int64),
+            ]
+        )
+        h = np.concatenate([wu, su, np.array([len(wh)], np.uint64)])
+        bucket = (fmix64(h) % U64(NB)).astype(np.int64)
+        bucket[kind == 2] = 0
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                "_gb": pa.array(kind * NB + bucket),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        k = int(kind[0])
+        if k == 2:
+            val = int(h.sum())  # total words: sum of per-block counts
+        else:
+            val = len(np.unique(h))
+        return pa.table(
+            {"kind": pa.array([k], pa.int64()), "val": pa.array([val], pa.int64())}
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(count_bucket, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("val", alias_name="val"))
+        .to_pandas()
+    )
+    vals = {int(r.kind): int(r.val) for r in agg.itertuples()}
+    return pa.table(
+        {
+            "n_words": pa.array([vals[2]], pa.int64()),
+            "n_distinct_words": pa.array([vals[0]], pa.int64()),
+            "n_distinct_5grams": pa.array([vals[1]], pa.int64()),
+        }
+    )
+
+
 def _q_window_anomalies(sf_dir: str):
     """Per-user hourly event-rate anomaly detection: window counts
     (map-side packed-key combiner partials, one exchange), then each
@@ -2352,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_events": _q_csv_events,
         "leakage_safe_split": _q_leakage_safe_split,
         "window_anomalies": _q_window_anomalies,
+        "corpus_vocab": _q_corpus_vocab,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -3997,6 +4071,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "corpus_vocab": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), fw AS (
+              SELECT unnest(w) AS word FROM words
+            ), grams AS (
+              SELECT array_to_string(w[i:i+4], ' ') AS g
+              FROM words, UNNEST(generate_series(1, greatest(len(w) - 4, 1))) AS t(i)
+              WHERE len(w) > 0
+            )
+            SELECT CAST((SELECT count(*) FROM fw) AS BIGINT) AS n_words,
+                   CAST((SELECT count(DISTINCT word) FROM fw) AS BIGINT)
+                     AS n_distinct_words,
+                   CAST((SELECT count(DISTINCT g) FROM grams) AS BIGINT)
+                     AS n_distinct_5grams
         """,
         "window_anomalies": """
             WITH wc AS (
