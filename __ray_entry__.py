@@ -1827,6 +1827,50 @@ def _q_prefix_jaccard_join(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_containment_join(sf_dir: str):
+    """Exact min-side containment join (|A∩B| / min >= 0.9): catches
+    substring-style near-subsets that Jaccard-threshold LSH cannot see
+    (a small doc inside a big one has low J, high containment).
+    Candidates: smaller-side prefix tokens probed against a full-token
+    index per bucket — a complete superset; the shared verify stage
+    computes exact containment. Oracle: brute-force cross join."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.ppjoin import containment_candidates
+    from raydedup.pipeline.run import build_signatures
+    from raydedup.pipeline.verify import verify_pairs
+    import pandas as pd
+
+    pages = _documents_as_pages(sf_dir)
+
+    def id_as_url(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"url": pc.cast(batch["doc_id"], pa.string()), "text": batch["text"]}
+        )
+
+    pages = pages.map_batches(id_as_url, batch_format="pyarrow")
+    tau = 0.9
+    cfg = DedupConfig(threshold=tau)
+    sigs = build_signatures(pages, cfg).materialize()
+    cands = containment_candidates(sigs, tau, n_buckets=32).materialize()
+    ver = verify_pairs(cands, sigs, cfg).to_pandas()
+    hits = ver[ver.containment >= tau].copy()
+    a = hits.url_a.astype(np.int64).to_numpy()
+    b = hits.url_b.astype(np.int64).to_numpy()
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    out = (
+        pd.DataFrame(
+            {
+                "doc_a": lo,
+                "doc_b": hi,
+                "containment": hits.containment.round(6).to_numpy(),
+            }
+        )
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_part_skyline(sf_dir: str):
     """2-D skyline / Pareto frontier (maximize p_size, p_retailprice):
     block-local skylines via one lexsort + prefix-max kernel, then one
@@ -2426,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "window_anomalies": _q_window_anomalies,
         "corpus_vocab": _q_corpus_vocab,
+        "containment_join": _q_containment_join,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -4071,6 +4116,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "containment_join": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / least(len(a.s), len(b.s)), 6) AS containment
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / least(len(a.s), len(b.s)) >= 0.9
+            ORDER BY doc_a, doc_b
         """,
         "corpus_vocab": r"""
             WITH words AS (

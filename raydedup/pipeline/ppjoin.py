@@ -123,6 +123,122 @@ def emit_pairs_prefix_bucket(df: pd.DataFrame, tau: float) -> pd.DataFrame:
     return pd.DataFrame({"ha": lo, "hb": hi}).drop_duplicates()
 
 
+def emit_containment_rows(batch: pa.Table, tau: float, n_buckets: int) -> pa.Table:
+    """signatures batch → (bucket, token, uh, side) rows: side 0 =
+    PREFIX tokens (the probe — prefix length uses tau·m because the
+    min-containment overlap bound is ceil(tau·|smaller|)), side 1 =
+    ALL tokens (the index). Any pair with min-side containment >= tau
+    shares a token between the smaller doc's prefix and the other
+    doc's full set, so probe×index candidates are complete."""
+    pre = emit_prefix_rows(batch, tau, n_buckets)
+    nonempty = batch.filter(pc.greater(batch["n_shingles"], 0))
+    if len(nonempty) == 0:
+        full = pre.select(["bucket", "token", "uh"])
+    else:
+        sh = nonempty["shingles"].combine_chunks()
+        offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = sh.values.to_numpy(zero_copy_only=False).astype(U64, copy=False)
+        m = (offs[1:] - offs[:-1]).astype(np.int64)
+        tok = values[
+            np.repeat(offs[:-1], m)
+            + (np.arange(int(m.sum()), dtype=np.int64) - np.repeat(np.cumsum(m) - m, m))
+        ]
+        uh, _ = hash_strings(nonempty["url"])
+        full = pa.table(
+            {
+                "bucket": pa.array((fmix64(tok) % U64(n_buckets)).astype(np.int64)),
+                "token": pa.array(tok, pa.uint64()),
+                "uh": pa.array(np.repeat(uh, m), pa.uint64()),
+            }
+        )
+    pre_t = pa.table(
+        {
+            "bucket": pre["bucket"],
+            "token": pre["token"],
+            "uh": pre["uh"],
+            "side": pa.array(np.zeros(len(pre), np.int64)),
+        }
+    )
+    full_t = full.append_column("side", pa.array(np.ones(len(full), np.int64)))
+    return pa.concat_tables([pre_t, full_t])
+
+
+def emit_containment_pairs_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One bucket → candidate (ha, hb): probe-side × index-side per
+    equal-token run (a hot token's index postings make this the
+    d_probe × d_index SSJoin hot spot — documented)."""
+    token = df["token"].to_numpy().astype(U64)
+    uh = df["uh"].to_numpy().astype(U64)
+    side = df["side"].to_numpy()
+    order = np.lexsort((uh, side, token))  # probes (side 0) first per run
+    token, uh, side = token[order], uh[order], side[order]
+    new_run = np.ones(len(df), dtype=bool)
+    new_run[1:] = token[1:] != token[:-1]
+    run_id = np.cumsum(new_run) - 1
+    # per-run probe x index cross product, vectorized over runs via
+    # the cumsum/searchsorted indexing pattern
+    n_runs = int(run_id[-1]) + 1 if len(run_id) else 0
+    if n_runs == 0:
+        return pd.DataFrame(
+            {"ha": pd.Series([], dtype=np.uint64), "hb": pd.Series([], dtype=np.uint64)}
+        )
+    is_probe = side == 0
+    c0 = np.bincount(run_id[is_probe], minlength=n_runs)
+    c1 = np.bincount(run_id[~is_probe], minlength=n_runs)
+    run_start = np.zeros(n_runs, np.int64)
+    counts_all = np.bincount(run_id, minlength=n_runs)
+    np.cumsum(counts_all[:-1], out=run_start[1:])
+    ppk = c0 * c1
+    keep_run = ppk > 0
+    if not keep_run.any():
+        return pd.DataFrame(
+            {"ha": pd.Series([], dtype=np.uint64), "hb": pd.Series([], dtype=np.uint64)}
+        )
+    ppk_k = ppk[keep_run]
+    cum = np.cumsum(ppk_k)
+    t = np.arange(int(cum[-1]), dtype=np.int64)
+    rk = np.searchsorted(cum, t, side="right")
+    within = t - (cum - ppk_k)[rk]
+    # within each run the lexsort puts probes (side 0) first
+    starts = run_start[keep_run]
+    a = uh[starts[rk] + within // c1[keep_run][rk]]
+    b = uh[starts[rk] + c0[keep_run][rk] + within % c1[keep_run][rk]]
+    ne = a != b
+    lo = np.minimum(a[ne], b[ne])
+    hi = np.maximum(a[ne], b[ne])
+    return pd.DataFrame({"ha": lo, "hb": hi}).drop_duplicates()
+
+
+def containment_candidates(signatures, tau: float, n_buckets: int = 64):
+    """Exact candidate superset for min-side containment >= ``tau``
+    (substring-style pairs LSH at a Jaccard threshold cannot see:
+    a small doc inside a big one has low Jaccard but high
+    containment). Same (ha, hb) schema as the other generators."""
+    rows = signatures.map_batches(
+        lambda b: emit_containment_rows(b, tau, n_buckets), batch_format="pyarrow"
+    )
+    pairs = rows.groupby("bucket").map_groups(
+        emit_containment_pairs_bucket, batch_format="pandas"
+    )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("pbucket", pa.array([], pa.int64()))
+        ha = batch["ha"].to_numpy(zero_copy_only=False).astype(U64)
+        hb = batch["hb"].to_numpy(zero_copy_only=False).astype(U64)
+        pb = (fmix64(ha ^ fmix64(hb)) % U64(n_buckets)).astype(np.int64)
+        return batch.append_column("pbucket", pa.array(pb))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(
+            lambda df: df.drop_duplicates(["ha", "hb"])[["ha", "hb"]],
+            batch_format="pandas",
+        )
+    )
+
+
 def prefix_candidates(signatures, cfg: DedupConfig, n_buckets: int = 64):
     """signatures Dataset → Dataset of distinct exact-superset candidate
     (ha, hb) pairs — same schema candidate_pairs emits, so verify_pairs
