@@ -1827,6 +1827,23 @@ def _q_prefix_jaccard_join(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_price_ols(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity from exact
+    int128 moment partials — one exchange of (block, group) moment
+    rows, fixed double expressions mirrored by the oracle."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_ols
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_ols(
+        li, group="l_returnflag", x="l_quantity", y="l_extendedprice"
+    ).sort("l_returnflag")
+
+
 def _q_containment_join(sf_dir: str):
     """Exact min-side containment join (|A∩B| / min >= 0.9): catches
     substring-style near-subsets that Jaccard-threshold LSH cannot see
@@ -2471,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_anomalies": _q_window_anomalies,
         "corpus_vocab": _q_corpus_vocab,
         "containment_join": _q_containment_join,
+        "price_ols": _q_price_ols,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -4116,6 +4134,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "price_ols": """
+            WITH c AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_quantity) AS BIGINT) AS cx,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cy
+              FROM lineitem
+            ), m AS (
+              SELECT g, count(*) AS n,
+                     CAST(sum(cx) AS BIGINT) AS sx,
+                     CAST(sum(cy) AS BIGINT) AS sy,
+                     CAST(sum(cx * cx) AS BIGINT) AS sxx,
+                     CAST(sum(cx * cy) AS BIGINT) AS sxy
+              FROM c GROUP BY g
+            ), b AS (
+              SELECT *,
+                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS bc
+              FROM m
+              WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+            )
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   round(bc * (1.0 / 100.0), 6) AS slope,
+                   round(((CAST(sy AS DOUBLE) - bc * CAST(sx AS DOUBLE))
+                          / CAST(n AS DOUBLE)) / 100.0, 6) AS intercept
+            FROM b ORDER BY l_returnflag
         """,
         "containment_join": r"""
             WITH words AS (

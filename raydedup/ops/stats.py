@@ -160,6 +160,95 @@ def grouped_moments(
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_ols(
+    ds,
+    group: str,
+    x: str,
+    y: str,
+    decimals_x: int = 0,
+    decimals_y: int = 2,
+):
+    """Per-group simple linear regression y = a + b·x: the same exact
+    int128 moment partials as grouped_moments, finalized as
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)`` and
+    ``intercept = (Σy − slope·Σx) / n`` — fixed left-to-right double
+    expressions over exact integer totals, so a SQL oracle reproduces
+    them bit-for-bit. Output: (group, n_rows, slope, intercept),
+    slope NULL when x is constant."""
+    from ray.data.aggregate import Sum
+
+    scale_x = float(10**decimals_x)
+    scale_y = float(10**decimals_y)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False)
+        cx = np.rint(
+            batch[x].to_numpy(zero_copy_only=False).astype(np.float64) * scale_x
+        ).astype(np.int64)
+        cy = np.rint(
+            batch[y].to_numpy(zero_copy_only=False).astype(np.float64) * scale_y
+        ).astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        cols = {"_g": codes, "n_rows": np.ones(len(codes), np.int64)}
+        for stem, p in (("sx", cx), ("sy", cy), ("sxx", cx * cx), ("sxy", cx * cy)):
+            hi, lo = _hilo(p)
+            cols[f"_{stem}_hi"] = hi
+            cols[f"_{stem}_lo"] = lo
+        sums = pd.DataFrame(cols).groupby("_g", sort=False).sum()
+        out = {group: pa.array(uniq), "n_rows": pa.array(sums["n_rows"].to_numpy())}
+        for stem in ("sx", "sy", "sxx", "sxy"):
+            hi = sums[f"_{stem}_hi"].to_numpy()
+            lo = sums[f"_{stem}_lo"].to_numpy()
+            hi = hi + (lo >> np.int64(32))
+            lo = lo & _MASK32
+            out[f"_{stem}_hi"] = pa.array(hi)
+            out[f"_{stem}_lo"] = pa.array(lo)
+        return pa.table(out)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    for stem in ("sx", "sy", "sxx", "sxy"):
+        aggs.append(Sum(f"_{stem}_hi", alias_name=f"_{stem}_hi"))
+        aggs.append(Sum(f"_{stem}_lo", alias_name=f"_{stem}_lo"))
+
+    agg = (
+        ds.select_columns([group, x, y])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group)
+        .aggregate(*aggs)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.to_pydict()
+        n_grp = len(t[group])
+        slope, intercept = [], []
+        for i in range(n_grp):
+            n = float(int(t["n_rows"][i]))
+            tot = {
+                stem: float((int(t[f"_{stem}_hi"][i]) << 32) + int(t[f"_{stem}_lo"][i]))
+                for stem in ("sx", "sy", "sxx", "sxy")
+            }
+            den = n * tot["sxx"] - tot["sx"] * tot["sx"]
+            if den <= 0.0:
+                slope.append(None)
+                intercept.append(None)
+                continue
+            # slope in (y-unit per x-unit) after unscaling: cy/cx units
+            b = (n * tot["sxy"] - tot["sx"] * tot["sy"]) / den
+            a = (tot["sy"] - b * tot["sx"]) / n
+            slope.append(round(b * (scale_x / scale_y), 6))
+            intercept.append(round(a / scale_y, 6))
+        return pa.table(
+            {
+                group: t[group],
+                "n_rows": t["n_rows"],
+                "slope": pa.array(slope, pa.float64()),
+                "intercept": pa.array(intercept, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def grouped_mode(ds, group: str, value: str, n_buckets: int = 64):
     """Most frequent ``value`` per ``group`` (ties → lexicographically
     smallest value): map-side (group, value, count) combiner partials,

@@ -52,6 +52,38 @@ def test_skyline2d_distributed_equals_local(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_grouped_ols_matches_literal(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_ols
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q"], 300),
+            "x": rng.integers(1, 50, 300).astype(np.float64),
+        }
+    )
+    df["y"] = np.round(3.5 * df.x + 10 + rng.normal(0, 5, 300), 2)
+    got = (
+        grouped_ols(rd.from_pandas(df).repartition(5), "g", "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in "pq":
+        sub = df[df.g == g]
+        cx = np.rint(sub.x.to_numpy()).astype(np.int64)
+        cy = np.rint(sub.y.to_numpy() * 100).astype(np.int64)
+        n = float(len(cx))
+        sx, sy = float(cx.sum()), float(cy.sum())
+        sxx, sxy = float((cx * cx).sum()), float((cx * cy).sum())
+        bc = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got.loc[g, "slope"] == round(bc * (1.0 / 100.0), 6)
+        assert got.loc[g, "intercept"] == round(((sy - bc * sx) / n) / 100.0, 6)
+        # sanity: recovers the planted line roughly
+        assert abs(got.loc[g, "slope"] - 3.5) < 0.3
+
+
 def test_grouped_mode_matches_literal(ray_session):
     import ray.data as rd
 
