@@ -1827,6 +1827,19 @@ def _q_prefix_jaccard_join(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_doc_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy (nats) — repetitiveness /
+    quality signal, pure map-side lexsort run-counting kernel."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import doc_entropy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: doc_entropy(b, "doc_id"), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def _q_price_ols(sf_dir: str):
     """Per-returnflag OLS of extendedprice on quantity from exact
     int128 moment partials — one exchange of (block, group) moment
@@ -2489,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab": _q_corpus_vocab,
         "containment_join": _q_containment_join,
         "price_ols": _q_price_ols,
+        "doc_entropy": _q_doc_entropy,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -4134,6 +4148,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "doc_entropy": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), fw AS (
+              SELECT doc_id, unnest(w) AS word FROM words
+            ), c AS (
+              SELECT doc_id, word, count(*) AS c
+              FROM fw GROUP BY doc_id, word
+            ), n AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id
+            ), h AS (
+              SELECT c.doc_id,
+                     round(sum(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                               * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS entropy
+              FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n.n, 0) AS n_tokens,
+                   h.entropy
+            FROM documents d
+            LEFT JOIN n ON d.doc_id = n.doc_id
+            LEFT JOIN h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id
         """,
         "price_ols": """
             WITH c AS (

@@ -46,6 +46,47 @@ def token_stats(batch: pa.Table, id_column: str, text_column: str = "text") -> p
     )
 
 
+def doc_entropy(batch: pa.Table, id_column: str, text_column: str = "text") -> pa.Table:
+    """Per-doc unigram (word) Shannon entropy in nats:
+    ``H = -Σ (c/n)·ln(c/n)`` over the doc's word-frequency
+    distribution — a standard repetitiveness / quality signal (0 for
+    one-word spam, ln(n) for all-distinct). Pure map-side: word hashes
+    lexsorted per (doc, word) run, counts from run lengths, entropy as
+    one segment-sum — no shuffle, no per-doc Python. Rounded to 6
+    (the fixed-expression float-oracle discipline; a SQL oracle
+    derives the same counts and the same ln expression)."""
+    from raydedup.pipeline.extract import tokenize_word_hashes
+
+    text = batch[text_column]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    wh, offs = tokenize_word_hashes(text)
+    n_docs = len(offs) - 1
+    n_per_doc = np.diff(offs)
+    ent = np.zeros(n_docs, np.float64)
+    if len(wh):
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_per_doc)
+        order = np.lexsort((wh, doc_of))
+        d_s, w_s = doc_of[order], wh[order]
+        new = np.ones(len(w_s), bool)
+        new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+        run = np.cumsum(new) - 1
+        c = np.bincount(run).astype(np.float64)
+        run_doc = d_s[new]
+        p = c / n_per_doc[run_doc]
+        terms = -p * np.log(p)
+        np.add.at(ent, run_doc, terms)
+    ent = np.round(ent, 6)
+    out = np.where(n_per_doc > 0, ent, np.nan)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "n_tokens": pa.array(n_per_doc.astype(np.int64)),
+            "entropy": pa.array(out, pa.float64()),
+        }
+    )
+
+
 _BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
