@@ -1827,6 +1827,19 @@ def _q_prefix_jaccard_join(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_source_drift(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between the word
+    distributions of the corpus sources — the standard drift metric
+    between crawl slices. One vocabulary-sized exchange; per-bucket
+    dense (words × slices) term kernels; slice totals broadcast."""
+    import ray.data as rd
+
+    from raydedup.ops.drift import js_divergence_matrix
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return js_divergence_matrix(docs, slice_col="source")
+
+
 def _q_doc_entropy(sf_dir: str):
     """Per-doc unigram Shannon entropy (nats) — repetitiveness /
     quality signal, pure map-side lexsort run-counting kernel."""
@@ -2503,6 +2516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": _q_containment_join,
         "price_ols": _q_price_ols,
         "doc_entropy": _q_doc_entropy,
+        "source_drift": _q_source_drift,
         "orders_zscore": _q_orders_zscore,
         "shuffle_order": _q_shuffle_order,
         "mix_sources": _q_mix_sources,
@@ -4148,6 +4162,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS url, min(label) AS cluster_id
             FROM cc GROUP BY node ORDER BY url
+        """,
+        "source_drift": r"""
+            WITH fw AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        w -> len(w) > 0)) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, CAST(count(*) AS BIGINT) AS c
+              FROM fw GROUP BY source, word
+            ), t AS (
+              SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY source
+            ), p AS (
+              SELECT source, word,
+                     CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+              FROM c JOIN t USING (source)
+            ), pairs AS (
+              SELECT a.source AS sa, b.source AS sb
+              FROM t a JOIN t b ON a.source < b.source
+            ), joined AS (
+              SELECT pairs.sa, pairs.sb,
+                     COALESCE(pa.p, 0) AS p, COALESCE(pb.p, 0) AS q
+              FROM pairs
+              JOIN (SELECT DISTINCT word FROM c) w ON TRUE
+              LEFT JOIN p pa ON pa.source = pairs.sa AND pa.word = w.word
+              LEFT JOIN p pb ON pb.source = pairs.sb AND pb.word = w.word
+              WHERE COALESCE(pa.p, 0) > 0 OR COALESCE(pb.p, 0) > 0
+            )
+            SELECT sa AS slice_a, sb AS slice_b,
+                   round(sum(CASE WHEN p > 0
+                                  THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+                           + CASE WHEN q > 0
+                                  THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END),
+                         6) AS js
+            FROM joined GROUP BY sa, sb ORDER BY slice_a, slice_b
         """,
         "doc_entropy": r"""
             WITH words AS (
