@@ -1947,6 +1947,85 @@ def _q_orders_zscore(sf_dir: str):
     return grouped_zscore(orders, "o_orderpriority", "o_totalprice").sort("o_orderkey")
 
 
+def _q_doc_pagerank_seeded(sf_dir: str):
+    """Personalized (seeded) PageRank: initial mass and teleport apply
+    only to seed docs (doc_id % 17 == 0) — the seed-expansion /
+    quality-propagation shape — over the same link graph and integer
+    recurrence as doc_pagerank. Oracle: the seeded recurrence unrolled
+    as chained CTEs."""
+    import ray.data as rd
+
+    from raydedup.ops.graph import pagerank_int
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def with_seed(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(i),
+                "seed": pa.array((i % 17 == 0).astype(np.int64)),
+            }
+        )
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(i * i + 1) % n, (i * 13 + 3) % n])
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    seeded = docs.map_batches(with_seed, batch_format="pyarrow")
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(
+        seeded, edges, node_col="doc_id", iterations=5, n_buckets=32, seed_col="seed"
+    ).sort("doc_id")
+
+
+_PAGERANK_SEEDED_SQL_HEAD = """
+    WITH nodes AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS seed
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    edges AS (
+      SELECT doc_id AS src, (doc_id * doc_id + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn) FROM documents
+    ),
+    od AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 * seed AS BIGINT) AS r FROM nodes)
+"""
+
+
+def _pagerank_seeded_sql(iterations: int = 5) -> str:
+    levels = []
+    for t in range(1, iterations + 1):
+        levels.append(
+            f""", pr{t} AS (
+              SELECT n.node,
+                     CAST(150000 * n.seed + (85 * COALESCE(s.inflow, 0)) // 100
+                       AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(p.r // od.d) AS inflow
+                FROM edges e
+                JOIN pr{t - 1} p ON p.node = e.src
+                JOIN od ON od.node = e.src
+                GROUP BY e.dst
+              ) s USING (node)
+            )"""
+        )
+    return (
+        _PAGERANK_SEEDED_SQL_HEAD
+        + "".join(levels)
+        + f" SELECT node AS doc_id, r AS rank_u FROM pr{iterations} ORDER BY doc_id"
+    )
+
+
 def _q_snapshot_churn(sf_dir: str):
     """Crawl-delta report between two deterministic snapshots derived
     from documents (old = id%5!=4 original text, new = id%5!=0 with
@@ -2500,6 +2579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": _q_user_event_path,
         "snapshot_churn": _q_snapshot_churn,
         "doc_pagerank": _q_doc_pagerank,
+        "doc_pagerank_seeded": _q_doc_pagerank_seeded,
         "part_skyline": _q_part_skyline,
         "prefix_jaccard_join": _q_prefix_jaccard_join,
         "doc_triangles": _q_doc_triangles,
@@ -3823,6 +3903,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_returnflag, l_linestatus
         """,
         "doc_pagerank": _pagerank_sql(5),
+        "doc_pagerank_seeded": _pagerank_seeded_sql(5),
         "csv_events": """
             SELECT event_type,
                    count(*) AS n_events,

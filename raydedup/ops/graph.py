@@ -56,11 +56,17 @@ def pagerank_int(
     damp_num: int = 85,
     damp_den: int = 100,
     n_buckets: int = 64,
+    seed_col: str | None = None,
 ):
     """``nodes`` (one row per node id) + ``edges`` (src, dst; a
     multigraph — parallel edges contribute twice) → Dataset of
     (node_col, rank_u) int64 micro-unit ranks after ``iterations``
-    rounds. base = (damp_den−damp_num)·r0 // damp_den."""
+    rounds. base = (damp_den−damp_num)·r0 // damp_den.
+
+    ``seed_col`` (optional 0/1 int column on ``nodes``) makes this
+    PERSONALIZED PageRank: initial mass and the teleport term apply
+    only to seed nodes (``r0·seed`` / ``base·seed``). The uniform case
+    is literally all-seeds, so the recurrence is unchanged."""
     base = (damp_den - damp_num) * r0 // damp_den
 
     # --- one-time: outdeg per node, edges tagged by src bucket -------
@@ -73,6 +79,7 @@ def pagerank_int(
                 "k": pa.array(src),
                 "v": pa.array(dst),
                 "w": pa.array(np.zeros(len(src), np.int64)),
+                "w2": pa.array(np.zeros(len(src), np.int64)),
                 "side": pa.array(np.ones(len(src), np.int64)),
             }
         )
@@ -97,12 +104,17 @@ def pagerank_int(
     # attach outdeg to the node list (missing → 0) via the same cogroup
     def node_rows(batch: pa.Table) -> pa.Table:
         n = batch[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if seed_col is None:
+            sd = np.ones(len(n), np.int64)
+        else:
+            sd = batch[seed_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "_gb": pa.array(_bucket_of(n, n_buckets)),
                 "k": pa.array(n),
                 "v": pa.array(np.zeros(len(n), np.int64)),
                 "w": pa.array(np.zeros(len(n), np.int64)),
+                "w2": pa.array(sd),
                 "side": pa.array(np.zeros(len(n), np.int64)),
             }
         )
@@ -116,6 +128,7 @@ def pagerank_int(
                 "k": pa.array(n),
                 "v": pa.array(np.zeros(len(n), np.int64)),
                 "w": pa.array(d),
+                "w2": pa.array(np.zeros(len(n), np.int64)),
                 "side": pa.array(np.ones(len(n), np.int64)),
             }
         )
@@ -123,8 +136,10 @@ def pagerank_int(
     def init_ranks(g: pa.Table) -> pa.Table:
         k = g["k"].to_numpy(zero_copy_only=False)
         w = g["w"].to_numpy(zero_copy_only=False)
+        w2 = g["w2"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
         nodes_k = k[side == 0]
+        sd = w2[side == 0]
         dk, dw = k[side == 1], w[side == 1]
         order = np.argsort(dk, kind="stable")
         dk, dw = dk[order], dw[order]
@@ -137,8 +152,9 @@ def pagerank_int(
         return pa.table(
             {
                 node_col: pa.array(nodes_k, pa.int64()),
-                "r": pa.array(np.full(len(nodes_k), r0, np.int64)),
+                "r": pa.array(r0 * sd),
                 "outdeg": pa.array(outdeg.astype(np.int64)),
+                "sd": pa.array(sd),
             }
         )
 
@@ -159,6 +175,7 @@ def pagerank_int(
                 "k": pa.array(n),
                 "v": pa.array(batch["r"].to_numpy(zero_copy_only=False)),
                 "w": pa.array(batch["outdeg"].to_numpy(zero_copy_only=False)),
+                "w2": pa.array(batch["sd"].to_numpy(zero_copy_only=False)),
                 "side": pa.array(np.zeros(batch.num_rows, np.int64)),
             }
         )
@@ -204,6 +221,7 @@ def pagerank_int(
                 "k": pa.array(k),
                 "v": pa.array(batch["s"].to_numpy(zero_copy_only=False)),
                 "w": pa.array(np.zeros(len(k), np.int64)),
+                "w2": pa.array(np.zeros(len(k), np.int64)),
                 "side": pa.array(np.ones(len(k), np.int64)),
             }
         )
@@ -212,9 +230,10 @@ def pagerank_int(
         k = g["k"].to_numpy(zero_copy_only=False)
         v = g["v"].to_numpy(zero_copy_only=False)
         w = g["w"].to_numpy(zero_copy_only=False)
+        w2 = g["w2"].to_numpy(zero_copy_only=False)
         side = g["side"].to_numpy(zero_copy_only=False)
         is_node = side == 0
-        nk, nw = k[is_node], w[is_node]
+        nk, nw, nsd = k[is_node], w[is_node], w2[is_node]
         ik, iv = k[~is_node], v[~is_node]
         inflow = np.zeros(len(nk), np.int64)
         if len(ik):
@@ -226,12 +245,13 @@ def pagerank_int(
             acc = np.zeros(len(nk), np.int64)
             np.add.at(acc, order[pos], iv)
             inflow = acc
-        r_new = base + (damp_num * inflow) // damp_den
+        r_new = base * nsd + (damp_num * inflow) // damp_den
         return pa.table(
             {
                 node_col: pa.array(nk, pa.int64()),
                 "r": pa.array(r_new.astype(np.int64)),
                 "outdeg": pa.array(nw, pa.int64()),
+                "sd": pa.array(nsd, pa.int64()),
             }
         )
 
