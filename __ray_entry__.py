@@ -1853,6 +1853,23 @@ def _q_doc_entropy(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_cust_median_spend(sf_dir: str):
+    """Exact per-customer median order total (DuckDB median semantics,
+    computed over exact cents so even-count halves are exact): the
+    per-key ordered-analytics shape — coarse-bucket, one lexsort per
+    bucket, middles gathered by segment offsets."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_median
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return grouped_median(orders, group="o_custkey", value="o_totalprice").sort(
+        "o_custkey"
+    )
+
+
 def _q_price_ols(sf_dir: str):
     """Per-returnflag OLS of extendedprice on quantity from exact
     int128 moment partials — one exchange of (block, group) moment
@@ -2595,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab": _q_corpus_vocab,
         "containment_join": _q_containment_join,
         "price_ols": _q_price_ols,
+        "cust_median_spend": _q_cust_median_spend,
         "doc_entropy": _q_doc_entropy,
         "source_drift": _q_source_drift,
         "orders_zscore": _q_orders_zscore,
@@ -4305,6 +4323,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN n ON d.doc_id = n.doc_id
             LEFT JOIN h ON d.doc_id = h.doc_id
             ORDER BY d.doc_id
+        """,
+        "cust_median_spend": """
+            SELECT o_custkey, count(*) AS n_rows,
+                   round(median(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 6) AS median
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
         "price_ols": """
             WITH c AS (

@@ -249,6 +249,61 @@ def grouped_ols(
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_median(ds, group: str, value: str, decimals: int = 2, n_buckets: int = 64):
+    """Exact per-group median (DuckDB ``median`` semantics: mean of the
+    two middle values for even counts, computed over scaled integers so
+    the .5 halves are exact): coarse-bucket on hash(group), one lexsort
+    per bucket, middle elements gathered by segment offsets. The group
+    values must fit a bucket task (per-key ordered-analytics bound);
+    for corpus-scale single groups use ops/selection.py's histogram
+    bisection instead. Output: (group, n_rows, median)."""
+    from raydedup.sketches.hashing import hash_u64_column
+
+    U64 = np.uint64
+    scale = float(10**decimals)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.rint(
+            batch[value].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        h1, _ = hash_u64_column(pa.chunked_array([pa.array(g, pa.int64())]))
+        return pa.table(
+            {
+                "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                group: pa.array(g),
+                "_c": pa.array(c),
+            }
+        )
+
+    def kernel(gt: pa.Table) -> pa.Table:
+        g = gt[group].to_numpy(zero_copy_only=False)
+        c = gt["_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, g))
+        g, c = g[order], c[order]
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(seg_start, len(g)))
+        lo_mid = seg_start + (seg_len - 1) // 2
+        hi_mid = seg_start + seg_len // 2
+        med = (c[lo_mid] + c[hi_mid]).astype(np.float64) / 2.0 / scale
+        return pa.table(
+            {
+                group: pa.array(g[seg_start]),
+                "n_rows": pa.array(seg_len.astype(np.int64)),
+                "median": pa.array(np.round(med, 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group, value])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def grouped_mode(ds, group: str, value: str, n_buckets: int = 64):
     """Most frequent ``value`` per ``group`` (ties → lexicographically
     smallest value): map-side (group, value, count) combiner partials,

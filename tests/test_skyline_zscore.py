@@ -52,6 +52,32 @@ def test_skyline2d_distributed_equals_local(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_grouped_median_matches_literal(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_median
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, 301).astype(np.int64),
+            "v": np.round(rng.uniform(0, 100, 301), 2),
+        }
+    )
+    got = (
+        grouped_median(rd.from_pandas(df).repartition(5), "g", "v", n_buckets=4)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.groupby("g"):
+        cents = np.sort(np.rint(grp.v.to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        want = round((cents[(n - 1) // 2] + cents[n // 2]) / 2.0 / 100.0, 6)
+        assert got.loc[g, "median"] == want, g
+        assert got.loc[g, "n_rows"] == n
+
+
 def test_grouped_ols_matches_literal(ray_session):
     import ray.data as rd
 
