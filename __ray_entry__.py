@@ -1853,6 +1853,23 @@ def _q_doc_entropy(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_cust_mad_spend(sf_dir: str):
+    """Per-customer robust dispersion (median absolute deviation) of
+    order totals — two passes: exact integer group medians kept as
+    undivided middle-pair sums, broadcast, then the same median kernel
+    over half-cent deviations."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_mad
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return grouped_mad(orders, group="o_custkey", value="o_totalprice").sort(
+        "o_custkey"
+    )
+
+
 def _q_cust_median_spend(sf_dir: str):
     """Exact per-customer median order total (DuckDB median semantics,
     computed over exact cents so even-count halves are exact): the
@@ -2613,6 +2630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_join": _q_containment_join,
         "price_ols": _q_price_ols,
         "cust_median_spend": _q_cust_median_spend,
+        "cust_mad_spend": _q_cust_mad_spend,
         "doc_entropy": _q_doc_entropy,
         "source_drift": _q_source_drift,
         "orders_zscore": _q_orders_zscore,
@@ -4323,6 +4341,25 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN n ON d.doc_id = n.doc_id
             LEFT JOIN h ON d.doc_id = h.doc_id
             ORDER BY d.doc_id
+        """,
+        "cust_mad_spend": """
+            WITH c AS (
+              SELECT o_custkey AS g,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders
+            ), m AS (
+              SELECT g, count(*) AS n, median(c) AS med FROM c GROUP BY g
+            ), d AS (
+              SELECT c.g,
+                     abs(2 * c.c - CAST(round(med * 2) AS BIGINT)) AS dev
+              FROM c JOIN m USING (g)
+            )
+            SELECT d.g AS o_custkey, m.n AS n_rows,
+                   round(med / 100.0, 6) AS median,
+                   round(median(dev) / 2.0 / 100.0, 6) AS mad
+            FROM d JOIN m USING (g)
+            GROUP BY d.g, m.n, med
+            ORDER BY o_custkey
         """,
         "cust_median_spend": """
             SELECT o_custkey, count(*) AS n_rows,

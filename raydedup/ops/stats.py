@@ -304,6 +304,131 @@ def grouped_median(ds, group: str, value: str, decimals: int = 2, n_buckets: int
     )
 
 
+def grouped_mad(ds, group: str, value: str, decimals: int = 2, n_buckets: int = 64):
+    """Per-group median absolute deviation (robust dispersion):
+    two passes — exact integer group medians (kept as the UNDIVIDED
+    middle-pair sum, so the .5 halves stay integer), broadcast lookup,
+    then the same median kernel over |2·c − m2| half-unit deviations.
+    Output: (group, n_rows, median, mad), both rounded to 6; the SQL
+    mirror is ``median(cents)`` and ``median(abs(2·cents −
+    round(med·2)))/2/scale``."""
+    import ray
+
+    from raydedup.sketches.hashing import hash_u64_column
+
+    U64 = np.uint64
+    scale = float(10**decimals)
+
+    def cents_of(batch: pa.Table) -> np.ndarray:
+        return np.rint(
+            batch[value].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        h1, _ = hash_u64_column(pa.chunked_array([pa.array(g, pa.int64())]))
+        return pa.table(
+            {
+                "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                group: pa.array(g),
+                "_c": pa.array(cents_of(batch)),
+            }
+        )
+
+    def med2_kernel(gt: pa.Table) -> pa.Table:
+        g = gt[group].to_numpy(zero_copy_only=False)
+        c = gt["_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, g))
+        g, c = g[order], c[order]
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(seg_start, len(g)))
+        m2 = (
+            c[seg_start + (seg_len - 1) // 2] + c[seg_start + seg_len // 2]
+        )  # 2 x median, exact int
+        return pa.table(
+            {
+                group: pa.array(g[seg_start]),
+                "n_rows": pa.array(seg_len.astype(np.int64)),
+                "_m2": pa.array(m2.astype(np.int64)),
+            }
+        )
+
+    bucketed = ds.select_columns([group, value]).map_batches(
+        add_bucket, batch_format="pyarrow"
+    )
+    meds = (
+        bucketed.groupby("_gb").map_groups(med2_kernel, batch_format="pyarrow").take_all()
+    )  # bounded by the number of groups (broadcast small side)
+    keys = np.array([int(r[group]) for r in meds], np.int64)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    m2v = np.array([int(r["_m2"]) for r in meds], np.int64)[order]
+    nv = np.array([int(r["n_rows"]) for r in meds], np.int64)[order]
+    lookup = ray.put((keys, m2v, nv))
+
+    def dev_bucket(batch: pa.Table) -> pa.Table:
+        lk, lm2, _ = ray.get(lookup)
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = cents_of(batch)
+        pos = np.searchsorted(lk, g)
+        dev = np.abs(2 * c - lm2[pos])
+        h1, _ = hash_u64_column(pa.chunked_array([pa.array(g, pa.int64())]))
+        return pa.table(
+            {
+                "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                group: pa.array(g),
+                "_c": pa.array(dev),
+            }
+        )
+
+    def mad_kernel(gt: pa.Table) -> pa.Table:
+        g = gt[group].to_numpy(zero_copy_only=False)
+        c = gt["_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, g))
+        g, c = g[order], c[order]
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(seg_start, len(g)))
+        d2 = (
+            c[seg_start + (seg_len - 1) // 2] + c[seg_start + seg_len // 2]
+        ).astype(np.float64)
+        mad = np.round(d2 / 2.0 / 2.0 / scale, 6)
+        return pa.table(
+            {
+                group: pa.array(g[seg_start]),
+                "_mad": pa.array(mad, pa.float64()),
+            }
+        )
+
+    mads = (
+        ds.select_columns([group, value])
+        .map_batches(dev_bucket, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(mad_kernel, batch_format="pyarrow")
+    )
+
+    med_map = {int(k): (int(m), int(n)) for k, m, n in zip(keys, m2v, nv)}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        m2 = np.array([med_map[int(x)][0] for x in g], np.int64)
+        n = np.array([med_map[int(x)][1] for x in g], np.int64)
+        med = np.round(m2.astype(np.float64) / 2.0 / scale, 6)
+        return pa.table(
+            {
+                group: pa.array(g),
+                "n_rows": pa.array(n),
+                "median": pa.array(med, pa.float64()),
+                "mad": batch["_mad"],
+            }
+        )
+
+    return mads.map_batches(finish, batch_format="pyarrow")
+
+
 def grouped_mode(ds, group: str, value: str, n_buckets: int = 64):
     """Most frequent ``value`` per ``group`` (ties → lexicographically
     smallest value): map-side (group, value, count) combiner partials,

@@ -78,6 +78,34 @@ def test_grouped_median_matches_literal(ray_session):
         assert got.loc[g, "n_rows"] == n
 
 
+def test_grouped_mad_matches_literal(ray_session):
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_mad
+
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 240).astype(np.int64),
+            "v": np.round(rng.uniform(0, 50, 240), 2),
+        }
+    )
+    got = (
+        grouped_mad(rd.from_pandas(df).repartition(4), "g", "v", n_buckets=4)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.groupby("g"):
+        cents = np.sort(np.rint(grp.v.to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        m2 = cents[(n - 1) // 2] + cents[n // 2]
+        dev = np.sort(np.abs(2 * cents - m2))
+        d2 = dev[(n - 1) // 2] + dev[n // 2]
+        assert got.loc[g, "median"] == round(m2 / 2.0 / 100.0, 6), g
+        assert got.loc[g, "mad"] == round(d2 / 2.0 / 2.0 / 100.0, 6), g
+
+
 def test_grouped_ols_matches_literal(ray_session):
     import ray.data as rd
 
