@@ -1870,6 +1870,23 @@ def _q_cust_mad_spend(sf_dir: str):
     )
 
 
+def _q_cust_p90_spend(sf_dir: str):
+    """Exact per-customer p90 order total: element at 1-based rank
+    ceil(0.9·n), computed with the integer formula (9n+9)//10 on both
+    engine and oracle sides so there is no float rank fuzz."""
+    import ray.data as rd
+
+    from raydedup.ops.stats import grouped_quantile_disc
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return grouped_quantile_disc(
+        orders, group="o_custkey", value="o_totalprice", q_num=9, q_den=10,
+        out_col="p90",
+    ).sort("o_custkey")
+
+
 def _q_cust_median_spend(sf_dir: str):
     """Exact per-customer median order total (DuckDB median semantics,
     computed over exact cents so even-count halves are exact): the
@@ -2631,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_ols": _q_price_ols,
         "cust_median_spend": _q_cust_median_spend,
         "cust_mad_spend": _q_cust_mad_spend,
+        "cust_p90_spend": _q_cust_p90_spend,
         "doc_entropy": _q_doc_entropy,
         "source_drift": _q_source_drift,
         "orders_zscore": _q_orders_zscore,
@@ -4341,6 +4359,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN n ON d.doc_id = n.doc_id
             LEFT JOIN h ON d.doc_id = h.doc_id
             ORDER BY d.doc_id
+        """,
+        "cust_p90_spend": """
+            WITH c AS (
+              SELECT o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                     count(*) OVER (PARTITION BY o_custkey) AS n,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, n AS n_rows,
+                   round(CAST(c AS DOUBLE) / 100.0, 6) AS p90
+            FROM c
+            WHERE rn = greatest((9 * n + 9) // 10, 1)
+            ORDER BY o_custkey
         """,
         "cust_mad_spend": """
             WITH c AS (

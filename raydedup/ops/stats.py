@@ -304,6 +304,68 @@ def grouped_median(ds, group: str, value: str, decimals: int = 2, n_buckets: int
     )
 
 
+def grouped_quantile_disc(
+    ds,
+    group: str,
+    value: str,
+    q_num: int,
+    q_den: int,
+    decimals: int = 2,
+    n_buckets: int = 64,
+    out_col: str = "q",
+):
+    """Exact per-group discrete quantile: the element at 1-based rank
+    ``ceil(q·n)`` of the sorted group — computed with the INTEGER rank
+    formula ``(q_num·n + q_den − 1) // q_den`` so there is no float
+    fuzz for the SQL mirror (row_number = the same integer formula).
+    Same coarse-bucket lexsort shape as grouped_median."""
+    from raydedup.sketches.hashing import hash_u64_column
+
+    U64 = np.uint64
+    scale = float(10**decimals)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.rint(
+            batch[value].to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        h1, _ = hash_u64_column(pa.chunked_array([pa.array(g, pa.int64())]))
+        return pa.table(
+            {
+                "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
+                group: pa.array(g),
+                "_c": pa.array(c),
+            }
+        )
+
+    def kernel(gt: pa.Table) -> pa.Table:
+        g = gt[group].to_numpy(zero_copy_only=False)
+        c = gt["_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, g))
+        g, c = g[order], c[order]
+        new = np.ones(len(g), bool)
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_len = np.diff(np.append(seg_start, len(g)))
+        rank = (q_num * seg_len + q_den - 1) // q_den  # 1-based ceil(q*n)
+        pick = seg_start + np.maximum(rank, 1) - 1
+        val = np.round(c[pick].astype(np.float64) / scale, 6)
+        return pa.table(
+            {
+                group: pa.array(g[seg_start]),
+                "n_rows": pa.array(seg_len.astype(np.int64)),
+                out_col: pa.array(val, pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group, value])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 def grouped_mad(ds, group: str, value: str, decimals: int = 2, n_buckets: int = 64):
     """Per-group median absolute deviation (robust dispersion):
     two passes — exact integer group medians (kept as the UNDIVIDED
