@@ -57,8 +57,19 @@ class SignatureStage:
     Holds the permutation salts/config (built once per actor in
     ``__init__``) and emits one row per doc:
     ``url, n_shingles, shingles (list<u64> sorted unique, KMV-trimmed),
-    theta (u64), sig (fixed_size_list<u64, num_perms>),
+    theta (u64), sig (fixed_size_list<u32, num_perms>),
     band_hash (fixed_size_list<u64, bands>), sig_fp (u64)``.
+
+    ``sig`` ships FOLDED to the low 32 bits of each MinHash slot
+    (SURVEY.md §1.4): band keys and ``sig_fp`` are computed from the
+    full u64 slots BEFORE the fold, so candidate generation is
+    bit-identical, and the only downstream consumer — per-pair slot
+    agreement in ``verify._metrics_from_buffers`` — gains a spurious
+    per-slot collision probability of 2^-32, immaterial against the
+    128-slot estimator's own resolution of 1/128. The fold halves the
+    signature bytes through the pipeline's TWO dominant bandwidth
+    streams (the materialized signature table and the verify payload
+    broadcast/cogroup), the round-3 scaling bottleneck.
 
     The shingle set doubles as a theta sketch of the doc's shingle
     universe: below ``shingle_cap`` it is exact (theta = MAX_THETA),
@@ -125,7 +136,8 @@ class SignatureStage:
                 ),
                 "theta": pa.array(theta, pa.uint64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig.reshape(-1), pa.uint64()), cfg.num_perms
+                    pa.array(sig.astype(np.uint32).reshape(-1), pa.uint32()),
+                    cfg.num_perms,
                 ),
                 "band_hash": pa.FixedSizeListArray.from_arrays(
                     pa.array(bands.reshape(-1), pa.uint64()), cfg.bands

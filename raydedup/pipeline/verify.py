@@ -76,7 +76,11 @@ def _semi_filter_fn(batch: pa.Table, ref) -> pa.Table:
 def _pack_payload(batch: pa.Table) -> pa.Table:
     """(url, theta, shingles, sig) → (uh, url, vpay binary).
 
-    vpay layout: [theta u64][n_sh u64][shingles n_sh*u64][sig P*u64].
+    vpay layout: [theta u64][n_sh u64][shingles n_sh*u64][sig ⌈P/2⌉*u64]
+    — the P uint32 signature slots ride PACKED two-per-word (odd P pads
+    one zero slot), halving the payload's signature bytes to match the
+    folded ``sig`` column (``lsh.SignatureStage``). A legacy u64 ``sig``
+    column (e.g. a pre-fold checkpoint reload) folds here the same way.
     Fully vectorized: one scatter into a single u64 buffer, wrapped as
     a zero-copy large_binary array via offsets (no per-row Python).
     """
@@ -86,12 +90,18 @@ def _pack_payload(batch: pa.Table) -> pa.Table:
     sh_vals = sh.values.to_numpy(zero_copy_only=False).astype(U64, copy=False)
     sig = batch["sig"].combine_chunks()
     p = sig.type.list_size
-    sig_vals = sig.flatten().to_numpy(zero_copy_only=False).astype(U64, copy=False).reshape(m, p)
+    sig32 = (
+        sig.flatten().to_numpy(zero_copy_only=False).astype(np.uint32).reshape(m, p)
+    )
+    if p % 2:
+        sig32 = np.concatenate([sig32, np.zeros((m, 1), np.uint32)], axis=1)
+    pw = sig32.shape[1] // 2  # u64 words holding the packed u32 slots
+    sig_vals = np.ascontiguousarray(sig32).view(U64)
     theta = batch["theta"].to_numpy(zero_copy_only=False).astype(U64, copy=False)
     base = sh_off[0]
     lens = sh_off[1:] - sh_off[:-1]
     o = np.zeros(m + 1, np.int64)
-    np.cumsum(2 + lens + p, out=o[1:])  # u64 words per doc
+    np.cumsum(2 + lens + pw, out=o[1:])  # u64 words per doc
     out = np.empty(o[-1], U64)
     heads = o[:-1]
     out[heads] = theta
@@ -103,7 +113,7 @@ def _pack_payload(batch: pa.Table) -> pa.Table:
         within = np.arange(total_sh, dtype=np.int64) - np.repeat(cum, lens)
         out[np.repeat(heads + 2, lens) + within] = sh_vals[base : base + total_sh]
     if m:
-        out[(heads + 2 + lens)[:, None] + np.arange(p, dtype=np.int64)[None, :]] = sig_vals
+        out[(heads + 2 + lens)[:, None] + np.arange(pw, dtype=np.int64)[None, :]] = sig_vals
     vpay = pa.Array.from_buffers(
         pa.large_binary(),
         m,
@@ -159,9 +169,12 @@ def _metrics_from_buffers(
         return _EMPTY_METRICS
     ta, tb = buf_a[ha], buf_b[hb]
     na, nb = buf_a[ha + 1].astype(np.int64), buf_b[hb + 1].astype(np.int64)
-    cols = np.arange(num_perms, dtype=np.int64)[None, :]
-    sa = buf_a[(ha + 2 + na)[:, None] + cols]
-    sb = buf_b[(hb + 2 + nb)[:, None] + cols]
+    # signature slots are u32 packed two-per-word (_pack_payload): gather
+    # ⌈P/2⌉ u64 words per side, reinterpret as u32, compare P slots
+    pw = (num_perms + 1) // 2
+    cols = np.arange(pw, dtype=np.int64)[None, :]
+    sa = buf_a[(ha + 2 + na)[:, None] + cols].view(np.uint32)[:, :num_perms]
+    sb = buf_b[(hb + 2 + nb)[:, None] + cols].view(np.uint32)[:, :num_perms]
     agree = (sa == sb).mean(axis=1)
 
     t = np.minimum(ta, tb)  # pairwise min-theta screen (theta/intersection.rs:64-196)
