@@ -167,18 +167,25 @@ def signature_batch_fn(batch: pa.Table, cfg: DedupConfig, shingle_cap: int = 409
 
 
 def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_salts: int = 64) -> pa.Table:
-    """signatures batch → band rows (bucket, band, band_hash, sig_fp, uh).
+    """signatures batch → band rows (bucket, key, fp, uh) — 28 B/row.
 
     Docs with zero shingles are excluded (their sentinel signatures
-    would all collide with each other). ``bucket`` is a coarse shuffle
-    key: fmix of (band, band_hash) mod n_buckets.
+    would all collide with each other). ``key`` is ONE u64 run key,
+    fmix(band_hash ^ fmix(band)) — equal (band, band_hash) ⟺ equal key
+    up to 2^-64 fmix collisions — replacing the round-3 (band i32,
+    band_hash u64) pair; ``fp`` is the signature fingerprint folded to
+    u32 (it only orders the sorted-neighbor chain, where a 2^-32
+    collision merely swaps two chain neighbors). Together the band-row
+    shuffle — the pipeline's widest exchange — drops from 36 to 28
+    bytes/row. ``bucket`` is the coarse shuffle key: key mod n_buckets.
 
-    ``hot_keys`` (sorted uint64 array of fmix(band_hash ^ fmix(band))
-    key-hashes from the Misra-Gries pre-pass) triggers *salting*: a hot
-    key's rows are spread over ``n_salts`` buckets by ``sig_fp % n_salts``
-    instead of landing on one task. Rows with equal signatures keep
-    equal salts, so the in-bucket neighbor-chain still pairs identical
-    docs; a mega-key bounds any single task at ~1/n_salts of its rows.
+    ``hot_keys`` (sorted uint64 array of the same key-hashes, from the
+    Misra-Gries pre-pass) triggers *salting*: a hot key's rows are
+    spread over ``n_salts`` buckets by ``fp % n_salts`` instead of
+    landing on one task. Rows with equal signatures keep equal salts
+    (the salted key stays their shared run key), so the in-bucket
+    neighbor-chain still pairs identical docs; a mega-key bounds any
+    single task at ~1/n_salts of its rows.
     """
     from raydedup.sketches.hashing import hash_strings
 
@@ -187,9 +194,8 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
     bh = np.asarray(
         nonempty["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False), dtype=U64
     ).reshape(n, bands)
-    # docs travel as 64-bit url-hash tokens, not strings: the band-row
-    # shuffle is the pipeline's widest exchange and this halves its
-    # bytes; urls are re-attached from signature payloads at verify
+    # docs travel as 64-bit url-hash tokens, not strings: urls are
+    # re-attached from signature payloads at verify
     uh, _ = hash_strings(nonempty["url"])
     band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
     flat_bh = bh.reshape(-1)
@@ -200,13 +206,12 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
         is_hot = hot_keys[pos] == key_hash
         salt = sig_fp % U64(n_salts)
         key_hash = np.where(is_hot, fmix64(key_hash ^ fmix64(salt + U64(1))), key_hash)
-    bucket = (key_hash % U64(n_buckets)).astype(np.int64)
+    bucket = (key_hash % U64(n_buckets)).astype(np.int32)
     return pa.table(
         {
             "bucket": pa.array(bucket),
-            "band": pa.array(band_ids.astype(np.int32)),
-            "band_hash": pa.array(flat_bh, pa.uint64()),
-            "sig_fp": pa.array(sig_fp, pa.uint64()),
+            "key": pa.array(key_hash, pa.uint64()),
+            "fp": pa.array(sig_fp.astype(np.uint32), pa.uint32()),
             "uh": pa.array(np.repeat(uh, bands), pa.uint64()),
         }
     )
@@ -215,21 +220,20 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
 def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
     """Vectorized pair emission for one bucket of band rows.
 
-    Sorts by (band, band_hash, sig_fp, uh), finds equal-(band,
-    band_hash) runs, and emits all-pairs for runs <= cap, sorted-
-    neighbor chains for larger runs. Loops only over distinct run
-    *sizes* (all runs of one size emit in a single vectorized shot).
-    Pairs are (ha, hb) uint64 url-hash tokens with ha < hb.
+    Sorts by (key, fp, uh), finds equal-key runs, and emits all-pairs
+    for runs <= cap, sorted-neighbor chains for larger runs. Loops
+    only over distinct run *sizes* (all runs of one size emit in a
+    single vectorized shot). Pairs are (ha, hb) uint64 url-hash tokens
+    with ha < hb.
     """
-    band = df["band"].to_numpy()
-    bh = df["band_hash"].to_numpy().astype(U64)
-    fp = df["sig_fp"].to_numpy().astype(U64)
+    key = df["key"].to_numpy().astype(U64)
+    fp = df["fp"].to_numpy()
     uh = df["uh"].to_numpy().astype(U64)
-    order = np.lexsort((uh, fp, bh, band))
-    band, bh, uh = band[order], bh[order], uh[order]
+    order = np.lexsort((uh, fp, key))
+    key, uh = key[order], uh[order]
 
     new_run = np.ones(len(df), dtype=bool)
-    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    new_run[1:] = key[1:] != key[:-1]
     run_id = np.cumsum(new_run) - 1
     run_len = np.bincount(run_id)
     run_start = np.zeros(len(run_len), dtype=np.int64)

@@ -76,13 +76,27 @@ def _semi_filter_fn(batch: pa.Table, ref) -> pa.Table:
 def _pack_payload(batch: pa.Table) -> pa.Table:
     """(url, theta, shingles, sig) → (uh, url, vpay binary).
 
-    vpay layout: [theta u64][n_sh u64][shingles n_sh*u64][sig ⌈P/2⌉*u64]
-    — the P uint32 signature slots ride PACKED two-per-word (odd P pads
-    one zero slot), halving the payload's signature bytes to match the
-    folded ``sig`` column (``lsh.SignatureStage``). A legacy u64 ``sig``
-    column (e.g. a pre-fold checkpoint reload) folds here the same way.
-    Fully vectorized: one scatter into a single u64 buffer, wrapped as
-    a zero-copy large_binary array via offsets (no per-row Python).
+    vpay layout (all u64-word aligned):
+    ``[theta u64][n_sh u64][shingles ⌈n_sh/2⌉*u64][sig ⌈P/2⌉*u64]`` —
+    BOTH variable payloads ride as u32 slots packed two-per-word (odd
+    counts pad one zero slot), roughly halving the verify stream vs the
+    round-3 all-u64 layout:
+
+    - signature slots are the folded low-32 ``sig`` column
+      (``lsh.SignatureStage``); a legacy u64 column folds here.
+    - shingle entries carry the HIGH 32 bits of each u64 shingle hash.
+      High bits keep the KMV order, so the pairwise min-theta screen
+      still works as ``v32 < theta>>32`` — it misclassifies only
+      entries in theta's own 2^32-wide bucket (expected ~cap/2^32 per
+      doc, noise against KMV's ~1.5% stderr at cap 4096) — and the
+      intersection join gains a spurious-match probability of
+      n_a·n_b/2^32 ≈ 6e-5 per pair at typical doc sizes, noise against
+      the exact-Jaccard threshold. The signature TABLE keeps full u64
+      shingles (theta-sketch ops need them); only this verify payload
+      folds.
+
+    Fully vectorized: one scatter into a single buffer, wrapped as a
+    zero-copy large_binary array via offsets (no per-row Python).
     """
     m = len(batch)
     sh = batch["shingles"].combine_chunks()
@@ -100,20 +114,23 @@ def _pack_payload(batch: pa.Table) -> pa.Table:
     theta = batch["theta"].to_numpy(zero_copy_only=False).astype(U64, copy=False)
     base = sh_off[0]
     lens = sh_off[1:] - sh_off[:-1]
+    shw = (lens + 1) // 2  # u64 words holding the packed u32 shingles
     o = np.zeros(m + 1, np.int64)
-    np.cumsum(2 + lens + pw, out=o[1:])  # u64 words per doc
-    out = np.empty(o[-1], U64)
+    np.cumsum(2 + shw + pw, out=o[1:])  # u64 words per doc
+    out = np.zeros(o[-1], U64)  # zeros: odd-count pad slots stay 0
     heads = o[:-1]
     out[heads] = theta
     out[heads + 1] = lens.astype(U64)
+    out32 = out.view(np.uint32)
     total_sh = int(lens.sum())
     if total_sh:
         cum = np.zeros(m, np.int64)
         np.cumsum(lens[:-1], out=cum[1:])
         within = np.arange(total_sh, dtype=np.int64) - np.repeat(cum, lens)
-        out[np.repeat(heads + 2, lens) + within] = sh_vals[base : base + total_sh]
+        sh32 = (sh_vals[base : base + total_sh] >> U64(32)).astype(np.uint32)
+        out32[np.repeat((heads + 2) * 2, lens) + within] = sh32
     if m:
-        out[(heads + 2 + lens)[:, None] + np.arange(pw, dtype=np.int64)[None, :]] = sig_vals
+        out[(heads + 2 + shw)[:, None] + np.arange(pw, dtype=np.int64)[None, :]] = sig_vals
     vpay = pa.Array.from_buffers(
         pa.large_binary(),
         m,
@@ -169,28 +186,32 @@ def _metrics_from_buffers(
         return _EMPTY_METRICS
     ta, tb = buf_a[ha], buf_b[hb]
     na, nb = buf_a[ha + 1].astype(np.int64), buf_b[hb + 1].astype(np.int64)
-    # signature slots are u32 packed two-per-word (_pack_payload): gather
-    # ⌈P/2⌉ u64 words per side, reinterpret as u32, compare P slots
+    # both variable payloads are u32 packed two-per-word (_pack_payload):
+    # sig sits after the word-aligned shingle area; gather ⌈P/2⌉ u64
+    # words per side, reinterpret as u32, compare P slots
     pw = (num_perms + 1) // 2
     cols = np.arange(pw, dtype=np.int64)[None, :]
-    sa = buf_a[(ha + 2 + na)[:, None] + cols].view(np.uint32)[:, :num_perms]
-    sb = buf_b[(hb + 2 + nb)[:, None] + cols].view(np.uint32)[:, :num_perms]
+    sa = buf_a[(ha + 2 + (na + 1) // 2)[:, None] + cols].view(np.uint32)[:, :num_perms]
+    sb = buf_b[(hb + 2 + (nb + 1) // 2)[:, None] + cols].view(np.uint32)[:, :num_perms]
     agree = (sa == sb).mean(axis=1)
 
     t = np.minimum(ta, tb)  # pairwise min-theta screen (theta/intersection.rs:64-196)
     est_mode = t != U64(MAX_THETA)  # exact sets (full-range u64) are never screened
     any_est = bool(est_mode.any())
+    t32 = (t >> U64(32)).astype(np.uint32)  # screen in the folded domain
 
     def entries(buf, heads, n):
         tot = int(n.sum())
         pid = np.repeat(np.arange(m, dtype=np.int64), n)
         cum = np.zeros(m, np.int64)
         np.cumsum(n[:-1], out=cum[1:])
+        # shingle entries are high-32 folds at u32 positions 2*(head+2)+i;
         # segments are contiguous: one repeated shift instead of two
-        v = buf[np.arange(tot, dtype=np.int64) + np.repeat(heads + 2 - cum, n)]
+        buf32 = buf.view(np.uint32)
+        v = buf32[np.arange(tot, dtype=np.int64) + np.repeat((heads + 2) * 2 - cum, n)]
         if not any_est:  # the common all-exact batch: no screen, no copy
             return v, pid
-        keep = ~est_mode[pid] | (v < t[pid])
+        keep = ~est_mode[pid] | (v < t32[pid])
         return v[keep], pid[keep]
 
     va, pa_id = entries(buf_a, ha, na)
