@@ -20,8 +20,9 @@ Scale shapes (the 100-TB lens):
   all-pairs as one groupby shuffle of chunk-pair replicas). Its edge
   list streams to the driver under the same bounded-edge budget as
   ``cluster_assignments`` (components of near-dup EDGES, not corpus);
-  labels re-attach as a distributed left join. Past the budget, swap
-  in ``label_propagation_components`` exactly as run_dedup does.
+  labels re-attach as a distributed left join. Past the budget it
+  routes through ``label_propagation_components`` automatically —
+  distributed min-label propagation, nothing O(edges) on the driver.
   When exact all-pairs itself is too wide (survivor count where
   n²/chunks stops fitting the cluster), substitute SemDeDup's
   cluster-then-within-cluster rule (``ops/semdedup.py``) — same
@@ -173,59 +174,120 @@ def tiered_dedup(
         )
         .map_batches(unpack_emb, batch_format="pyarrow")
     )
-    pairs = cosine_all_pairs_blockwise(s2_emb, tau=tau_semantic, id_column=emb_id_column)
+    pairs = cosine_all_pairs_blockwise(
+        s2_emb, tau=tau_semantic, id_column=emb_id_column
+    ).materialize()  # consumed twice: edge count, then components
 
-    ea, eb, n_edges = [], [], 0
-    for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(batch_format="pyarrow"):
-        ea.append(b["id_a"].to_numpy(zero_copy_only=False))
-        eb.append(b["id_b"].to_numpy(zero_copy_only=False))
-        n_edges += len(b)
-        if n_edges > max_driver_edges:  # pragma: no cover - scale escape hatch
-            raise NotImplementedError(
-                "semantic edge list exceeds the driver budget; route through "
-                "label_propagation_components as cluster_assignments does"
+    n_edges = pairs.count()
+    if n_edges > max_driver_edges:
+        # distributed components — same fallback cluster_assignments
+        # uses past its edge budget: edges become zero-padded url
+        # strings (lexicographic min == numeric min), min-label
+        # propagation runs as bucketed cogroup rounds, and labels map
+        # back to ids. Nothing O(edges) touches the driver.
+        from raydedup.pipeline.cluster import label_propagation_components
+
+        def to_url_edges(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "url_a": _padded_url(batch["id_a"]),
+                    "url_b": _padded_url(batch["id_b"]),
+                }
             )
-    if ea:
-        nodes, roots = connected_components_arrays(np.concatenate(ea), np.concatenate(eb))
-        keeper3 = nodes[roots]
-    else:
-        nodes = keeper3 = np.empty(0, dtype=np.int64)
-    t3 = rd.from_arrow(
-        pa.table(
-            {
-                id_column: pa.array(nodes.astype(np.int64)),
-                "keeper3": pa.array(keeper3.astype(np.int64)),
-            }
+
+        comp = label_propagation_components(
+            pairs.select_columns(["id_a", "id_b"]).map_batches(
+                to_url_edges, batch_format="pyarrow"
+            ),
+            n_buckets=n_buckets,
         )
-    )
+
+        def to_keeper3(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_column: _url_to_id(batch["url"]),
+                    "keeper3": _url_to_id(batch["cluster_id"]),
+                }
+            )
+
+        t3 = comp.map_batches(to_keeper3, batch_format="pyarrow")
+    else:
+        ea, eb = [], []
+        for b in pairs.select_columns(["id_a", "id_b"]).iter_batches(batch_format="pyarrow"):
+            ea.append(b["id_a"].to_numpy(zero_copy_only=False))
+            eb.append(b["id_b"].to_numpy(zero_copy_only=False))
+        if ea:
+            nodes, roots = connected_components_arrays(np.concatenate(ea), np.concatenate(eb))
+            keeper3 = nodes[roots]
+        else:
+            nodes = keeper3 = np.empty(0, dtype=np.int64)
+        t3 = rd.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array(nodes.astype(np.int64)),
+                    "keeper3": pa.array(keeper3.astype(np.int64)),
+                }
+            )
+        )
 
     # ---- combine: first tier that removed the doc wins ------------------
-    combined = t1.join(
-        t2, join_type="left_outer", num_partitions=num_join_partitions, on=(id_column,)
-    ).join(t3, join_type="left_outer", num_partitions=num_join_partitions, on=(id_column,))
+    # Union + bucketed cogroup, NOT hash joins: the tier tables come
+    # from groupby/map_groups stages, which can emit schema-less empty
+    # pandas blocks that crash Ray's hash-join key resolution (the
+    # engine-wide quirk _assign_distributed documents). One row per
+    # (doc, tier) tagged with its side, one vectorized kernel per
+    # bucket — same id hashes to the same bucket on every side, and
+    # tier 1 covers every doc, so the kernel sees each doc's full
+    # tier history. Absence from a side = "that tier kept it".
+    from raydedup.sketches.hashing import hash_u64_column
 
-    def label(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_numpy(zero_copy_only=False)
-        k1 = batch["keeper1"].to_numpy(zero_copy_only=False)
-        # left-outer nulls (doc absent from a tier) = "that tier kept it"
-        k2 = pc.fill_null(batch["keeper2"], pa.scalar(-1, pa.int64())).to_numpy(zero_copy_only=False)
-        k3 = pc.fill_null(batch["keeper3"], pa.scalar(-1, pa.int64())).to_numpy(zero_copy_only=False)
-        k2 = np.where(k2 == -1, ids, k2).astype(np.int64)
-        k3 = np.where(k3 == -1, ids, k3).astype(np.int64)
-        tier = np.full(len(ids), "kept", dtype=object)
-        keeper = ids.copy()
-        sem = k3 != ids
+    def tag_side(keeper_col: str, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            h1, _ = hash_u64_column(pa.chunked_array([pa.array(ids, pa.int64())]))
+            return pa.table(
+                {
+                    "bucket": pa.array((h1 % np.uint64(n_buckets)).astype(np.int64)),
+                    id_column: pa.array(ids),
+                    "keeper": batch[keeper_col].cast(pa.int64()),
+                    "side": pa.array(np.full(len(ids), side, np.int64)),
+                }
+            )
+
+        return f
+
+    tagged = (
+        t1.map_batches(tag_side("keeper1", 1), batch_format="pyarrow")
+        .union(t2.map_batches(tag_side("keeper2", 2), batch_format="pyarrow"))
+        .union(t3.map_batches(tag_side("keeper3", 3), batch_format="pyarrow"))
+    )
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_column].to_numpy()
+        k = df["keeper"].to_numpy()
+        s = df["side"].to_numpy()
+        base = s == 1
+        order = np.argsort(ids[base], kind="stable")
+        bids = ids[base][order]
+        k1 = k[base][order]
+
+        def attach(side: int) -> np.ndarray:
+            m = s == side
+            res = bids.copy()  # default: own id (doc never reached the tier)
+            if m.any():
+                pos = np.searchsorted(bids, ids[m])
+                res[pos] = k[m]
+            return res
+
+        k2, k3 = attach(2), attach(3)
+        tier = np.full(len(bids), "kept", dtype=object)
+        keeper = bids.copy()
+        sem = k3 != bids
         tier[sem], keeper[sem] = "semantic", k3[sem]
-        near = k2 != ids
+        near = k2 != bids
         tier[near], keeper[near] = "near", k2[near]
-        exact = k1 != ids
+        exact = k1 != bids
         tier[exact], keeper[exact] = "exact", k1[exact]
-        return pa.table(
-            {
-                id_column: pa.array(ids),
-                "tier": pa.array(tier, pa.string()),
-                "keeper_id": pa.array(keeper),
-            }
-        )
+        return pd.DataFrame({id_column: bids, "tier": tier, "keeper_id": keeper})
 
-    return combined.map_batches(label, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(label, batch_format="pandas")

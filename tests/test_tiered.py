@@ -187,3 +187,39 @@ def test_tiered_dedup_precedence_exact_wins(ray_session):
     )
     assert out.loc[6, "tier"] == "exact" and out.loc[6, "keeper_id"] == 0
     assert out.loc[0, "tier"] == "kept"
+
+
+def test_tiered_dedup_distributed_tier3_matches_driver_path(ray_session):
+    """Forcing ``max_driver_edges`` below the edge count must route
+    tier 3 through distributed label propagation and produce IDENTICAL
+    assignments to the in-driver union-find path."""
+    import ray.data as rd
+
+    from raydedup.pipeline.tiered import tiered_dedup
+
+    texts, emb = _corpus()
+    # widen the semantic cluster so tier 3 has several edges
+    emb[5] = (emb[3] + np.float32(0.02) * emb[5]).astype(np.float32)
+
+    def run(max_edges):
+        docs = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in texts.items()], override_num_blocks=3
+        )
+        embs = rd.from_items(
+            [{"vec_id": i, "embedding": v.tolist()} for i, v in emb.items()],
+            override_num_blocks=2,
+        )
+        return (
+            tiered_dedup(
+                docs, embs, tau_semantic=0.45, n_buckets=8, max_driver_edges=max_edges
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+
+    driver = run(50_000_000)
+    distributed = run(1)  # > 1 semantic edge planted → distributed path
+    assert (driver["tier"] == distributed["tier"]).all()
+    assert (driver["keeper_id"] == distributed["keeper_id"]).all()
+    assert (driver.loc[[4, 5], "tier"] == "semantic").all()
