@@ -41,6 +41,12 @@ def js_divergence_matrix(ds, slice_col: str, text_col: str = "text", n_buckets: 
     slices = sorted(ds.select_columns([slice_col]).unique(slice_col))
     s_index = {s: i for i, s in enumerate(slices)}
     n_s = len(slices)
+    if n_s >= 1024:
+        # pair keys pack as i*1024 + j: more slices would silently
+        # collide keys and sum unrelated JS partials (round-3 advice)
+        raise ValueError(
+            f"js_divergence_matrix supports < 1024 slices, got {n_s}"
+        )
 
     def counts_partial(batch: pa.Table) -> pa.Table:
         sl = batch[slice_col].to_numpy(zero_copy_only=False)

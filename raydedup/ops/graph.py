@@ -237,6 +237,11 @@ def pagerank_int(
         ik, iv = k[~is_node], v[~is_node]
         inflow = np.zeros(len(nk), np.int64)
         if len(ik):
+            if len(nk) == 0:
+                # a bucket with inflow rows but zero node rows would
+                # index nk_s[-1] on an empty array below (round-3
+                # advice) — surface the intended diagnostic instead
+                raise ValueError("pagerank_int: edge dst not present in nodes")
             order = np.argsort(nk, kind="stable")
             nk_s = nk[order]
             pos = np.minimum(np.searchsorted(nk_s, ik), len(nk_s) - 1)

@@ -105,10 +105,13 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
         batch = batch.filter(pa.array(pos))
         w = w[pos]
         if batch.num_rows == 0:
+            # typed empty from the INPUT schema: the weight column keeps
+            # its original type (a hard-coded int64 truncated fractional
+            # weights in the output — round-3 advice)
             return pa.table(
                 {
-                    id_column: pa.array([], pa.int64()),
-                    weight_column: pa.array([], pa.int64()),
+                    id_column: batch[id_column],
+                    weight_column: batch[weight_column],
                     "_key": pa.array([], pa.float64()),
                 }
             )
@@ -119,7 +122,7 @@ def weighted_sample(ds, id_column: str, weight_column: str, k: int):
         return pa.table(
             {
                 id_column: batch[id_column].take(pa.array(keep)),
-                weight_column: batch[weight_column].take(pa.array(keep)).cast(pa.int64()),
+                weight_column: batch[weight_column].take(pa.array(keep)),
                 "_key": pa.array(key[keep], pa.float64()),
             }
         )

@@ -111,18 +111,54 @@ def exact_quantile(
     if lo == hi:
         return lo
 
-    def in_window(batch: pa.Table) -> pa.Table:
-        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
-        m = ~np.isnan(v) & (v >= lo) & (v <= hi)
-        return pa.table({column: pa.array(v[m], pa.float64())})
+    # Final pass: ONE aggregate returns BOTH the in-window values and
+    # the exact count of values strictly below the window, so the final
+    # rank (k - below) derives from the SAME comparisons that select
+    # the window — never from the histogram cells, whose floor-binned
+    # edges can disagree with a range compare by a ULP and silently
+    # shift the rank (round-3 advice). Edges are padded a few ULPs
+    # outward first so every value the histogram placed in the chosen
+    # bin passes the range compare; stragglers from neighboring bins
+    # merely enlarge the window and are re-ranked exactly.
+    for _ in range(4):
+        lo = float(np.nextafter(lo, -np.inf))
+        hi = float(np.nextafter(hi, np.inf))
+    below, vals = _window_gather(ds, column, lo, hi)
+    assert below < k <= below + len(vals), (below, k, len(vals), lo, hi)
+    return float(np.partition(vals, k - below - 1)[k - below - 1])
 
-    vals = (
-        ds.select_columns([column])
-        .map_batches(in_window, batch_format="pyarrow")
-        .to_pandas()[column]
-        .to_numpy()
-    )
-    # guard: histogram edges and the filter use the same float math, so
-    # the window holds exactly `in_range` rows and rank k_in is inside it
-    assert 1 <= k_in <= len(vals), (k_in, len(vals), lo, hi)
-    return float(np.partition(vals, k_in - 1)[k_in - 1])
+
+def _window_gather(ds, column: str, lo: float, hi: float):
+    """One tree-combined pass → (count of values < lo, ndarray of
+    values in [lo, hi]). The window side is bounded by the caller's
+    ``max_materialize`` (plus ULP-edge stragglers)."""
+    from ray.data.aggregate import AggregateFnV2
+
+    class Window(AggregateFnV2):
+        def __init__(self):
+            super().__init__(
+                "window", zero_factory=lambda: None, on=column, ignore_nulls=True
+            )
+
+        def aggregate_block(self, block) -> bytes:
+            v = block.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            below = float((v < lo).sum())
+            inw = v[(v >= lo) & (v <= hi)]
+            return np.concatenate([[below], inw]).tobytes()
+
+        def combine(self, a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            va, vb = np.frombuffer(a, np.float64), np.frombuffer(b, np.float64)
+            return np.concatenate([[va[0] + vb[0]], va[1:], vb[1:]]).tobytes()
+
+        def finalize(self, a):
+            return a
+
+    out = ds.aggregate(Window())
+    blob = out["window"] if isinstance(out, dict) else out
+    arr = np.frombuffer(blob, np.float64)
+    return int(arr[0]), arr[1:]

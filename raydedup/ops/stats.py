@@ -36,9 +36,41 @@ _MASK32 = np.int64(0xFFFFFFFF)
 # moment column stems: n plus five hi/lo pairs
 _MOMS = ("sx", "sy", "sxx", "syy", "sxy")
 
+# Shared small-side policy (grouped_mad here, grouped_zscore in
+# ops/zscore.py): a per-group table is gathered to the driver and
+# broadcast ONLY while its row count stays under this cap — ~48 B/group
+# keeps the driver image under ~100 MB. Past the cap the op switches to
+# a distributed bucketed-cogroup attach; nothing group-count-shaped may
+# land on the driver unconditionally (corpus-shaped group domains, e.g.
+# per-domain stats over the web, exceed any driver).
+BROADCAST_GROUP_CAP = 2_000_000
+
+
+def gather_capped(small_ds, cap: int = BROADCAST_GROUP_CAP):
+    """Stream a (materialized) per-group Dataset to the driver, bailing
+    out to ``None`` once the row count exceeds ``cap`` — driver memory
+    stays bounded no matter the group count (the verify ``_plan_stats``
+    token-cap shape). Returns one concatenated Arrow table, or None
+    when the caller must take its distributed path (also for the empty
+    table: the distributed path handles zero groups for free)."""
+    parts, n = [], 0
+    for b in small_ds.iter_batches(batch_format="pyarrow"):
+        n += len(b)
+        if n > cap:
+            return None
+        if len(b):
+            parts.append(b)
+    if not parts:
+        return None
+    return pa.concat_tables(parts)
+
 
 def _hilo(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Split int64 products into (hi, lo) int64 halves (p >= 0)."""
+    """Split int64 values into (hi, lo) int64 halves. Exact for SIGNED
+    int64: ``>>`` is an arithmetic shift, so ``(hi << 32) + lo``
+    (lo = low 32 bits, always >= 0) reconstructs every value including
+    negatives — callers pass signed cents and signed cross-products
+    (cx·cy), not just non-negative sums."""
     return p >> np.int64(32), p & _MASK32
 
 
@@ -369,13 +401,18 @@ def grouped_quantile_disc(
 def grouped_mad(ds, group: str, value: str, decimals: int = 2, n_buckets: int = 64):
     """Per-group median absolute deviation (robust dispersion):
     two passes — exact integer group medians (kept as the UNDIVIDED
-    middle-pair sum, so the .5 halves stay integer), broadcast lookup,
-    then the same median kernel over |2·c − m2| half-unit deviations.
+    middle-pair sum, so the .5 halves stay integer), then the same
+    median kernel over |2·c − m2| half-unit deviations. The median
+    table attaches to the second pass as a bucketed COGROUP (med rows
+    union'd with the data rows, same hash(group) bucket), never a
+    driver gather: the data rows shuffle on hash(group) either way, so
+    a broadcast would save nothing while putting a corpus-shaped group
+    domain on the driver (round-3 verdict item 3; the group-count-capped
+    broadcast policy lives where broadcast DOES save a shuffle —
+    ``BROADCAST_GROUP_CAP`` / ``ops/zscore.py``).
     Output: (group, n_rows, median, mad), both rounded to 6; the SQL
     mirror is ``median(cents)`` and ``median(abs(2·cents −
     round(med·2)))/2/scale``."""
-    import ray
-
     from raydedup.sketches.hashing import hash_u64_column
 
     U64 = np.uint64
@@ -420,75 +457,70 @@ def grouped_mad(ds, group: str, value: str, decimals: int = 2, n_buckets: int = 
     bucketed = ds.select_columns([group, value]).map_batches(
         add_bucket, batch_format="pyarrow"
     )
-    meds = (
-        bucketed.groupby("_gb").map_groups(med2_kernel, batch_format="pyarrow").take_all()
-    )  # bounded by the number of groups (broadcast small side)
-    keys = np.array([int(r[group]) for r in meds], np.int64)
-    order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    m2v = np.array([int(r["_m2"]) for r in meds], np.int64)[order]
-    nv = np.array([int(r["n_rows"]) for r in meds], np.int64)[order]
-    lookup = ray.put((keys, m2v, nv))
+    meds = bucketed.groupby("_gb").map_groups(med2_kernel, batch_format="pyarrow")
 
-    def dev_bucket(batch: pa.Table) -> pa.Table:
-        lk, lm2, _ = ray.get(lookup)
+    # pass 2: union the med rows with the data rows (same hash(group)
+    # bucket by construction) and resolve median + MAD in ONE kernel —
+    # the distributed-attach shape, nothing group-shaped on the driver
+    def tag_data(batch: pa.Table) -> pa.Table:
+        t = add_bucket(batch)
+        n = len(t)
+        return t.append_column("_n", pa.array(np.zeros(n, np.int64))).append_column(
+            "_side", pa.array(np.zeros(n, np.int64))
+        )
+
+    def tag_meds(batch: pa.Table) -> pa.Table:
         g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = cents_of(batch)
-        pos = np.searchsorted(lk, g)
-        dev = np.abs(2 * c - lm2[pos])
         h1, _ = hash_u64_column(pa.chunked_array([pa.array(g, pa.int64())]))
         return pa.table(
             {
                 "_gb": pa.array((h1 % U64(n_buckets)).astype(np.int64)),
                 group: pa.array(g),
-                "_c": pa.array(dev),
+                "_c": batch["_m2"].cast(pa.int64()),
+                "_n": batch["n_rows"].cast(pa.int64()),
+                "_side": pa.array(np.ones(len(g), np.int64)),
             }
         )
 
-    def mad_kernel(gt: pa.Table) -> pa.Table:
+    def mad_full_kernel(gt: pa.Table) -> pa.Table:
+        side = gt["_side"].to_numpy(zero_copy_only=False)
         g = gt[group].to_numpy(zero_copy_only=False)
         c = gt["_c"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((c, g))
-        g, c = g[order], c[order]
-        new = np.ones(len(g), bool)
-        new[1:] = g[1:] != g[:-1]
+        m = side == 1
+        mo = np.argsort(g[m], kind="stable")
+        mg = g[m][mo]
+        m2 = c[m][mo]
+        nv = gt["_n"].to_numpy(zero_copy_only=False)[m][mo]
+        dg, dc = g[~m], c[~m]
+        dev = np.abs(2 * dc - m2[np.searchsorted(mg, dg)])
+        order = np.lexsort((dev, dg))
+        dg, dev = dg[order], dev[order]
+        new = np.ones(len(dg), bool)
+        new[1:] = dg[1:] != dg[:-1]
         seg_start = np.nonzero(new)[0]
-        seg_len = np.diff(np.append(seg_start, len(g)))
+        seg_len = np.diff(np.append(seg_start, len(dg)))
         d2 = (
-            c[seg_start + (seg_len - 1) // 2] + c[seg_start + seg_len // 2]
+            dev[seg_start + (seg_len - 1) // 2] + dev[seg_start + seg_len // 2]
         ).astype(np.float64)
         mad = np.round(d2 / 2.0 / 2.0 / scale, 6)
+        gpos = np.searchsorted(mg, dg[seg_start])
+        med = np.round(m2[gpos].astype(np.float64) / 2.0 / scale, 6)
         return pa.table(
             {
-                group: pa.array(g[seg_start]),
-                "_mad": pa.array(mad, pa.float64()),
-            }
-        )
-
-    mads = (
-        ds.select_columns([group, value])
-        .map_batches(dev_bucket, batch_format="pyarrow")
-        .groupby("_gb")
-        .map_groups(mad_kernel, batch_format="pyarrow")
-    )
-
-    med_map = {int(k): (int(m), int(n)) for k, m, n in zip(keys, m2v, nv)}
-
-    def finish(batch: pa.Table) -> pa.Table:
-        g = batch[group].to_numpy(zero_copy_only=False).astype(np.int64)
-        m2 = np.array([med_map[int(x)][0] for x in g], np.int64)
-        n = np.array([med_map[int(x)][1] for x in g], np.int64)
-        med = np.round(m2.astype(np.float64) / 2.0 / scale, 6)
-        return pa.table(
-            {
-                group: pa.array(g),
-                "n_rows": pa.array(n),
+                group: pa.array(dg[seg_start]),
+                "n_rows": pa.array(nv[gpos]),
                 "median": pa.array(med, pa.float64()),
-                "mad": batch["_mad"],
+                "mad": pa.array(mad, pa.float64()),
             }
         )
 
-    return mads.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.select_columns([group, value])
+        .map_batches(tag_data, batch_format="pyarrow")
+        .union(meds.map_batches(tag_meds, batch_format="pyarrow"))
+        .groupby("_gb")
+        .map_groups(mad_full_kernel, batch_format="pyarrow")
+    )
 
 
 def grouped_mode(ds, group: str, value: str, n_buckets: int = 64):

@@ -13,7 +13,12 @@ Scale design (100 TB lens):
 - The group-stats side is bounded by the number of groups, not rows —
   the partial collapses each block map-side, the exchange carries one
   row per (block, group), and the finished table is broadcast instead
-  of shuffle-joined back (the classic small-side lookup).
+  of shuffle-joined back (the classic small-side lookup) — but ONLY
+  while it fits ``BROADCAST_GROUP_CAP`` (shared policy, ops/stats.py):
+  the gather streams with an early bail, and past the cap the op runs
+  ``_zscore_cogroup`` — one bucketed full-row exchange whose kernel
+  owns each group outright. Corpus-shaped group domains never land on
+  the driver.
 - The normalize pass is stateless, embarrassingly parallel, and
   streams: no sort, no shuffle, no materialization of the input.
 """
@@ -24,10 +29,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from raydedup.ops.stats import _hilo, _MASK32
+from raydedup.ops.stats import _hilo, _MASK32, BROADCAST_GROUP_CAP, gather_capped
 
 
-def grouped_zscore(ds, group: str, x: str, decimals: int = 2, z_col: str = "z"):
+def grouped_zscore(
+    ds,
+    group: str,
+    x: str,
+    decimals: int = 2,
+    z_col: str = "z",
+    broadcast_cap: int = BROADCAST_GROUP_CAP,
+):
     """→ the input rows (all columns) plus ``z_col``: the per-``group``
     z-score of ``x`` (sample stddev, n−1), NULL for groups with fewer
     than 2 rows or zero variance. Values round to 6 decimals."""
@@ -68,7 +80,7 @@ def grouped_zscore(ds, group: str, x: str, decimals: int = 2, z_col: str = "z"):
             out[f"_{stem}_lo"] = pa.array(lo)
         return pa.table(out)
 
-    stats = (
+    stats_ds = (
         ds.select_columns([group, x])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(group)
@@ -79,8 +91,17 @@ def grouped_zscore(ds, group: str, x: str, decimals: int = 2, z_col: str = "z"):
             Sum("_ss_hi", alias_name="_ss_hi"),
             Sum("_ss_lo", alias_name="_ss_lo"),
         )
-        .take_all()  # bounded by the number of groups (small side)
+        .materialize()
     )
+    # shared small-side policy (ops/stats.py BROADCAST_GROUP_CAP): the
+    # group table gathers with an early bail at the cap — broadcast is
+    # worth a capped gather here because it keeps the normalize pass
+    # map-only (zero data-row shuffle); past the cap fall back to ONE
+    # bucketed full-row exchange whose kernel owns each group outright
+    gathered = gather_capped(stats_ds, broadcast_cap)
+    if gathered is None:
+        return _zscore_cogroup(ds, group, x, scale, z_col)
+    stats = gathered.to_pylist()
 
     keys = np.array([r[group] for r in stats])
     order = np.argsort(keys, kind="stable")
@@ -115,3 +136,64 @@ def grouped_zscore(ds, group: str, x: str, decimals: int = 2, z_col: str = "z"):
         return batch.append_column(z_col, pa.array(z, pa.float64()))
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def _zscore_cogroup(ds, group: str, x: str, scale: float, z_col: str, n_buckets: int = 256):
+    """Group-count-unbounded z-score: bucket the FULL rows on
+    hash(group) so each kernel owns every row of its groups, derive the
+    exact integer moments in-kernel with the same hi/lo int128
+    discipline, and emit the rows plus ``z_col`` — identical float
+    expressions to the broadcast path (``(float(ss) −
+    float(s)·float(s)/float(n)) / float(n−1)`` from exact integer sums),
+    so the two paths agree bit-for-bit before rounding. One data-row
+    exchange, no driver state of any size."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_gb"] = (
+            pd.util.hash_array(df[group].to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_gb"])
+        c = np.rint(df[x].to_numpy().astype(np.float64) * scale).astype(np.int64)
+        codes, _ = pd.factorize(df[group].to_numpy(), sort=False)
+        order = np.argsort(codes, kind="stable")
+        cs = c[order]
+        seg = codes[order]
+        new = np.ones(len(seg), bool)
+        new[1:] = seg[1:] != seg[:-1]
+        starts = np.nonzero(new)[0]
+        s_hi, s_lo = _hilo(cs)
+        ss_hi, ss_lo = _hilo(cs * cs)
+        n = np.diff(np.append(starts, len(seg))).astype(np.int64)
+        sums = {}
+        for stem, (hi, lo) in (("s", (s_hi, s_lo)), ("ss", (ss_hi, ss_lo))):
+            hi_s = np.add.reduceat(hi, starts)
+            lo_s = np.add.reduceat(lo, starts)
+            # exact int128 per group: object ints, then ONE correctly-
+            # rounded float conversion (matches the broadcast path's
+            # Python-int -> float rounding)
+            sums[stem] = (hi_s.astype(object) << 32) + lo_s.astype(object)
+        f_n = n.astype(np.float64)
+        f_s = np.array([float(v) for v in sums["s"]], np.float64)
+        f_ss = np.array([float(v) for v in sums["ss"]], np.float64)
+        mean = f_s / f_n
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var = (f_ss - f_s * f_s / f_n) / (f_n - 1.0)
+        std = np.where((n >= 2) & (var > 0.0), np.sqrt(np.maximum(var, 0.0)), np.nan)
+        # per original row: seg id of codes indexes the per-group arrays
+        by_code_mean = np.empty(len(starts), np.float64)
+        by_code_std = np.empty(len(starts), np.float64)
+        by_code_mean[seg[starts]] = mean
+        by_code_std[seg[starts]] = std
+        z = np.round((c.astype(np.float64) - by_code_mean[codes]) / by_code_std[codes], 6)
+        df[z_col] = z
+        return df
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_gb")
+        .map_groups(kernel, batch_format="pandas")
+    )

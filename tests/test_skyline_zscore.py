@@ -196,3 +196,43 @@ def test_grouped_zscore_matches_literal(ray_session):
         std = np.sqrt((float(ss) - float(s) * float(s) / float(n)) / float(n - 1))
         z[m] = np.round((c.astype(np.float64) - mean) / std, 6)
     assert (got["z"].to_numpy() == z).all()
+
+
+def test_grouped_zscore_cogroup_path_matches_broadcast(ray_session):
+    """broadcast_cap=0 forces the bucketed full-row fallback; its z
+    values must equal the broadcast path's bit-for-bit (same float
+    expression over the same exact integer sums)."""
+    import ray.data as rd
+
+    from raydedup.ops.zscore import grouped_zscore
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": np.arange(300),
+            "g": rng.choice(["a", "b", "c", "d", "e"], 300),
+            "v": np.round(rng.uniform(-500, 1000, 300), 2),
+        }
+    )
+    # a singleton group (NULL z) and a constant group (zero variance)
+    df.loc[0, "g"] = "solo"
+    df.loc[1:4, "g"] = "const"
+    df.loc[1:4, "v"] = 7.77
+
+    def run(cap):
+        ds = rd.from_pandas(df).repartition(5)
+        return (
+            grouped_zscore(ds, "g", "v", broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    bc = run(2_000_000)
+    cg = run(0)
+    assert list(cg.columns) == list(bc.columns)
+    a, b = bc["z"].to_numpy(), cg["z"].to_numpy()
+    both_nan = np.isnan(a) & np.isnan(b)
+    assert (both_nan | (a == b)).all()
+    assert np.isnan(bc.loc[bc.g == "solo", "z"]).all()
+    assert np.isnan(bc.loc[bc.g == "const", "z"]).all()

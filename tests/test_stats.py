@@ -125,3 +125,45 @@ def test_large_values_int128_path(ray_session):
     varc = (float(s2) - float(s) * float(s) / fn) / float(n - 1)
     assert out.loc[0, "var_y"] == round(varc / 10000.0, 6)
     assert out.loc[0, "mean_y"] == round(float(s) / fn / 100.0, 6)
+
+
+def test_negative_values_exact(ray_session):
+    """_hilo's arithmetic-shift decomposition is exact for SIGNED
+    int64 — negative x, negative y, and negative cross-products must
+    match DuckDB's HUGEINT-exact moments (round-3 advice: lock the
+    signed contract with a test)."""
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 4000),
+            "x": rng.integers(-50, 51, 4000).astype(float),
+            "y": np.round(rng.uniform(-1000.0, 1000.0, 4000), 2),
+        }
+    )
+    out = _run(df, 5, decimals_x=0, decimals_y=2)
+    con = duckdb.connect()
+    con.register("t", df)
+    oracle = con.sql(
+        """WITH c AS (
+              SELECT g, CAST(round(x, 0) AS BIGINT) AS qc,
+                     CAST(round(y * 100, 0) AS BIGINT) AS pc FROM t
+            ), m AS (
+              SELECT g, count(*) AS n_rows,
+                     CAST(sum(qc) AS DOUBLE) AS sx,
+                     CAST(sum(pc) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(qc AS HUGEINT) * qc) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(pc AS HUGEINT) * pc) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(qc AS HUGEINT) * pc) AS DOUBLE) AS sxy
+              FROM c GROUP BY g
+            )
+            SELECT g, n_rows,
+                   round(sx / n_rows / 1.0, 6) AS mean_x,
+                   round(sy / n_rows / 100.0, 6) AS mean_y
+            FROM m ORDER BY g"""
+    ).df()
+    got = out[["g", "n_rows", "mean_x", "mean_y"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_rows": "int64"}), oracle.astype({"n_rows": "int64"})
+    )
+    # blocking invariance holds with signed values too
+    pd.testing.assert_frame_equal(_run(df, 1), _run(df, 7))
