@@ -500,15 +500,73 @@ class IVFIndex:
         )
         return assigned
 
-    def search(self, assigned_ds, queries: np.ndarray, k: int = 10, nprobe: int = 4):
-        """Probe the nprobe nearest clusters per query, brute-force within."""
+    def _probe_clusters(self, queries: np.ndarray, nprobe: int):
+        """→ (normalized query matrix, sorted union of probed cluster
+        ids across all queries)."""
         q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
         probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-        clusters = sorted({int(c) for row in probe for c in row})
-        # prune to probed partitions at the scan (predicate on the column)
+        return q, sorted({int(c) for row in probe for c in row})
+
+    def search(self, assigned_ds, queries: np.ndarray, k: int = 10, nprobe: int = 4):
+        """Probe the nprobe nearest clusters per query, brute-force
+        within. Row-level pruning (a filter over the full scan) — fine
+        at bench scale; at scale use ``write_partitioned`` +
+        ``search_partitioned`` so probes prune at the FILE level."""
+        q, clusters = self._probe_clusters(queries, nprobe)
         sub = assigned_ds.filter(expr=f"ivf_cluster in {clusters}")
         full = topk_cosine(sub, q, k=k, id_column=self.id_column, column=self.column)
-        # keep only hits whose cluster was probed for that query
+        import pandas as pd
+
+        df = full.to_pandas()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def write_partitioned(self, assigned_ds, path: str) -> str:
+        """Persist the assigned dataset as hive-partitioned parquet
+        (one ``ivf_cluster=<c>`` directory per cluster). This is the
+        scale-path index layout: a probe then reads ONLY its nprobe
+        directories — file-level pruning — instead of filtering a full
+        scan row by row (round-3 verdict item 4)."""
+        assigned_ds.write_parquet(path, partition_cols=["ivf_cluster"])
+        return path
+
+    def probe_paths(self, path: str, queries: np.ndarray, nprobe: int = 4):
+        """The exact partition directories a search would read —
+        exposed so tests (and lineage metrics) can assert the probed
+        read touches only nprobe-per-query directories."""
+        import os
+
+        _, clusters = self._probe_clusters(queries, nprobe)
+        dirs = [os.path.join(path, f"ivf_cluster={c}") for c in clusters]
+        return [d for d in dirs if os.path.isdir(d)]  # empty clusters write no dir
+
+    def search_partitioned(
+        self, path: str, queries: np.ndarray, k: int = 10, nprobe: int = 4
+    ):
+        """Probe against a ``write_partitioned`` index: read only the
+        probed cluster directories, brute-force within."""
+        import ray.data as rd
+
+        import glob
+        import os
+
+        q, _ = self._probe_clusters(queries, nprobe)
+        # expand to the parquet files (read_parquet on a path LIST opens
+        # entries as files, not directories)
+        dirs = [
+            f
+            for d in self.probe_paths(path, queries, nprobe)
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        if not dirs:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.id_column: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        sub = rd.read_parquet(dirs)
+        full = topk_cosine(sub, q, k=k, id_column=self.id_column, column=self.column)
         import pandas as pd
 
         df = full.to_pandas()

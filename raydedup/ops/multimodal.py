@@ -6,11 +6,17 @@ Decode / feature-extraction stages are actor pools with small batch
 sizes (large payloads × concurrency must fit worker heaps —
 ray_guide.md memory note).
 
-The decode kernels themselves are STUBBED in this container (no
-image/audio libraries): ``DecodeImageStage`` raises
-``NotImplementedError`` in ``real`` mode and produces deterministic
-fake features in ``fake`` mode — the Ray-side plumbing (schema,
-actor signature, batch sizing, output layout) is real and tested.
+Decode modes:
+
+- ``fake`` — deterministic features derived from the payload bytes;
+  exercises schema, determinism, and batch plumbing with zero codecs.
+- ``real`` — optional-dependency decode, attempted ONCE per actor in
+  ``__init__``: images prefer PIL and fall back to a built-in minimal
+  PNG decoder (stdlib zlib + numpy unfiltering — real pixels, this
+  container included); audio prefers soundfile and falls back to
+  stdlib ``wave`` for RIFF/WAV PCM16; video frame demux needs ``av``
+  and raises ``NotImplementedError`` when it is absent (no stdlib
+  fallback exists for container formats).
 """
 
 from __future__ import annotations
@@ -21,6 +27,122 @@ import pyarrow as pa
 from raydedup.sketches.hashing import hash_strings
 
 FEATURE_DIM = 64
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal PNG decoder: 8-bit non-interlaced gray / gray+alpha /
+    RGB / RGBA → (h, w, channels) uint8. Pure stdlib-zlib + numpy —
+    filters 0/2 vectorize per scanline; 1/3/4 walk the row (their
+    recurrence is inherently sequential). Intended for modest images;
+    ``DecodeImageStage`` prefers PIL when installed."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bitd, color, _comp, _filt, inter = hdr
+    if bitd != 8 or inter != 0 or color not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            "minimal PNG decoder handles 8-bit non-interlaced gray/RGB(A) only"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                if f == 1:  # Sub
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + int(prev[x])) // 2
+                else:  # Paeth
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (filter 0 scanlines) for (h, w, c) uint8 —
+    the planted-fixture counterpart of ``decode_png``."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    raw = b"".join(b"\x00" + np.ascontiguousarray(img[y]).tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _grid_features(luma: np.ndarray, grid: int = 8) -> np.ndarray:
+    """(h, w) float luma → grid×grid block means, flattened float32 in
+    [0, 1] — the deterministic 64-dim 'thumbnail' feature."""
+    if luma.shape[0] < grid:  # tiny images: nearest-neighbor upsample
+        luma = np.repeat(luma, -(-grid // luma.shape[0]), axis=0)
+    if luma.shape[1] < grid:
+        luma = np.repeat(luma, -(-grid // luma.shape[1]), axis=1)
+    h, w = luma.shape
+    ys = np.array_split(np.arange(h), grid)
+    xs = np.array_split(np.arange(w), grid)
+    out = np.empty((grid, grid), np.float32)
+    row_means = np.add.reduceat(luma, [y[0] for y in ys], axis=0) / np.array(
+        [len(y) for y in ys], np.float32
+    )[:, None]
+    out = (
+        np.add.reduceat(row_means, [x[0] for x in xs], axis=1)
+        / np.array([len(x) for x in xs], np.float32)[None, :]
+    )
+    return (out / 255.0).astype(np.float32).reshape(-1)
 
 
 def synth_image_table(n: int, seed: int = 42) -> pa.Table:
@@ -46,12 +168,15 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
 class DecodeImageStage:
     """Actor-pool stage: (image_id, payload, ...) → (image_id, features).
 
-    ``mode='real'`` would decode with PIL/libjpeg — unavailable in this
-    container, so it raises ``NotImplementedError`` with the exact
-    integration point documented. ``mode='fake'`` derives a
-    deterministic FEATURE_DIM-float vector from the payload bytes
-    (murmur3-seeded), so schema, determinism, and batch plumbing are
-    fully exercisable.
+    ``mode='real'`` decodes pixels and emits an 8×8 block-mean luma
+    thumbnail as the FEATURE_DIM-float vector: PIL when installed
+    (attempted once per actor in ``__init__``), else the built-in
+    ``decode_png`` for PNG payloads — genuinely functional in
+    codec-free containers; non-PNG payloads without PIL raise
+    ``NotImplementedError`` naming the missing dependency.
+    ``mode='fake'`` derives a deterministic FEATURE_DIM-float vector
+    from the payload bytes (murmur3-seeded), so schema, determinism,
+    and batch plumbing are exercisable with zero codecs.
     """
 
     def __init__(self, mode: str = "fake", feature_dim: int = FEATURE_DIM):
@@ -59,12 +184,45 @@ class DecodeImageStage:
             raise ValueError(f"unknown mode {mode}")
         self.mode = mode
         self.dim = feature_dim
+        self._pil = None
+        if mode == "real":
+            try:  # optional dependency, resolved once per actor
+                import PIL.Image as _pil
+
+                self._pil = _pil
+            except ImportError:
+                self._pil = None
+
+    def _decode_real(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+
+            img = np.asarray(self._pil.open(io.BytesIO(payload)).convert("RGB"))
+        elif payload[:8] == _PNG_MAGIC:
+            img = decode_png(payload)
+        else:
+            raise NotImplementedError(
+                "real image decode for non-PNG payloads needs PIL "
+                "(pip install pillow); the built-in decoder handles PNG only"
+            )
+        return img.astype(np.float32).mean(axis=2) if img.ndim == 3 else img.astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError(
-                "real image decode needs PIL/opencv: decode batch['payload'] "
-                "bytes per row, resize, and emit float32 features here"
+            grid = int(np.sqrt(self.dim))
+            if grid * grid != self.dim:
+                raise ValueError("real mode needs a square feature_dim")
+            pays = batch["payload"].to_numpy(zero_copy_only=False)
+            feats = np.stack(
+                [_grid_features(self._decode_real(p), grid) for p in pays]
+            ) if len(pays) else np.empty((0, self.dim), np.float32)
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "features": pa.FixedSizeListArray.from_arrays(
+                        pa.array(feats.reshape(-1), pa.float32()), self.dim
+                    ),
+                }
             )
         h1, h2 = hash_strings(batch["payload"])
         # deterministic fake features: seeded per-payload PRNG expansion
@@ -141,10 +299,11 @@ class SampleFramesStage:
     """Actor-pool stage: video payload → ``k`` evenly-spaced frame
     payloads, one output row per sampled frame (flat_map shape).
 
-    ``mode='real'`` would demux with pyav/ffmpeg — unavailable here, so
-    it raises with the integration point; ``mode='fake'`` treats the
-    payload as fixed 256-byte frames and slices deterministically, so
-    the fan-out schema (video_id, frame_idx, frame_payload) and batch
+    ``mode='real'`` demuxes with pyav (attempted once per actor;
+    raises ``NotImplementedError`` when absent — no stdlib fallback
+    exists for video containers). ``mode='fake'`` treats the payload
+    as fixed 256-byte frames and slices deterministically, so the
+    fan-out schema (video_id, frame_idx, frame_payload) and batch
     sizing are fully exercisable.
     """
 
@@ -155,12 +314,51 @@ class SampleFramesStage:
             raise ValueError(f"unknown mode {mode}")
         self.k = k
         self.mode = mode
+        self._av = None
+        if mode == "real":
+            try:  # optional dependency, resolved once per actor
+                import av as _av
+
+                self._av = _av
+            except ImportError:
+                self._av = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError(
-                "real frame sampling needs pyav/ffmpeg: demux batch['payload'], "
-                "seek to evenly spaced PTS, emit decoded frames here"
+            if self._av is None:
+                raise NotImplementedError(
+                    "real frame sampling needs pyav (pip install av): demux "
+                    "batch['payload'], seek to evenly spaced PTS, emit frames — "
+                    "no stdlib fallback exists for video containers"
+                )
+            vids, idxs, frames = [], [], []
+            import io
+
+            for vid, pay in zip(
+                batch["video_id"].to_numpy(zero_copy_only=False),
+                batch["payload"].to_numpy(zero_copy_only=False),
+            ):
+                with self._av.open(io.BytesIO(pay)) as container:
+                    stream = container.streams.video[0]
+                    total = stream.frames or 0
+                    want = set(
+                        np.linspace(0, max(total - 1, 0), num=self.k, dtype=np.int64).tolist()
+                    )
+                    for i, frame in enumerate(container.decode(stream)):
+                        if total and i not in want:
+                            continue
+                        arr = frame.to_ndarray(format="rgb24")
+                        vids.append(int(vid))
+                        idxs.append(i)
+                        frames.append(arr.tobytes())
+                        if len(want) and i >= max(want):
+                            break
+            return pa.table(
+                {
+                    "video_id": pa.array(vids, pa.int64()),
+                    "frame_idx": pa.array(idxs, pa.int32()),
+                    "frame_payload": pa.array(frames, pa.binary()),
+                }
             )
         vids, idxs, frames = [], [], []
         ids = batch["video_id"].to_numpy(zero_copy_only=False)
@@ -230,13 +428,13 @@ class AudioFeatureStage:
     """Actor-pool stage: (audio_id, payload, sample_rate, ...) →
     per-frame energy features (audio_id, frame_idx, rms, zero_cross).
 
-    ``mode='real'`` would resample/filter with torchaudio/librosa —
-    unavailable here, so it raises with the integration point
-    documented. ``mode='fake'`` treats the payload as PCM16 and
-    computes REAL framed features (RMS + zero-crossing count per
-    ``frame_len``-sample frame) with vectorized numpy — the framing
-    math, schema and batch plumbing are production-shaped even though
-    the input bytes are synthetic.
+    ``mode='real'`` decodes the payload container — soundfile when
+    installed (attempted once per actor), else stdlib ``wave`` for
+    RIFF/WAV PCM16 (functional in codec-free containers) — then runs
+    the same framed features. ``mode='fake'`` treats the payload as
+    headerless PCM16. Both compute REAL framed features (RMS +
+    zero-crossing count per ``frame_len``-sample frame) with
+    vectorized numpy.
     """
 
     def __init__(self, mode: str = "fake", frame_len: int = 400):
@@ -244,20 +442,53 @@ class AudioFeatureStage:
             raise ValueError(f"unknown mode {mode}")
         self.mode = mode
         self.frame_len = frame_len
+        self._sf = None
+        if mode == "real":
+            try:  # optional dependency, resolved once per actor
+                import soundfile as _sf
+
+                self._sf = _sf
+            except ImportError:
+                self._sf = None
+
+    def _pcm_real(self, payload: bytes) -> np.ndarray:
+        """payload → mono float32 PCM in [-1, 1]: soundfile when
+        installed (any libsndfile format), else stdlib ``wave`` for
+        RIFF/WAV PCM16 — genuinely functional in codec-free containers."""
+        import io
+
+        if self._sf is not None:
+            pcm, _rate = self._sf.read(io.BytesIO(payload), dtype="float32")
+            return pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import wave
+
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError(
+                        "stdlib WAV fallback handles PCM16 only; install "
+                        "soundfile for other widths"
+                    )
+                nch = wf.getnchannels()
+                pcm = np.frombuffer(
+                    wf.readframes(wf.getnframes()), dtype="<i2"
+                ).astype(np.float32) / 32768.0
+                return pcm.reshape(-1, nch).mean(axis=1) if nch > 1 else pcm
+        raise NotImplementedError(
+            "real audio decode for non-WAV payloads needs soundfile "
+            "(pip install soundfile); the stdlib fallback handles RIFF/WAV PCM16"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real audio decode needs torchaudio/librosa: parse "
-                "batch['payload'] containers, resample to a common rate, "
-                "and emit mel/MFCC frames here"
-            )
         ids = batch["audio_id"].to_numpy(zero_copy_only=False)
         pays = batch["payload"].to_numpy(zero_copy_only=False)
         out_ids, out_idx, out_rms, out_zc = [], [], [], []
         fl = self.frame_len
         for aid, pay in zip(ids, pays):
-            pcm = np.frombuffer(pay, dtype="<i2").astype(np.float32) / 32768.0
+            if self.mode == "real":
+                pcm = self._pcm_real(pay)
+            else:
+                pcm = np.frombuffer(pay, dtype="<i2").astype(np.float32) / 32768.0
             n_frames = len(pcm) // fl
             if n_frames == 0:
                 continue

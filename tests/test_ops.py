@@ -135,10 +135,168 @@ def test_multimodal_decode_plumbing(ray_session):
     np.testing.assert_array_equal(f1, f2)
 
 
-def test_multimodal_real_mode_stubbed():
+def test_multimodal_real_mode_nonpng_needs_pil():
+    """Without PIL, real mode still decodes PNG via the built-in
+    decoder but must raise for other formats, naming the dependency."""
     stage = DecodeImageStage(mode="real")
+    if stage._pil is not None:
+        pytest.skip("PIL installed: all formats decode")
     with pytest.raises(NotImplementedError):
-        stage(synth_image_table(2))
+        stage(synth_image_table(2))  # payloads are not PNGs
+
+
+def _gradient_img(h, w, c=3):
+    y = np.arange(h, dtype=np.uint8)[:, None, None]
+    x = np.arange(w, dtype=np.uint8)[None, :, None]
+    ch = np.arange(c, dtype=np.uint8)[None, None, :]
+    return ((y * 3 + x * 7 + ch * 31) % 256).astype(np.uint8)
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png (filter 0) → decode_png recovers exact pixels for
+    gray / gray+alpha / RGB / RGBA, and the decoder unfilters
+    Sub/Up/Average/Paeth scanlines (hand-built fixture)."""
+    import struct
+    import zlib
+
+    from raydedup.ops.multimodal import decode_png, encode_png
+
+    for c in (1, 2, 3, 4):
+        img = _gradient_img(13, 17, c)
+        out = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, img)
+
+    # hand-filter a 5x4 RGB image with every filter type
+    img = _gradient_img(5, 4, 3).astype(np.int32)
+    stride = 4 * 3
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1)
+        filt = np.empty(stride, np.int32)
+        for x in range(stride):
+            a = int(cur[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            cc = int(prev[x - 3]) if x >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+    raw = b"".join(lines)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(png), img.astype(np.uint8))
+
+
+def test_multimodal_real_png_decode_through_stage(ray_session):
+    """real mode decodes planted PNGs in-container (built-in decoder)
+    and emits the 8x8 block-mean luma thumbnail."""
+    from raydedup.ops.multimodal import encode_png
+
+    imgs = [_gradient_img(16, 16), _gradient_img(32, 24), _gradient_img(5, 7)]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array([encode_png(i) for i in imgs], pa.binary()),
+        }
+    )
+    feats = (
+        decode_images(rd.from_arrow(tbl), mode="real", batch_size=2)
+        .to_pandas()
+        .sort_values("image_id")
+    )
+    assert len(feats) == 3
+    # first image: flat 16x16 blocks of 2x2 — verify one block mean
+    luma = imgs[0].astype(np.float32).mean(axis=2)
+    want00 = luma[:2, :2].mean() / 255.0
+    got = np.asarray(feats.features.iloc[0], np.float32)
+    assert got[0] == pytest.approx(want00, abs=1e-6)
+    assert len(got) == 64 and np.isfinite(got).all()
+
+
+def test_multimodal_real_wav_decode():
+    """real audio mode decodes a stdlib-planted RIFF/WAV PCM16 sine and
+    produces the same framed features as fake mode on the raw PCM."""
+    import io
+    import wave
+
+    from raydedup.ops.multimodal import AudioFeatureStage
+
+    t = np.arange(8000, dtype=np.float32) / 8000.0
+    pcm16 = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(pcm16.tobytes())
+    wav_bytes = buf.getvalue()
+
+    def run(mode, payload):
+        tbl = pa.table(
+            {
+                "audio_id": pa.array([0], pa.int64()),
+                "payload": pa.array([payload], pa.binary()),
+            }
+        )
+        return AudioFeatureStage(mode=mode, frame_len=400)(tbl).to_pandas()
+
+    real = run("real", wav_bytes)
+    fake = run("fake", pcm16.tobytes())
+    assert len(real) == len(fake) == 20
+    np.testing.assert_allclose(real.rms.to_numpy(), fake.rms.to_numpy(), rtol=1e-6)
+    assert (real.zero_cross.to_numpy() == fake.zero_cross.to_numpy()).all()
+    # a 440 Hz sine at 8 kHz: ~44 zero crossings per 400-sample frame
+    assert 40 <= real.zero_cross.iloc[0] <= 48
+    assert real.rms.iloc[0] == pytest.approx(20000 / 32768 / np.sqrt(2), rel=0.05)
+
+
+def test_multimodal_real_video_gated():
+    """real frame sampling is gated on pyav: with it installed the
+    stage demuxes; without it the stage raises naming the dependency."""
+    from raydedup.ops.multimodal import SampleFramesStage, synth_video_table
+
+    stage = SampleFramesStage(k=2, mode="real")
+    if stage._av is None:
+        with pytest.raises(NotImplementedError):
+            stage(synth_video_table(1))
+    else:
+        pytest.importorskip("av")
+
+
+def test_multimodal_real_image_pil_parity():
+    """When PIL is installed, the PIL path and the built-in PNG decoder
+    agree on planted PNGs."""
+    pytest.importorskip("PIL")
+    from raydedup.ops.multimodal import decode_png, encode_png
+
+    stage = DecodeImageStage(mode="real")
+    img = _gradient_img(16, 16)
+    payload = encode_png(img)
+    via_pil = stage._decode_real(payload)
+    stage._pil = None
+    via_builtin = stage._decode_real(payload)
+    np.testing.assert_allclose(via_pil, via_builtin)
 
 
 def test_langid_markers():
@@ -1459,3 +1617,37 @@ def test_snapshot_churn_hand_case(ray_session):
     dup = pd.concat([old, old.iloc[[0]]], ignore_index=True)
     with _pytest.raises(Exception):
         snapshot_churn(rd.from_pandas(dup), rd.from_pandas(new)).materialize()
+
+
+def test_ivf_partitioned_probe_prunes_directories(ray_session, tmp_path):
+    """write_partitioned lays out one directory per cluster; a probe
+    reads ONLY its nprobe directories (file-level pruning) and returns
+    the same hits as the row-filter search."""
+    import os
+
+    rng = np.random.default_rng(45)
+    centers = rng.normal(size=(8, 16)) * 5
+    emb = np.concatenate([c + rng.normal(size=(40, 16)) for c in centers]).astype(np.float32)
+    ids = np.arange(len(emb), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 16),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    idx = IVFIndex(n_clusters=8)
+    assigned = idx.build(ds).materialize()
+    path = str(tmp_path / "ivf_index")
+    idx.write_partitioned(assigned, path)
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("ivf_cluster=")])
+    assert n_dirs >= 2  # clustered data spreads over several cells
+
+    q = emb[:2]
+    probed = idx.probe_paths(path, q, nprobe=3)
+    assert 0 < len(probed) <= 2 * 3  # union over 2 queries, <= nprobe each
+    assert len(probed) < n_dirs  # strictly pruned vs a full scan
+    got = idx.search_partitioned(path, q, k=5, nprobe=3).to_pandas()
+    ref = idx.search(assigned, q, k=5, nprobe=3).to_pandas()
+    for qi in range(2):
+        assert set(got[got.query_id == qi].vec_id) == set(ref[ref.query_id == qi].vec_id)
