@@ -26,6 +26,89 @@ NO_FALSE_NEGATIVES = "no_false_negatives"
 LOAD_FACTOR = 0.75  # frequencies/mod.rs:43-44
 
 
+# -- item codec registry ----------------------------------------------------
+# The engine-side analog of the reference's ``FrequentItemValue`` trait
+# (``frequencies/serialization.rs:36-43``): the wire format is generic
+# over the item type, so users register an (encode, decode) pair per
+# type name and pass that name to to_java_bytes/from_java_bytes. The
+# three reference-native types plus raw ``bytes`` ship registered.
+#
+#   encode(items: list) -> bytes
+#   decode(buf: bytes, pos: int, n: int) -> (items: list, new_pos: int)
+
+_ITEM_CODECS: dict = {}
+
+
+def register_item_codec(name: str, encode, decode) -> None:
+    """Register a FrequentItems wire codec for arbitrary item types
+    (tuples, composite keys, pre-encoded bytes, ...). Items must stay
+    hashable — the sketch map is a dict — and ``decode`` must return
+    exactly the values ``encode`` consumed."""
+    _ITEM_CODECS[name] = (encode, decode)
+
+
+def _enc_i64(items):
+    return np.asarray(items, dtype="<i8").tobytes()
+
+
+def _dec_i64(buf, pos, n):
+    return np.frombuffer(buf, dtype="<i8", count=n, offset=pos).tolist(), pos + 8 * n
+
+
+def _enc_u64(items):
+    return np.asarray(items, dtype="<u8").tobytes()
+
+
+def _dec_u64(buf, pos, n):
+    return np.frombuffer(buf, dtype="<u8", count=n, offset=pos).tolist(), pos + 8 * n
+
+
+def _enc_str(items):
+    import struct
+
+    parts = []
+    for it in items:
+        bs = str(it).encode()
+        parts.append(struct.pack("<I", len(bs)) + bs)
+    return b"".join(parts)
+
+
+def _dec_str(buf, pos, n):
+    import struct
+
+    items = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        items.append(buf[pos : pos + ln].decode())
+        pos += ln
+    return items, pos
+
+
+def _enc_bytes(items):
+    import struct
+
+    return b"".join(struct.pack("<I", len(it)) + bytes(it) for it in items)
+
+
+def _dec_bytes(buf, pos, n):
+    import struct
+
+    items = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        items.append(bytes(buf[pos : pos + ln]))
+        pos += ln
+    return items, pos
+
+
+register_item_codec("i64", _enc_i64, _dec_i64)
+register_item_codec("u64", _enc_u64, _dec_u64)
+register_item_codec("string", _enc_str, _dec_str)
+register_item_codec("bytes", _enc_bytes, _dec_bytes)
+
+
 @dataclass
 class FrequentItemsSketch:
     max_map_size: int
@@ -122,8 +205,10 @@ class FrequentItemsSketch:
         lg_max_map_size, lg_cur_map_size, flags; non-empty adds
         active-item count, stream weight, offset, the raw stored
         counts (u64 each) and the items encoded per
-        ``FrequentItemValue`` (i64/u64 fixed 8 bytes; string as
-        u32-length-prefixed utf-8, ``serialization.rs:45-95``)."""
+        ``FrequentItemValue`` (``serialization.rs:45-95``): the item
+        codec is looked up by ``item_type`` in the extensible registry
+        (built-ins i64/u64 fixed 8 bytes, string/bytes u32-length-
+        prefixed; arbitrary types via ``register_item_codec``)."""
         import math
         import struct
 
@@ -138,18 +223,12 @@ class FrequentItemsSketch:
         items = list(self.counts.keys())
         vals = np.fromiter(self.counts.values(), dtype=np.uint64, count=active)
         out += vals.tobytes()
-        if item_type == "i64":
-            out += np.asarray(items, dtype="<i8").tobytes()
-        elif item_type == "u64":
-            out += np.asarray(items, dtype="<u8").tobytes()
-        elif item_type == "string":
-            parts = []
-            for it in items:
-                bs = str(it).encode()
-                parts.append(struct.pack("<I", len(bs)) + bs)
-            out += b"".join(parts)
-        else:
-            raise ValueError(f"unsupported item_type {item_type}")
+        if item_type not in _ITEM_CODECS:
+            raise ValueError(
+                f"unsupported item_type {item_type}; register one with "
+                "register_item_codec"
+            )
+        out += _ITEM_CODECS[item_type][0](items)
         return out
 
     @classmethod
@@ -178,19 +257,12 @@ class FrequentItemsSketch:
         stream_weight, offset = struct.unpack_from("<QQ", buf, 16)
         vals = np.frombuffer(buf, dtype="<u8", count=active, offset=32).astype(np.int64)
         pos = 32 + active * 8
-        if item_type == "i64":
-            items = np.frombuffer(buf, dtype="<i8", count=active, offset=pos).tolist()
-        elif item_type == "u64":
-            items = np.frombuffer(buf, dtype="<u8", count=active, offset=pos).tolist()
-        elif item_type == "string":
-            items = []
-            for _ in range(active):
-                (n,) = struct.unpack_from("<I", buf, pos)
-                pos += 4
-                items.append(buf[pos : pos + n].decode())
-                pos += n
-        else:
-            raise ValueError(f"unsupported item_type {item_type}")
+        if item_type not in _ITEM_CODECS:
+            raise ValueError(
+                f"unsupported item_type {item_type}; register one with "
+                "register_item_codec"
+            )
+        items, pos = _ITEM_CODECS[item_type][1](buf, pos, active)
         if len(items) != active:
             raise ValueError("item count mismatch during deserialization")
         sk = cls(1 << lg_max, dict(zip(items, vals.tolist())), int(offset), int(stream_weight))

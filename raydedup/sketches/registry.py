@@ -90,3 +90,13 @@ def sketch_from_bytes(buf: bytes):
     if loader is None:
         raise codec.CodecError(f"unknown sketch family {family}")
     return loader(buf)
+
+
+def register_frequent_item_codec(name: str, encode, decode) -> None:
+    """Extension surface for FrequentItems wire codecs — the engine
+    analog of the reference's generic ``FrequentItemValue`` trait
+    (``frequencies/serialization.rs:36-43``). See
+    ``frequencies.register_item_codec`` for the signatures."""
+    from raydedup.sketches.frequencies import register_item_codec
+
+    register_item_codec(name, encode, decode)

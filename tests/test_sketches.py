@@ -1086,3 +1086,46 @@ def test_cpc_hip_survives_serde():
     for rt in (CpcSketch.from_bytes(m.to_bytes()), cpc_from_java_bytes(cpc_to_java_bytes(m))):
         assert rt.merged
         assert rt.estimate() == m.estimate()
+
+
+def test_frequent_items_custom_codec_roundtrip():
+    """A user-registered item codec (tuple-typed items) round-trips
+    through the family-10 wire format; the 'bytes' built-in too."""
+    import struct
+
+    from raydedup.sketches.frequencies import FrequentItemsSketch
+    from raydedup.sketches.registry import register_frequent_item_codec
+
+    def enc_pair(items):
+        return b"".join(struct.pack("<qq", a, b) for a, b in items)
+
+    def dec_pair(buf, pos, n):
+        out = []
+        for _ in range(n):
+            a, b = struct.unpack_from("<qq", buf, pos)
+            pos += 16
+            out.append((a, b))
+        return out, pos
+
+    register_frequent_item_codec("pair_i64", enc_pair, dec_pair)
+
+    sk = FrequentItemsSketch(64)
+    for i in range(10):
+        sk.update((i, i * i), count=i + 1)
+    img = sk.to_java_bytes(item_type="pair_i64")
+    back = FrequentItemsSketch.from_java_bytes(img, item_type="pair_i64")
+    assert back.counts == sk.counts
+    assert back.total_weight == sk.total_weight
+    assert back.estimate((7, 49)) == 8
+
+    skb = FrequentItemsSketch(64)
+    skb.update(b"alpha", 3)
+    skb.update(b"\x00\xffraw", 5)
+    img2 = skb.to_java_bytes(item_type="bytes")
+    back2 = FrequentItemsSketch.from_java_bytes(img2, item_type="bytes")
+    assert back2.counts == skb.counts
+
+    import pytest
+
+    with pytest.raises(ValueError, match="register_item_codec"):
+        sk.to_java_bytes(item_type="no_such_codec")
