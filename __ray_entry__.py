@@ -1315,6 +1315,62 @@ def _q_image_features(sf_dir: str):
     )
 
 
+def _q_png_features(sf_dir: str):
+    """REAL image decode through the actor-pool stage: a planted
+    corpus of genuine PNG payloads (``synth_png_table``) decoded by the
+    built-in zlib+numpy PNG decoder (PIL preferred when installed) into
+    8x8 block-mean luma thumbnails, exploded to long-format scalar rows.
+    Sidecar oracle: the same decode kernel run single-process — the
+    driver's gate compares the distributed actor batching value-exact
+    against in-process pixel ground truth."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import decode_images, explode_features, synth_png_table
+
+    ds = rd.from_arrow(synth_png_table(120, seed=7))
+    feats = decode_images(ds, mode="real", batch_size=32)
+    return feats.map_batches(explode_features, batch_format="pyarrow").sort(
+        ["image_id", "feat_idx"]
+    )
+
+
+def _q_ivf_partitioned_topk(sf_dir: str):
+    """IVF ANN with FILE-LEVEL probe pruning: deterministic centroids
+    (k-means over the blocking-independent ``vec_id % 7 == 0`` sample),
+    cluster-partitioned parquet index under /tmp, then top-10 per query
+    reading ONLY the probed cluster directories. Output is top-k
+    MEMBERSHIP (query_id, vec_id) like ann_topk. Sidecar oracle: the
+    same centroids/probe/brute-force kernels in one process."""
+    import ray.data as rd
+
+    from raydedup.ops.ann import IVFIndex
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def mod7(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v % 7 == 0))
+
+    sample = ds.map_batches(mod7, batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    idx = IVFIndex(n_clusters=8)
+    idx.train(np.stack(sample["embedding"].to_numpy()))
+    assigned = idx.assign(ds)
+
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="raydedup_ivf_")
+    try:
+        idx.write_partitioned(assigned, path)
+        qdf = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+        qm = np.stack(qdf["embedding"].to_numpy())
+        out = idx.search_partitioned(path, qm, k=10, nprobe=3).to_pandas()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out = out.sort_values(["query_id", "vec_id"])[["query_id", "vec_id"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def _q_sig_distance_quantiles(sf_dir: str):
     """KLL quantiles of candidate-pair signature distances — the
     north_star's partition-parallel telemetry sketch over the verify
@@ -2608,6 +2664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "bm25_topk": _q_bm25_topk,
         "image_features": _q_image_features,
+        "png_features": _q_png_features,
+        "ivf_partitioned_topk": _q_ivf_partitioned_topk,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "sig_distance_quantiles": _q_sig_distance_quantiles,
@@ -2704,6 +2762,8 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("simhash_pairs", "simhash.parquet"),
             ("audio_features", "audio_features.parquet"),
             ("image_features", "image_features.parquet"),
+            ("png_features", "png_features.parquet"),
+            ("ivf_partitioned_topk", "ivf_partitioned_topk.parquet"),
             ("video_frames", "video_frames.parquet"),
             ("quantity_quantiles", "quantity_quantiles.parquet"),
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
@@ -2731,6 +2791,7 @@ def _ensure_oracle_sidecars() -> set[str]:
         frame_fingerprints,
         synth_audio_table,
         synth_image_table,
+        synth_png_table,
         synth_video_table,
     )
     from raydedup.ops.simhash import simhash_batch_fn
@@ -2752,6 +2813,11 @@ def _ensure_oracle_sidecars() -> set[str]:
         ),
         "video_frames": frame_fingerprints(
             SampleFramesStage(k=4, mode="fake")(synth_video_table(300, seed=42))
+        ),
+        # REAL pixel ground truth: the same built-in PNG decode kernel
+        # over the same planted payloads, one process
+        "png_features": explode_features(
+            DecodeImageStage(mode="real")(synth_png_table(120, seed=7))
         ),
     }
 
@@ -2793,6 +2859,32 @@ def _ensure_oracle_sidecars() -> set[str]:
             "rerank_score": pa.array(rs, pa.float64()),
             "rerank": pa.array(rr, pa.int64()),
         }
+    )
+
+    # ivf_partitioned_topk twin: same deterministic centroids (k-means
+    # over the vec_id % 7 == 0 sample in vec_id order), same probe
+    # union + in-probe brute force, top-10 MEMBERSHIP, one process.
+    from raydedup.ops.ann import _kmeans
+
+    id_order = np.argsort(eids, kind="stable")
+    samp_rows = id_order[eids[id_order] % 7 == 0]
+    cent = _kmeans(E[samp_rows], 8, seed=42)
+    q_rows = id_order[eids[id_order] < 5]
+    q_n = _normalize(E[q_rows].astype(np.float32))
+    probe = np.argsort(-(q_n @ cent.T), axis=1)[:, :3]
+    probe_set = sorted({int(c) for row in probe for c in row})
+    assign_all = np.argmax(_normalize(E) @ cent.T, axis=1).astype(np.int32)
+    in_probe = np.isin(assign_all, probe_set)
+    sub_ids, sub_E = eids[in_probe], _normalize(E[in_probe])
+    iq, iv = [], []
+    for qi in range(len(q_n)):
+        sc = (sub_E @ q_n[qi]).astype(np.float64)
+        top = np.lexsort((sub_ids, -sc))[:10]
+        for v in sorted(sub_ids[top].tolist()):
+            iq.append(qi)
+            iv.append(int(v))
+    outputs["ivf_partitioned_topk"] = pa.table(
+        {"query_id": pa.array(iq, pa.int64()), "vec_id": pa.array(iv, pa.int64())}
     )
 
     pr1, _pr2 = _column_hashes(tbl["doc_id"].combine_chunks())
@@ -2906,6 +2998,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, feat_idx, value
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/image_features.parquet')
             ORDER BY image_id, feat_idx
+        """,
+        "png_features": f"""
+            SELECT image_id, feat_idx, value
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/png_features.parquet')
+            ORDER BY image_id, feat_idx
+        """,
+        "ivf_partitioned_topk": f"""
+            SELECT query_id, vec_id
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/ivf_partitioned_topk.parquet')
+            ORDER BY query_id, vec_id
         """,
         "video_frames": f"""
             SELECT video_id, frame_idx, frame_fp

@@ -481,6 +481,24 @@ class IVFIndex:
         self.seed = seed
         self.centroids = None
 
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        """Fit centroids on a caller-provided (n, d) sample — the
+        deterministic path (a blocking-independent sample gives
+        blocking-independent centroids, which oracle twins need)."""
+        self.centroids = _kmeans(sample, self.n_clusters, seed=self.seed)
+        return self
+
+    def assign(self, ds):
+        """Attach ``ivf_cluster`` using the already-trained centroids
+        (broadcast once, actor pool reads zero-copy)."""
+        cref = ray.put(self.centroids)
+        return ds.map_batches(
+            _IVFAssign,
+            fn_constructor_args=(cref, self.id_column, self.column),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+
     def build(self, ds, sample_size: int = 2048):
         # uniform seeded sample across ALL blocks (ds.limit would take
         # the first blocks only — biased when the input is ordered)
@@ -489,16 +507,8 @@ class IVFIndex:
         sample = ds.random_sample(frac, seed=self.seed).limit(sample_size).to_pandas()
         if len(sample) == 0:
             sample = ds.limit(sample_size).to_pandas()
-        emb = np.stack(sample[self.column].to_numpy())
-        self.centroids = _kmeans(emb, self.n_clusters, seed=self.seed)
-        cref = ray.put(self.centroids)
-        assigned = ds.map_batches(
-            _IVFAssign,
-            fn_constructor_args=(cref, self.id_column, self.column),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-        return assigned
+        self.train(np.stack(sample[self.column].to_numpy()))
+        return self.assign(ds)
 
     def _probe_clusters(self, queries: np.ndarray, nprobe: int):
         """→ (normalized query matrix, sorted union of probed cluster

@@ -165,6 +165,37 @@ def synth_image_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_png_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-PNG corpus: (image_id, payload, mime, width,
+    height, n_bytes) with decodable 8-bit RGB payloads (seeded noise +
+    gradient, encoded by ``encode_png``) — the planted fixture for
+    ``mode='real'`` decode paths."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, ws, hs = [], [], [], []
+    for i in range(n):
+        h = int(rng.integers(9, 48))
+        w = int(rng.integers(9, 48))
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        grad = (np.arange(w, dtype=np.int64)[None, :, None] * 255 // max(w - 1, 1)).astype(
+            np.uint8
+        )
+        img = ((base.astype(np.int32) + grad) % 256).astype(np.uint8)
+        ids.append(i)
+        payloads.append(encode_png(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array(np.array(ws, np.int32)),
+            "height": pa.array(np.array(hs, np.int32)),
+            "n_bytes": pa.array(np.array([len(p) for p in payloads], np.int64)),
+        }
+    )
+
+
 class DecodeImageStage:
     """Actor-pool stage: (image_id, payload, ...) → (image_id, features).
 
