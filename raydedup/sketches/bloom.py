@@ -87,7 +87,7 @@ class BloomFilter:
             other.num_hashes,
             other.seed,
         ):
-            raise codec.CodecError("incompatible Bloom filter configs")
+            raise codec.InvalidArgument("incompatible Bloom filter configs")
 
     def union(self, other: "BloomFilter") -> "BloomFilter":
         self._check_compat(other)

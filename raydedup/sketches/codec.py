@@ -47,7 +47,22 @@ HEADER_SIZE = _HEADER.size
 
 
 class CodecError(ValueError):
-    """Raised on corrupt or incompatible sketch images (error.rs:25-80)."""
+    """Base for sketch codec failures (``error.rs:25-80``). The two
+    subclasses mirror the reference's taxonomy: catch ``CodecError``
+    for either, or the subclass to distinguish caller mistakes from
+    corrupt data."""
+
+
+class InvalidArgument(CodecError):
+    """Caller-supplied parameter is out of contract (``error.rs``
+    ``InvalidArgument``): bad lg_k, mismatched seeds at merge time,
+    unsupported config requested."""
+
+
+class InvalidData(CodecError):
+    """The bytes themselves are corrupt or foreign (``error.rs``
+    ``InvalidData``): truncated image, family/version mismatch,
+    failed internal invariant while decoding."""
 
 
 def pack_header(family: int, config: int, flags: int, seed_hash: int) -> bytes:
@@ -61,14 +76,14 @@ def unpack_header(buf: bytes, expect_family: int, expect_seed_hash: int | None =
     reference's deserialize validation (``theta/sketch.rs:598-630``).
     """
     if len(buf) < HEADER_SIZE:
-        raise CodecError(f"insufficient data: {len(buf)} < {HEADER_SIZE}")
+        raise InvalidData(f"insufficient data: {len(buf)} < {HEADER_SIZE}")
     family, version, config, flags, seed_hash, _ = _HEADER.unpack_from(buf)
     if family != expect_family:
-        raise CodecError(f"family mismatch: expected {expect_family}, got {family}")
+        raise InvalidData(f"family mismatch: expected {expect_family}, got {family}")
     if version != SERIAL_VERSION:
-        raise CodecError(f"unsupported serial version {version}")
+        raise InvalidData(f"unsupported serial version {version}")
     if expect_seed_hash is not None and seed_hash != expect_seed_hash and not (flags & FLAG_EMPTY):
-        raise CodecError(
+        raise InvalidArgument(
             f"incompatible seed hash: expected {expect_seed_hash}, got {seed_hash}"
         )
     return config, flags, seed_hash

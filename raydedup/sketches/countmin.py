@@ -98,7 +98,7 @@ class CountMinSketch:
             other.num_buckets,
             other.seed_hash,
         ):
-            raise codec.CodecError("incompatible CountMin configs")
+            raise codec.InvalidArgument("incompatible CountMin configs")
         out = CountMinSketch(self.num_hashes, self.num_buckets, self.seed)
         out.counts = self.counts + other.counts
         out.total_weight = self.total_weight + other.total_weight

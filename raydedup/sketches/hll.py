@@ -194,7 +194,7 @@ class HllSketch:
             return cls(lg_k, coupons=coupons)
         regs = np.frombuffer(buf, dtype=np.uint8, offset=codec.HEADER_SIZE).copy()
         if len(regs) != 1 << lg_k:
-            raise codec.CodecError(f"register array size {len(regs)} != 2^{lg_k}")
+            raise codec.InvalidData(f"register array size {len(regs)} != 2^{lg_k}")
         return cls(lg_k, regs)
 
 

@@ -84,11 +84,11 @@ def register_family(family_id: int, loader) -> None:
 def sketch_from_bytes(buf: bytes):
     """Decode any engine sketch image by its family byte."""
     if len(buf) < 1:
-        raise codec.CodecError("empty sketch image")
+        raise codec.InvalidData("empty sketch image")
     family = buf[0]
     loader = _LOADERS.get(family)
     if loader is None:
-        raise codec.CodecError(f"unknown sketch family {family}")
+        raise codec.InvalidData(f"unknown sketch family {family}")
     return loader(buf)
 
 

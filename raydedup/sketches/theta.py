@@ -185,16 +185,16 @@ class ThetaSketch:
         import struct
 
         if len(buf) < 8:
-            raise codec.CodecError(f"insufficient data: {len(buf)} < 8")
+            raise codec.InvalidData(f"insufficient data: {len(buf)} < 8")
         pre, ver, family = struct.unpack_from("<BBB", buf, 0)
         flags, seed_hash = struct.unpack_from("<BH", buf, 5)
         if family != codec.FAMILY_THETA:
-            raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+            raise codec.InvalidData(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
         if ver != 3:
-            raise codec.CodecError(f"unsupported theta serial version {ver} (only v3)")
+            raise codec.InvalidData(f"unsupported theta serial version {ver} (only v3)")
         empty = bool(flags & (1 << 2))
         if expect_seed_hash is not None and not empty and seed_hash != expect_seed_hash:
-            raise codec.CodecError(
+            raise codec.InvalidData(
                 f"incompatible seed hash: expected {expect_seed_hash}, got {seed_hash}"
             )
         off = 8
@@ -267,12 +267,12 @@ def theta_from_java_v4_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, expect_seed_h
 
     pre, ver, family, bits, n_bytes, flags, seed_hash = struct.unpack_from("<BBBBBBH", buf, 0)
     if family != codec.FAMILY_THETA:
-        raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+        raise codec.InvalidData(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
     if ver != 4:
-        raise codec.CodecError(f"not a v4 theta image (version {ver})")
+        raise codec.InvalidData(f"not a v4 theta image (version {ver})")
     empty = bool(flags & (1 << 2))
     if expect_seed_hash is not None and not empty and seed_hash != expect_seed_hash:
-        raise codec.CodecError(
+        raise codec.InvalidData(
             f"incompatible seed hash: expected {expect_seed_hash}, got {seed_hash}"
         )
     off = 8
@@ -290,7 +290,7 @@ def _check_entries(entries: np.ndarray, theta: int) -> np.ndarray:
     """read_entries validation (theta/sketch.rs:632-648): every retained
     hash must satisfy 0 < h < theta."""
     if len(entries) and ((entries == 0).any() or (entries >= U64(theta)).any()):
-        raise codec.CodecError("corrupted: invalid retained hash value")
+        raise codec.InvalidData("corrupted: invalid retained hash value")
     return entries
 
 
@@ -301,7 +301,7 @@ def theta_from_java_v1_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = D
     import struct
 
     if len(buf) < 24:
-        raise codec.CodecError(f"insufficient data: {len(buf)} < 24")
+        raise codec.InvalidData(f"insufficient data: {len(buf)} < 24")
     (n,) = struct.unpack_from("<I", buf, 8)
     (theta,) = struct.unpack_from("<Q", buf, 16)
     seed_hash = compute_seed_hash(seed)
@@ -319,12 +319,12 @@ def theta_from_java_v2_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = D
     import struct
 
     if len(buf) < 8:
-        raise codec.CodecError(f"insufficient data: {len(buf)} < 8")
+        raise codec.InvalidData(f"insufficient data: {len(buf)} < 8")
     pre = buf[0]
     (seed_hash,) = struct.unpack_from("<H", buf, 6)
     expect = compute_seed_hash(seed)
     if seed_hash != expect:
-        raise codec.CodecError(f"incompatible seed hash: expected {expect}, got {seed_hash}")
+        raise codec.InvalidData(f"incompatible seed hash: expected {expect}, got {seed_hash}")
     if pre == 1:  # empty
         return ThetaSketch(lg_k, MAX_THETA, np.empty(0, U64), seed_hash, True)
     if pre == 2:  # precise (exact mode)
@@ -337,18 +337,18 @@ def theta_from_java_v2_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = D
         entries = _check_entries(np.frombuffer(buf, dtype=U64, count=n, offset=24).copy(), theta)
         empty = n == 0 and theta == MAX_THETA
         return ThetaSketch(lg_k, int(theta), entries, seed_hash, empty)
-    raise codec.CodecError(f"invalid v2 preamble longs {pre} (expected 1, 2, or 3)")
+    raise codec.InvalidData(f"invalid v2 preamble longs {pre} (expected 1, 2, or 3)")
 
 
 def theta_from_java_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = DEFAULT_SEED) -> ThetaSketch:
     """Version-dispatching decoder for DataSketches compact theta
     images, serVer 1-4 (theta/sketch.rs:598-630)."""
     if len(buf) < 3:
-        raise codec.CodecError(f"insufficient data: {len(buf)} < 3")
+        raise codec.InvalidData(f"insufficient data: {len(buf)} < 3")
     ver = buf[1]
     family = buf[2]
     if family != codec.FAMILY_THETA:
-        raise codec.CodecError(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
+        raise codec.InvalidData(f"family mismatch: expected {codec.FAMILY_THETA}, got {family}")
     expect_hash = compute_seed_hash(seed)
     if ver == 1:
         return theta_from_java_v1_bytes(buf, lg_k, seed)
@@ -358,7 +358,7 @@ def theta_from_java_bytes(buf: bytes, lg_k: int = DEFAULT_LG_K, seed: int = DEFA
         return ThetaSketch.from_java_v3_bytes(buf, lg_k, expect_seed_hash=expect_hash)
     if ver == 4:
         return theta_from_java_v4_bytes(buf, lg_k, expect_seed_hash=expect_hash)
-    raise codec.CodecError(f"unsupported serial version: expected 1, 2, 3, or 4, got {ver}")
+    raise codec.InvalidData(f"unsupported serial version: expected 1, 2, 3, or 4, got {ver}")
 
 
 def _rebuild(entries: np.ndarray, theta: int, lg_k: int) -> tuple[np.ndarray, int]:
@@ -387,7 +387,7 @@ def theta_union(sketches: list[ThetaSketch]) -> ThetaSketch:
     lg_k = min(s.lg_k for s in sketches)
     for s in sketches:
         if s.seed_hash != seed_hash and not s.empty:
-            raise codec.CodecError(
+            raise codec.InvalidData(
                 f"incompatible seed hash: expected {seed_hash}, got {s.seed_hash}"
             )
     theta = min(s.theta for s in sketches)
@@ -404,7 +404,7 @@ def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
     screened below theta; empty if either input is empty.
     """
     if not a.empty and not b.empty and a.seed_hash != b.seed_hash:
-        raise codec.CodecError(
+        raise codec.InvalidData(
             f"incompatible seed hash: expected {a.seed_hash}, got {b.seed_hash}"
         )
     theta = min(a.theta, b.theta)

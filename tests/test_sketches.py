@@ -1129,3 +1129,24 @@ def test_frequent_items_custom_codec_roundtrip():
 
     with pytest.raises(ValueError, match="register_item_codec"):
         sk.to_java_bytes(item_type="no_such_codec")
+
+
+def test_error_taxonomy():
+    """CodecError splits into InvalidData (corrupt/foreign bytes) and
+    InvalidArgument (caller contract violations), both still catchable
+    as CodecError — the reference's error.rs taxonomy."""
+    import pytest
+
+    from raydedup.sketches import codec
+    from raydedup.sketches.bloom import BloomFilter
+    from raydedup.sketches.theta import ThetaSketch, theta_from_java_bytes
+
+    assert issubclass(codec.InvalidData, codec.CodecError)
+    assert issubclass(codec.InvalidArgument, codec.CodecError)
+    with pytest.raises(codec.InvalidData):
+        theta_from_java_bytes(b"\x00\x01")  # truncated image
+    with pytest.raises(codec.InvalidData):
+        codec.unpack_header(b"\xff" * codec.HEADER_SIZE, codec.FAMILY_THETA)
+    a, b = BloomFilter(128, 3), BloomFilter(256, 3)
+    with pytest.raises(codec.InvalidArgument):
+        a.union(b)  # mismatched configs: caller mistake, not bad bytes
