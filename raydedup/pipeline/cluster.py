@@ -83,12 +83,31 @@ def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
     string argsort, which the min-url-label semantics (and the SQL
     oracle's ``min(label)``) genuinely require. 128-bit equality is
     the same exactness class as ``ops/exact.py``."""
-    from raydedup.sketches.hashing import hash_strings
+    from raydedup.sketches.hashing import hash_strings, hash_u64_column
 
     cat = np.concatenate([edges_a, edges_b])
     if len(cat) == 0:
         return np.empty(0, dtype=edges_a.dtype), np.empty(0, np.int64)
-    h1, h2 = hash_strings(list(cat))
+    if np.issubdtype(cat.dtype, np.integer):
+        # int node ids (tiered's driver path): hash the 8-byte LE image —
+        # vectorized, and O(1) per value where the string path's
+        # ``bytes(int)`` fallback would build a v-byte zero buffer
+        h1, h2 = hash_u64_column(cat)
+    else:
+        h1, h2 = hash_strings(list(cat))
+    nodes, lab, _ = _cc_from_hashes(cat, h1, h2, len(edges_a))
+    return nodes, lab
+
+
+def _cc_from_hashes(cat: np.ndarray, h1: np.ndarray, h2: np.ndarray, n_a: int):
+    """Core of ``connected_components_arrays`` over PRECOMPUTED 128-bit
+    endpoint hashes (so the hashing can run distributed, off the
+    driver's serial critical path). ``cat`` is the concatenated edge
+    endpoints (edge i = (cat[i], cat[n_a+i])); returns (sorted nodes,
+    root index per node, node h1) — the extra h1 return lets the
+    broadcast-assignment payload skip re-hashing the node urls."""
+    import pyarrow.compute as pc
+
     order = np.lexsort((h2, h1))
     so1, so2 = h1[order], h2[order]
     new = np.ones(len(order), bool)
@@ -97,12 +116,23 @@ def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
     codes_hash = np.empty(len(cat), np.int64)
     codes_hash[order] = grp
     uniq = cat[order[new]]
-    perm = np.argsort(uniq, kind="stable")
+    uniq_h1 = so1[new]
+    # lexicographic order of the unique urls via Arrow's C++ sort:
+    # UTF-8 byte order == code-point order == Python str order (and
+    # DuckDB's default VARCHAR collation), ~3x faster than
+    # np.argsort over object strings; uniq has no duplicates so
+    # stability is moot. Int node ids (tiered's driver path) sort
+    # directly.
+    if uniq.dtype == object:
+        perm = pc.sort_indices(pa.array(uniq, type=pa.string())).to_numpy().astype(np.int64)
+    else:
+        perm = np.argsort(uniq, kind="stable")
     nodes = uniq[perm]
+    node_h1 = uniq_h1[perm]
     remap = np.empty(len(uniq), np.int64)
     remap[perm] = np.arange(len(uniq))
     codes = remap[codes_hash]
-    ia, ib = codes[: len(edges_a)], codes[len(edges_a) :]
+    ia, ib = codes[:n_a], codes[n_a:]
     lab = np.arange(len(nodes), dtype=np.int64)
     while True:
         before = lab.copy()
@@ -112,7 +142,60 @@ def connected_components_arrays(edges_a: np.ndarray, edges_b: np.ndarray):
         lab = np.minimum(lab, lab[lab])  # pointer jump through chains
         if np.array_equal(lab, before):
             break
-    return nodes, lab
+    return nodes, lab, node_h1
+
+
+@ray.remote
+def _gather_dup_edges(*blocks):
+    """Filter a chunk of verify-output blocks to is_dup edges and hash
+    both endpoints — the parallelizable half of the driver-side
+    assignment prep. Returns (url_a, url_b, h1a, h2a, h1b, h2b); the
+    driver then only concatenates and runs the int CC kernel, never
+    hashing strings itself."""
+    from raydedup.sketches.hashing import hash_strings
+
+    a_parts, b_parts = [], []
+    ha1, ha2, hb1, hb2 = [], [], [], []
+    for blk in blocks:
+        if len(blk) == 0 or "is_dup" not in (
+            blk.column_names if isinstance(blk, pa.Table) else blk.columns
+        ):
+            continue  # empty schema-less block (zero-candidate corpus)
+        if isinstance(blk, pa.Table):
+            sel = blk.select(["url_a", "url_b"]).filter(blk["is_dup"])
+            if len(sel) == 0:
+                continue
+            ua, ub = sel["url_a"], sel["url_b"]
+            a_parts.append(ua.to_numpy(zero_copy_only=False))
+            b_parts.append(ub.to_numpy(zero_copy_only=False))
+        else:  # pandas block (the verify kernel's native output)
+            m = blk["is_dup"].to_numpy()
+            ua_np = blk["url_a"].to_numpy()[m]
+            ub_np = blk["url_b"].to_numpy()[m]
+            if len(ua_np) == 0:
+                continue
+            a_parts.append(ua_np)
+            b_parts.append(ub_np)
+            ua = pa.array(ua_np, type=pa.string())
+            ub = pa.array(ub_np, type=pa.string())
+        x1, x2 = hash_strings(ua)
+        y1, y2 = hash_strings(ub)
+        ha1.append(x1)
+        ha2.append(x2)
+        hb1.append(y1)
+        hb2.append(y2)
+    if not a_parts:
+        e = np.empty(0, dtype=object)
+        u = np.empty(0, np.uint64)
+        return e, e, u, u, u, u
+    return (
+        np.concatenate(a_parts),
+        np.concatenate(b_parts),
+        np.concatenate(ha1),
+        np.concatenate(ha2),
+        np.concatenate(hb1),
+        np.concatenate(hb2),
+    )
 
 
 def label_propagation_components(edges, max_rounds: int = 50, n_buckets: int = 64):
@@ -247,15 +330,18 @@ def cluster_assignments(
     a Dataset with one row per corpus doc.
 
     When ``verified_full`` (the MATERIALIZED unfiltered verify output)
-    is given, the driver-side edge gather fetches its raw blocks and
-    masks ``is_dup`` natively instead of round-tripping them through
-    ``iter_batches(batch_format="pyarrow")`` — the iterator converts
-    every (pandas) block to Arrow on the driver, measured 2.2-3.0 s vs
-    0.08-0.17 s for the raw gather at 240k docs (75k dup edges). Blocks
-    are fetched in bounded chunks so the ``max_driver_edges`` budget
-    still caps driver memory; the distributed spill path keeps using
-    ``verified_pairs`` so nothing edge-sized must fit on the driver
-    there.
+    is given, the edge gather fans its raw blocks out to remote chunk
+    tasks that filter ``is_dup`` AND murmur-hash both endpoints in
+    parallel, so the driver's serial critical path is reduced to
+    concatenation + the int connected-components kernel (the string
+    hash was the dominant serial term: ~1.5 s of the 7 s assign-prep
+    at 960k docs). The earlier driver-serial raw-block gather itself
+    measured 0.08-0.17 s at 240k docs vs 2.2-3.0 s for
+    ``iter_batches`` — the remote fan-out keeps that advantage and
+    parallelizes the filter+hash too. Results are drained in bounded
+    chunks so the ``max_driver_edges`` budget still caps driver
+    memory; the distributed spill path keeps using ``verified_pairs``
+    so nothing edge-sized must fit on the driver there.
     """
     import os as _os
     import sys as _sys
@@ -264,34 +350,32 @@ def cluster_assignments(
     _timing = _os.environ.get("RAYDEDUP_TIMING")
     _t0 = _time.time()
     a_parts, b_parts = [], []
+    ha1_p, ha2_p, hb1_p, hb2_p = [], [], [], []
     n_edges = 0
     spill_to_distributed = False
     if verified_full is not None:
         import ray
 
         refs = verified_full.get_internal_block_refs()
-        for i in range(0, len(refs), 32):
-            if spill_to_distributed:
+        chunk = 32
+        futs = [
+            _gather_dup_edges.remote(*refs[i : i + chunk])
+            for i in range(0, len(refs), chunk)
+        ]
+        for fut in futs:
+            ea_i, eb_i, x1, x2, y1, y2 = ray.get(fut)
+            if len(ea_i) == 0:
+                continue
+            a_parts.append(ea_i)
+            b_parts.append(eb_i)
+            ha1_p.append(x1)
+            ha2_p.append(x2)
+            hb1_p.append(y1)
+            hb2_p.append(y2)
+            n_edges += len(ea_i)
+            if n_edges > max_driver_edges:
+                spill_to_distributed = True
                 break
-            for blk in ray.get(refs[i : i + 32]):
-                if len(blk) == 0 or "is_dup" not in (
-                    blk.column_names if isinstance(blk, pa.Table) else blk.columns
-                ):
-                    continue  # empty schema-less block (zero-candidate corpus)
-                if isinstance(blk, pa.Table):
-                    sel = blk.select(["url_a", "url_b"]).filter(blk["is_dup"])
-                    ea_i = sel["url_a"].to_numpy(zero_copy_only=False)
-                    eb_i = sel["url_b"].to_numpy(zero_copy_only=False)
-                else:  # pandas block (the verify kernel's native output)
-                    m = blk["is_dup"].to_numpy()
-                    ea_i = blk["url_a"].to_numpy()[m]
-                    eb_i = blk["url_b"].to_numpy()[m]
-                a_parts.append(ea_i)
-                b_parts.append(eb_i)
-                n_edges += len(ea_i)
-                if n_edges > max_driver_edges:
-                    spill_to_distributed = True
-                    break
     else:
         for b in verified_pairs.select_columns(["url_a", "url_b"]).iter_batches(
             batch_format="pyarrow"
@@ -315,14 +399,27 @@ def cluster_assignments(
     ea = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=object)
     eb = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=object)
     _t1 = _time.time()
-    nodes, root_of = connected_components_arrays(ea, eb)
-    _t2 = _time.time()
-    if len(nodes):
+    if len(ea) == 0:
+        nodes = np.empty(0, dtype=object)
+        root_of = np.empty(0, np.int64)
+        node_h1 = np.empty(0, np.uint64)
+    elif ha1_p:
+        # cat order is [all ea parts..., all eb parts...], so the
+        # remote-computed hashes concatenate in the same order
+        cat = np.concatenate([ea, eb])
+        h1 = np.concatenate(ha1_p + hb1_p)
+        h2 = np.concatenate(ha2_p + hb2_p)
+        nodes, root_of, node_h1 = _cc_from_hashes(cat, h1, h2, len(ea))
+    else:
         from raydedup.sketches.hashing import hash_strings
 
-        h, _ = hash_strings(list(nodes))
-        order = np.argsort(h)
-        payload = (h[order], root_of[order].astype(np.int64), nodes.astype(np.str_))
+        cat = np.concatenate([ea, eb])
+        h1, h2 = hash_strings(list(cat))
+        nodes, root_of, node_h1 = _cc_from_hashes(cat, h1, h2, len(ea))
+    _t2 = _time.time()
+    if len(nodes):
+        order = np.argsort(node_h1)
+        payload = (node_h1[order], root_of[order].astype(np.int64), nodes.astype(np.str_))
     else:
         payload = (np.empty(0, np.uint64), np.empty(0, np.int64), np.empty(0, np.str_))
     out = _assign_over(corpus, payload)
