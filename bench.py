@@ -310,7 +310,8 @@ def run_scaling(sf_dir: str) -> dict:
             first = False
             # gate each leg too (bounded): a leg started inside a deep
             # window systematically biases the 8-vs-32 ratio
-            canaries[ncpu].append(_await_clean_window(limit_s=120.0)["canary_pre"][-1])
+            gate_s = float(os.environ.get("RAYDEDUP_GATE_S", "120"))
+            canaries[ncpu].append(_await_clean_window(limit_s=gate_s)["canary_pre"][-1])
             out = subprocess.run(
                 [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
                 env=env,
