@@ -37,12 +37,17 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def ensure_corpus(sf: float, seed: int = 42) -> str:
     n = int(os.environ.get("RAYDEDUP_BENCH_DOCS", 0)) or max(2000, int(600_000 * sf))
-    out = f"/tmp/raydedup_bench/pages_n{n}_s{seed}"
+    # v2 layout: 64 files x 4096-row row groups. Ray's parquet reader
+    # splits read tasks at row-group boundaries only — the old 16-file
+    # single-row-group layout capped the signature stage at 16 parallel
+    # tasks, starving half of a 32-CPU run (the dominant "scaling loss"
+    # in rounds 3-4 was this, not compute).
+    out = f"/tmp/raydedup_bench/pages_n{n}_s{seed}_v2"
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         from raydedup.synth import write_corpus
 
-        write_corpus(out, n, seed=seed, n_files=16)
+        write_corpus(out, n, seed=seed, n_files=64)
         with open(marker, "w") as f:
             f.write("ok")
     return out

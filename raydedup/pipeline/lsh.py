@@ -107,20 +107,21 @@ class SignatureStage:
         uvals, uoff = segmented_unique(sh, off)
         counts = np.diff(uoff)
         theta = np.full(len(counts), U64(MAX_THETA))
-        if (counts > self.cap).any():
-            # KMV-trim oversized docs (rare; per-doc partition is fine here)
-            keep_vals, new_off = [], [0]
-            for d in range(len(counts)):
-                seg = uvals[uoff[d] : uoff[d + 1]]
-                if len(seg) > self.cap:
-                    part = np.partition(seg, self.cap)
-                    theta[d] = part[self.cap]
-                    seg = np.sort(part[: self.cap])
-                keep_vals.append(seg)
-                new_off.append(new_off[-1] + len(seg))
-            uvals = np.concatenate(keep_vals)
-            uoff = np.array(new_off, dtype=np.int64)
-            counts = np.diff(uoff)
+        over = counts > self.cap
+        if over.any():
+            # KMV-trim oversized docs. segmented_unique returns each
+            # segment SORTED ascending, so the cap smallest hashes are
+            # the segment prefix and theta is the (cap+1)-th element —
+            # pure slicing, vectorized across the whole batch (no
+            # per-doc loop: one mask + one cumsum).
+            theta[over] = uvals[uoff[:-1][over] + self.cap]
+            pos = np.arange(len(uvals), dtype=np.int64) - np.repeat(
+                uoff[:-1], counts
+            )
+            uvals = uvals[pos < self.cap]
+            counts = np.minimum(counts, self.cap)
+            uoff = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=uoff[1:])
 
         pad = ((cfg.num_perms * 8 + 15) // 16) * 2
         mat = np.zeros((sig.shape[0], pad), dtype=U64)

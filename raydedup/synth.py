@@ -173,8 +173,23 @@ def generate_pages(
     return pages, golden
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8) -> None:
-    """Write the corpus as partitioned parquet (resumable layout)."""
+def write_corpus(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    n_files: int = 8,
+    row_group_size: int = 4096,
+) -> None:
+    """Write the corpus as partitioned parquet (resumable layout).
+
+    ``row_group_size`` matters for read parallelism: Ray's parquet
+    datasource can split a file into multiple read tasks only at
+    row-group boundaries, so a file written as ONE row group caps the
+    whole downstream map pipeline at n_files concurrent tasks no
+    matter how many CPUs the cluster has (measured: the 16-file
+    single-row-group bench corpus starved half of a 32-CPU box through
+    the signature stage).
+    """
     import os
 
     import pyarrow.parquet as pq
@@ -185,7 +200,9 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42, n_files: int = 8) ->
     for f in range(n_files):
         part = pages.slice(f * step, step)
         if part.num_rows:
-            pq.write_table(part, f"{out_dir}/pages_{f:04d}.parquet")
+            pq.write_table(
+                part, f"{out_dir}/pages_{f:04d}.parquet", row_group_size=row_group_size
+            )
     pq.write_table(golden, f"{out_dir}/golden_clusters.parquet")
 
 

@@ -114,3 +114,37 @@ def test_band_keys_deterministic_and_partitioned():
     assert b1.shape == (100, 32)
     # identical signatures → identical band rows; different → (whp) different
     assert len(np.unique(b1)) > 100
+
+
+def test_signature_stage_kmv_trim_oversized_docs():
+    """Docs past shingle_cap keep the cap smallest unique shingle
+    hashes with theta = the (cap+1)-th smallest — the reference's
+    rebuild rule (theta/hash_table.rs:249-277) applied per doc —
+    verified against a naive per-doc partition, mixed with small docs
+    in the same batch (the vectorized mask path)."""
+    from raydedup.pipeline.lsh import SignatureStage
+    from raydedup.sketches.theta import MAX_THETA
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(3000)]
+    texts = []
+    for n_words in (800, 20, 1200, 5, 400):  # mix oversized + tiny
+        texts.append(" ".join(rng.choice(vocab, size=n_words)))
+    batch = pa.table({"url": pa.array([f"u{i}" for i in range(len(texts))]),
+                      "text": pa.array(texts)})
+    cap = 64
+    out = SignatureStage(shingle_cap=cap)(batch)
+
+    sh, off, _ = text_to_shingle_sets(batch["text"].combine_chunks())
+    us, uo = segmented_unique(sh, off)
+    for d in range(len(texts)):
+        seg = np.sort(us[uo[d] : uo[d + 1]])
+        got = np.array(out["shingles"][d].as_py(), dtype=np.uint64)
+        theta = out["theta"][d].as_py()
+        if len(seg) > cap:
+            np.testing.assert_array_equal(got, seg[:cap])
+            assert theta == seg[cap]
+        else:
+            np.testing.assert_array_equal(got, seg)
+            assert theta == MAX_THETA
+        assert out["n_shingles"][d].as_py() == len(got)
