@@ -2608,6 +2608,67 @@ def _q_substring_cut(sf_dir: str):
     return remove_duplicated_spans(corpus, "doc_id", min_len=48).sort("doc_id")
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Per-doc duplicate-5-gram fraction vs earlier docs (the
+    RefinedWeb-style dup-ngram curation signal). Distinct gram hashes
+    bucket-grouped once; narrow int64 exchanges only (ops/novelty.py)."""
+    import ray.data as rd
+
+    from raydedup.ops.novelty import gram_novelty
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gram_novelty(ds, "doc_id", k=5, n_buckets=32).sort("doc_id")
+
+
+def _q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup report per source (storage-level
+    dedup tier): chunk at rolling-hash boundaries, count repeated chunk
+    instances/bytes corpus-wide (ops/cdc.py). Sidecar oracle: a naive
+    single-process twin with an independent hash formulation and raw-
+    bytes chunk identity."""
+    import ray.data as rd
+
+    from raydedup.ops.cdc import cdc_dedup_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return cdc_dedup_stats(ds, "doc_id", n_buckets=32).sort("source")
+
+
+def _q_dup_ratio_by_source(sf_dir: str):
+    """Near-dup rate per source: share of docs that are non-keepers
+    (url != cluster_id) in their MinHash-LSH cluster — the per-slice
+    dedup report a curation run publishes. Reuses the cached pipeline
+    result; one narrow join + one tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    res = _dedup_result(sf_dir)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        doc_id = pc.cast(pc.utf8_replace_slice(url, 0, 24, ""), pa.int64())
+        dup = pc.cast(pc.not_equal(url, batch["cluster_id"]), pa.int64())
+        return pa.table({"doc_id": doc_id, "is_dup": dup})
+
+    import ray.data as rd
+
+    flags = res.assignments.map_batches(flag, batch_format="pyarrow")
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    joined = flags.join(src, join_type="inner", num_partitions=8, on=("doc_id",))
+    out = joined.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("is_dup", alias_name="n_dup")
+    )
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        r = pc.divide(
+            pc.cast(batch["n_dup"], pa.float64()), pc.cast(batch["n_docs"], pa.float64())
+        )
+        return batch.append_column("dup_ratio", r)
+
+    return out.map_batches(ratio, batch_format="pyarrow").sort("source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -2719,6 +2780,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "tfidf": _q_tfidf,
         "quantile_filter": _q_quantile_filter,
+        "gram_novelty": _q_gram_novelty,
+        "cdc_dedup": _q_cdc_dedup,
+        "dup_ratio_by_source": _q_dup_ratio_by_source,
     }
 
 
@@ -2774,6 +2838,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("rerank_topk", "rerank_topk.parquet"),
             ("events_distinct_users", "events_distinct_users.parquet"),
             ("events_value_quantiles", "events_value_quantiles.parquet"),
+            ("cdc_dedup", "cdc_dedup.parquet"),
         )
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -2820,6 +2885,15 @@ def _ensure_oracle_sidecars() -> set[str]:
             DecodeImageStage(mode="real")(synth_png_table(120, seed=7))
         ),
     }
+
+    # cdc_dedup twin: independent hash formulation + raw-bytes chunk
+    # identity, sequential (doc_id, offset) walk (ops/cdc.py docstring)
+    from raydedup.ops.cdc import cdc_dedup_local
+
+    tbl_src = pq.read_table(
+        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    outputs["cdc_dedup"] = cdc_dedup_local(tbl_src, "doc_id")
 
     embt = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     from raydedup.ops.ann import _emb_matrix
@@ -3125,6 +3199,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars FROM sel ORDER BY doc_id
         """,
+        "cdc_dedup": f"""
+            SELECT source, n_chunks, n_dup_chunks, total_bytes, dup_bytes,
+                   dup_ratio
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/cdc_dedup.parquet')
+            ORDER BY source
+        """,
     }
     # mix_sources and shuffle_order share the stratified_sample sidecar
     # (same doc_id -> murmur3 priority table)
@@ -3144,6 +3224,70 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY range_id ORDER BY range_id
     """
     return extra | {
+        "gram_novelty": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' ')))) AS g
+              FROM words WHERE len(w) > 0
+            ), m AS (
+              SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+            )
+            SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN m.first_doc < sh.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+                   CAST(sum(CASE WHEN m.first_doc < sh.doc_id
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     AS dup_frac
+            FROM sh JOIN m USING (g)
+            GROUP BY sh.doc_id ORDER BY doc_id
+        """,
+        "dup_ratio_by_source": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), a AS (
+              SELECT node AS url, min(label) AS cluster_id FROM cc GROUP BY node
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN a.cluster_id <> a.url
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   CAST(sum(CASE WHEN a.cluster_id <> a.url
+                                 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                     AS dup_ratio
+            FROM a
+            JOIN words w ON w.url = a.url
+            JOIN documents d ON d.doc_id = w.doc_id
+            GROUP BY d.source ORDER BY d.source
+        """,
         "tiered_dedup": r"""
             WITH RECURSIVE corpus AS (
               SELECT doc_id, text FROM documents
