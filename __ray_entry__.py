@@ -2669,6 +2669,23 @@ def _q_dup_ratio_by_source(sf_dir: str):
     return out.map_batches(ratio, batch_format="pyarrow").sort("source")
 
 
+def _q_events_debounce(sf_dir: str):
+    """Event-stream dedup: drop telemetry events repeated by the same
+    (user, type) key within 6 h of their predecessor (LAG semantics —
+    ops/windows.py::debounce_events; the sessions coarse-bucket +
+    one-lexsort-kernel shape)."""
+    import ray.data as rd
+
+    from raydedup.ops.windows import debounce_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return debounce_events(
+        ev, "user_id", "event_type", "ts", "event_id", gap_s=21600, n_buckets=32
+    ).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -2783,6 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty": _q_gram_novelty,
         "cdc_dedup": _q_cdc_dedup,
         "dup_ratio_by_source": _q_dup_ratio_by_source,
+        "events_debounce": _q_events_debounce,
     }
 
 
@@ -3224,6 +3242,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY range_id ORDER BY range_id
     """
     return extra | {
+        "events_debounce": r"""
+            WITH e AS (
+              SELECT event_id, user_id, event_type, ts,
+                     lag(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS p
+              FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM e
+            WHERE p IS NULL OR ts - p > INTERVAL 21600 SECOND
+            ORDER BY event_id
+        """,
         "gram_novelty": r"""
             WITH words AS (
               SELECT doc_id,

@@ -344,6 +344,60 @@ def lag_delta_per_key(ds, key: str, ts: str, order_cols: list[str], n_buckets: i
     )
 
 
+def debounce_events(
+    events,
+    user_col: str,
+    type_col: str,
+    ts: str,
+    id_col: str,
+    gap_s: int,
+    n_buckets: int = 64,
+):
+    """Event-stream dedup (telemetry debounce): keep an event iff it is
+    the first of its (user, type) key or its gap to the key's PREVIOUS
+    event (by ``(ts, id)`` order) exceeds ``gap_s`` — LAG semantics, so
+    each row's keep decision depends only on its immediate predecessor,
+    not on which predecessors were kept. Returns the kept rows
+    (id, user, type, ts).
+
+    Scale shape: same coarse-bucket + one-lexsort-kernel-per-bucket
+    pattern as ``session_windows`` — keys co-locate by hashing the user
+    column only, the type column subdivides inside the kernel."""
+
+    gap_us = gap_s * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        h1, _ = _column_hashes(batch[user_col])
+        return batch.append_column(
+            "_sbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tcodes, _ = pd.factorize(g[type_col], sort=False)
+        uid = g[user_col].to_numpy()
+        # normalize to µs regardless of the pandas datetime unit
+        # (Arrow timestamp[us] arrives as datetime64[us], but ns-unit
+        # frames would silently misscale a bare astype(int64))
+        t = g[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, t, tcodes, uid))
+        su, sc, st = uid[order], tcodes[order], t[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (
+            (su[1:] != su[:-1]) | (sc[1:] != sc[:-1]) | ((st[1:] - st[:-1]) > gap_us)
+        )
+        sel = order[keep]
+        return g.iloc[sel][[id_col, user_col, type_col, ts]]
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_sbucket")
+        .map_groups(keep_bucket, batch_format="pandas")
+    )
+
+
 def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event
@@ -368,7 +422,9 @@ def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
 
     def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(g[key], sort=False)
-        t = g[ts].astype("int64").to_numpy()
+        # normalize to µs (see debounce_events: a bare astype(int64)
+        # yields ns for ns-unit frames and breaks gap_us)
+        t = g[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
         order = np.lexsort((t, codes))
         codes, t = codes[order], t[order]
         new = np.ones(len(t), dtype=bool)

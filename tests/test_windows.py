@@ -389,3 +389,40 @@ def test_path_per_key_matches_duckdb_and_splits(ray_session):
     assert list(outs[0].path) == ["y>w>x", "v>z"]
     for o in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], o)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_events_matches_lag_semantics():
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.ops.windows import debounce_events
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b"], n),
+            "ts": pd.to_datetime(rng.integers(0, 3_000, n), unit="s"),
+        }
+    )
+    gap_s = 300
+    # naive LAG reference: previous event of the same key by (ts, id)
+    ref = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+    prev = ref.groupby(["user_id", "event_type"], sort=False)["ts"].shift()
+    keep = prev.isna() | ((ref["ts"] - prev).dt.total_seconds() > gap_s)
+    expect = ref[keep].sort_values("event_id").reset_index(drop=True)[
+        ["event_id", "user_id", "event_type", "ts"]
+    ]
+
+    for blocks in (1, 3, 7):
+        ds = rd.from_pandas([p for _, p in df.groupby(np.arange(n) % blocks)])
+        got = (
+            debounce_events(ds, "user_id", "event_type", "ts", "event_id", gap_s, n_buckets=8)
+            .sort("event_id")
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, expect)
