@@ -2669,6 +2669,81 @@ def _q_dup_ratio_by_source(sf_dir: str):
     return out.map_batches(ratio, batch_format="pyarrow").sort("source")
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """Near-exact dedup tier: casefold + whitespace-collapse BEFORE the
+    exact-hash dedup, so docs differing only in case/spacing collapse.
+    One normalize map composed with ops/exact.py::exact_dedup_representatives
+    (the shuffle still carries only hash128+id)."""
+    import ray.data as rd
+
+    from raydedup.ops.exact import exact_dedup_representatives
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]), r"\s+", " "),
+            " ",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    return exact_dedup_representatives(
+        ds.map_batches(norm, batch_format="pyarrow"), "doc_id"
+    ).sort("doc_id")
+
+
+_TOKEN_BUDGET = 600
+
+
+def _q_token_budget_sample(sf_dir: str):
+    """Token-budget sampling (the "take ~N tokens per source" recipe
+    step): docs ordered per source by deterministic murmur3 priority,
+    kept while the running token total stays within the budget.
+    Composition: one tokenize map + the grouped exact prefix-sum
+    (ops/windows.py::cumulative_per_key) + a map-side filter."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import token_stats
+    from raydedup.ops.windows import cumulative_per_key
+    from raydedup.sketches.aggregates import _column_hashes
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = token_stats(batch, "doc_id")
+        h1, _ = _column_hashes(batch["doc_id"].combine_chunks())
+        # top-bit flip: signed int64 order == unsigned u64 order, so the
+        # pandas kernel never ships uint64 (Ray's pandas->Arrow path
+        # overflows on values > 2^63)
+        sp = (h1 ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tokens": t["n_tokens"],
+                "priority": pa.array(sp, pa.int64()),
+            }
+        )
+
+    cum = cumulative_per_key(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "source",
+        ["priority", "doc_id"],
+        "n_tokens",
+        out_col="cum_tokens",
+        decimals=0,
+        n_buckets=32,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch["cum_tokens"], pa.scalar(float(_TOKEN_BUDGET)))
+        return batch.filter(m).select(["doc_id", "source", "cum_tokens"])
+
+    return cum.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def _q_events_debounce(sf_dir: str):
     """Event-stream dedup: drop telemetry events repeated by the same
     (user, type) key within 6 h of their predecessor (LAG semantics —
@@ -2801,6 +2876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup": _q_cdc_dedup,
         "dup_ratio_by_source": _q_dup_ratio_by_source,
         "events_debounce": _q_events_debounce,
+        "normalized_dedup": _q_normalized_dedup,
+        "token_budget_sample": _q_token_budget_sample,
     }
 
 
@@ -3223,11 +3300,36 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/cdc_dedup.parquet')
             ORDER BY source
         """,
+        "token_budget_sample": f"""
+            WITH pr AS (
+              SELECT doc_id, priority
+              FROM read_parquet('{_ORACLE_SIDECAR_DIR}/stratified_sample.parquet')
+            ), tok AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT t.doc_id, t.source,
+                     CAST(sum(t.n_tokens) OVER (
+                       PARTITION BY t.source
+                       ORDER BY pr.priority, t.doc_id) AS DOUBLE) AS cum_tokens
+              FROM tok t JOIN pr USING (doc_id)
+            )
+            SELECT doc_id, source, cum_tokens
+            FROM c WHERE cum_tokens <= {_TOKEN_BUDGET} ORDER BY doc_id
+        """,
     }
     # mix_sources and shuffle_order share the stratified_sample sidecar
     # (same doc_id -> murmur3 priority table)
     if "stratified_sample" in sidecars:
-        sidecars = sidecars | {"mix_sources", "shuffle_order", "weighted_sample"}
+        sidecars = sidecars | {
+            "mix_sources",
+            "shuffle_order",
+            "weighted_sample",
+            "token_budget_sample",
+        }
     extra = {name: sql for name, sql in candidates.items() if name in sidecars}
     _vals = ", ".join(
         f"({i}, TIMESTAMP '{lo:%Y-%m-%d}', TIMESTAMP '{hi:%Y-%m-%d}')"
@@ -3242,6 +3344,15 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY range_id ORDER BY range_id
     """
     return extra | {
+        "normalized_dedup": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+              FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+            FROM n GROUP BY t ORDER BY doc_id
+        """,
         "events_debounce": r"""
             WITH e AS (
               SELECT event_id, user_id, event_type, ts,
