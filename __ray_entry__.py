@@ -2744,6 +2744,51 @@ def _q_token_budget_sample(sf_dir: str):
     return cum.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def _q_stitch_shards(sf_dir: str):
+    """Shard-overlap stitching (ingestion repair): find (a, b) pairs
+    whose K-char suffix/prefix windows coincide. The corpus plants
+    two-shard splits (48-char overlap) of every fifth doc alongside the
+    originals — ops/stitch.py matches tail keys to head keys through
+    one bucketed exchange of 128-bit hashes (text never shuffles)."""
+    import ray.data as rd
+
+    from raydedup.ops.stitch import stitch_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shards(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = pa.array((ids % 5 == 0) & (n >= 120))
+        sel = batch.filter(m)
+        nn = n[(ids % 5 == 0) & (n >= 120)]
+        half = nn // 2
+        # split points vary per row; slice offsets are scalars, so group
+        # rows by split point (few distinct doc lengths per batch)
+        text = sel["text"].combine_chunks()
+        lid = pc.add(sel["doc_id"], pa.scalar(300000, pa.int64()))
+        rid = pc.add(sel["doc_id"], pa.scalar(400000, pa.int64()))
+        out_id, out_tx = [], []
+        for h in np.unique(half):
+            gm = pa.array(half == h)
+            g = text.filter(gm)
+            out_id.append(lid.filter(gm))
+            out_tx.append(pc.utf8_slice_codeunits(g, 0, int(h) + 48))
+            out_id.append(rid.filter(gm))
+            out_tx.append(pc.utf8_slice_codeunits(g, int(h), np.iinfo(np.int32).max))
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]),
+                "text": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_tx]),
+            }
+        )
+
+    corpus = docs.union(docs.map_batches(shards, batch_format="pyarrow"))
+    return stitch_pairs(corpus, "doc_id", k=48, n_buckets=32).sort(["id_a", "id_b"])
+
+
 def _q_events_debounce(sf_dir: str):
     """Event-stream dedup: drop telemetry events repeated by the same
     (user, type) key within 6 h of their predecessor (LAG semantics —
@@ -2878,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_debounce": _q_events_debounce,
         "normalized_dedup": _q_normalized_dedup,
         "token_budget_sample": _q_token_budget_sample,
+        "stitch_shards": _q_stitch_shards,
     }
 
 
@@ -3344,6 +3390,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY range_id ORDER BY range_id
     """
     return extra | {
+        "stitch_shards": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 300000, substr(text, 1, (len(text) // 2) + 48)
+              FROM documents WHERE doc_id % 5 = 0 AND len(text) >= 120
+              UNION ALL
+              SELECT doc_id + 400000, substr(text, (len(text) // 2) + 1)
+              FROM documents WHERE doc_id % 5 = 0 AND len(text) >= 120
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM corpus a JOIN corpus b
+              ON a.doc_id <> b.doc_id
+             AND right(a.text, 48) = left(b.text, 48)
+            WHERE len(a.text) >= 48 AND len(b.text) >= 48
+            ORDER BY id_a, id_b
+        """,
         "normalized_dedup": r"""
             WITH n AS (
               SELECT doc_id,

@@ -214,6 +214,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "lm_score",
         "cumulative_spend",
         "bm25_topk",
+        "cdc_dedup",
+        "gram_novelty",
     ):
         fn = entrymod.queries()[name]
         _best_of(name, lambda fn=fn: fn(sf_dir))
