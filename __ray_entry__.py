@@ -2789,6 +2789,36 @@ def _q_stitch_shards(sf_dir: str):
     return stitch_pairs(corpus, "doc_id", k=48, n_buckets=32).sort(["id_a", "id_b"])
 
 
+def _q_soft_dedup_weights(sf_dir: str):
+    """Soft dedup: instead of dropping near-dup docs, weight every
+    cluster member by 1/cluster_size so repeated content contributes
+    one doc's worth of training mass. One tiny groupby over (url,
+    cluster_id) + one narrow join — reuses the cached pipeline run."""
+    from ray.data.aggregate import Count
+
+    res = _dedup_result(sf_dir)
+    sizes = res.assignments.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    joined = res.assignments.join(
+        sizes, join_type="inner", num_partitions=8, on=("cluster_id",)
+    )
+
+    def weight(batch: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pa.scalar(1.0, pa.float64()), pc.cast(batch["cluster_size"], pa.float64())
+        )
+        return pa.table(
+            {
+                "url": batch["url"],
+                "cluster_size": batch["cluster_size"],
+                "weight": w,
+            }
+        )
+
+    return joined.map_batches(weight, batch_format="pyarrow").sort("url")
+
+
 def _q_events_debounce(sf_dir: str):
     """Event-stream dedup: drop telemetry events repeated by the same
     (user, type) key within 6 h of their predecessor (LAG semantics —
@@ -2924,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "token_budget_sample": _q_token_budget_sample,
         "stitch_shards": _q_stitch_shards,
+        "soft_dedup_weights": _q_soft_dedup_weights,
     }
 
 
@@ -3390,6 +3421,40 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY range_id ORDER BY range_id
     """
     return extra | {
+        "soft_dedup_weights": r"""
+            WITH RECURSIVE words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            ), p AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+            ), e AS (
+              SELECT ua AS src, ub AS dst FROM p
+              UNION ALL SELECT ub, ua FROM p
+            ), cc(node, label) AS (
+              SELECT url, url FROM words
+              UNION
+              SELECT e.dst, cc.label FROM e JOIN cc ON cc.node = e.src
+            ), a AS (
+              SELECT node AS url, min(label) AS cluster_id FROM cc GROUP BY node
+            )
+            SELECT url,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                     AS cluster_size,
+                   1.0 / count(*) OVER (PARTITION BY cluster_id) AS weight
+            FROM a ORDER BY url
+        """,
         "stitch_shards": r"""
             WITH corpus AS (
               SELECT doc_id, text FROM documents
