@@ -2789,6 +2789,20 @@ def _q_stitch_shards(sf_dir: str):
     return stitch_pairs(corpus, "doc_id", k=48, n_buckets=32).sort(["id_a", "id_b"])
 
 
+def _q_bbit_jaccard(sf_dir: str):
+    """b-bit MinHash (Li & Koenig 2010): 1-bit-per-slot Jaccard
+    estimates for every verified near-dup pair — the 32x-smaller
+    signature a 100-TB index keeps hot (ops/bbit.py). Sidecar oracle:
+    the single-process pipeline replay recomputes the same folds and
+    estimator over the same pair set."""
+    from raydedup.ops.bbit import bbit_jaccard_pairs
+
+    res = _dedup_result(sf_dir)
+    return bbit_jaccard_pairs(res.signatures, res.verified, id_column="url").sort(
+        ["url_a", "url_b"]
+    )
+
+
 def _q_soft_dedup_weights(sf_dir: str):
     """Soft dedup: instead of dropping near-dup docs, weight every
     cluster member by 1/cluster_size so repeated content contributes
@@ -2955,6 +2969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": _q_token_budget_sample,
         "stitch_shards": _q_stitch_shards,
         "soft_dedup_weights": _q_soft_dedup_weights,
+        "bbit_jaccard": _q_bbit_jaccard,
     }
 
 
@@ -3004,6 +3019,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("quantity_quantiles", "quantity_quantiles.parquet"),
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
+            ("bbit_jaccard", "bbit_jaccard.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3220,6 +3236,30 @@ def _ensure_oracle_sidecars() -> set[str]:
             }
         )
 
+        # bbit_jaccard twin: same signatures (per-doc deterministic),
+        # same 1-bit fold + estimator, over the replay's pair set
+        from raydedup.ops.bbit import _popcount_u64, _sig_matrix, fold_sig_bits
+        from raydedup.pipeline.lsh import SignatureStage
+
+        cfg = DedupConfig()
+        sig_tbl = SignatureStage(cfg)(pa.table({"url": urls, "text": tbl["text"]}))
+        words = fold_sig_bits(_sig_matrix(sig_tbl["sig"], cfg.num_perms))
+        pos = {u: i for i, u in enumerate(sig_tbl["url"].to_pylist())}
+        ia = np.array([pos[u] for u in metrics["url_a"]], dtype=np.int64)
+        ib = np.array([pos[u] for u in metrics["url_b"]], dtype=np.int64)
+        x = ~(words[ia] ^ words[ib])
+        agree = _popcount_u64(x)
+        j = np.maximum(2.0 * (agree / float(cfg.num_perms)) - 1.0, 0.0)
+        bb = pa.table(
+            {
+                "url_a": pa.array(list(metrics["url_a"]), pa.string()),
+                "url_b": pa.array(list(metrics["url_b"]), pa.string()),
+                "agree_bits": pa.array(agree, pa.int64()),
+                "j_b1": pa.array(j, pa.float64()),
+            }
+        )
+        outputs["bbit_jaccard"] = bb.sort_by([("url_a", "ascending"), ("url_b", "ascending")])
+
     for name, out in outputs.items():
         tmp = paths[name] + ".tmp"
         pq.write_table(out, tmp)
@@ -3376,6 +3416,11 @@ def oracle_sql() -> dict[str, str]:
                    dup_ratio
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/cdc_dedup.parquet')
             ORDER BY source
+        """,
+        "bbit_jaccard": f"""
+            SELECT url_a, url_b, agree_bits, j_b1
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/bbit_jaccard.parquet')
+            ORDER BY url_a, url_b
         """,
         "token_budget_sample": f"""
             WITH pr AS (
