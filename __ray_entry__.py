@@ -2789,6 +2789,65 @@ def _q_stitch_shards(sf_dir: str):
     return stitch_pairs(corpus, "doc_id", k=48, n_buckets=32).sort(["id_a", "id_b"])
 
 
+def _q_streaming_dedup(sf_dir: str):
+    """Online dedup service: micro-batches of docs (100 per batch, in
+    doc_id order) probe-then-commit a sharded mutable LSH index
+    (state/lsh_index.py — raw actors; the one semantics Dataset lineage
+    can't express). Signatures are computed distributedly; the driver
+    streams only the narrow (url, sig, band_hash) rows to the service
+    in stream order (a production consumer would be sharded). Sidecar
+    oracle: a sequential dict-walk twin over the same micro-batches."""
+    import ray.data as rd
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.run import build_signatures
+    from raydedup.state.lsh_index import StreamingDedupIndex
+
+    cfg = DedupConfig()
+    pages = _documents_as_pages(sf_dir)
+    sigs = build_signatures(pages, cfg).select_columns(["url", "sig", "band_hash"])
+
+    urls_all, sig_chunks, band_chunks = [], [], []
+    for b in sigs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        urls_all.extend(b["url"].to_pylist())
+        sig_chunks.append(
+            b["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
+        band_chunks.append(
+            b["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
+    sig_m = np.concatenate(sig_chunks).reshape(-1, cfg.num_perms)
+    band_m = np.concatenate(band_chunks).reshape(-1, cfg.bands)
+    # deterministic stream order: by doc id (urls embed zero-unpadded
+    # ids, so order numerically by the parsed id)
+    ids = np.array([int(u.rsplit("/", 1)[1]) for u in urls_all], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    urls_all = [urls_all[i] for i in order]
+    sig_m, band_m = sig_m[order], band_m[order]
+
+    index = StreamingDedupIndex(n_shards=4, min_agree=0.8, max_key_group=64)
+    out_url, out_dup, out_match = [], [], []
+    B = 100
+    for s0 in range(0, len(urls_all), B):
+        u = urls_all[s0 : s0 + B]
+        sm = sig_m[s0 : s0 + B]
+        bm = band_m[s0 : s0 + B]
+        doc_of_key = np.repeat(np.arange(len(u), dtype=np.int64), cfg.bands)
+        is_dup, murl = index.process_batch(
+            u, bm.reshape(-1).view(np.int64), doc_of_key, sm
+        )
+        out_url.extend(u)
+        out_dup.append(is_dup)
+        out_match.extend(murl.tolist())
+    return pa.table(
+        {
+            "url": pa.array(out_url, pa.string()),
+            "is_dup": pa.array(np.concatenate(out_dup)),
+            "match_url": pa.array(out_match, pa.string()),
+        }
+    ).sort_by("url")
+
+
 def _q_bbit_jaccard(sf_dir: str):
     """b-bit MinHash (Li & Koenig 2010): 1-bit-per-slot Jaccard
     estimates for every verified near-dup pair — the 32x-smaller
@@ -2970,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stitch_shards": _q_stitch_shards,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "bbit_jaccard": _q_bbit_jaccard,
+        "streaming_dedup": _q_streaming_dedup,
     }
 
 
@@ -3020,6 +3080,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("distinct_custkeys_cpc", "distinct_custkeys_cpc.parquet"),
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
             ("bbit_jaccard", "bbit_jaccard.parquet"),
+            ("streaming_dedup", "streaming_dedup.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3082,6 +3143,46 @@ def _ensure_oracle_sidecars() -> set[str]:
         f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     outputs["cdc_dedup"] = cdc_dedup_local(tbl_src, "doc_id")
+
+    # streaming_dedup twin: the sequential dict-walk service replay
+    # (state/lsh_index.py::streaming_dedup_local) over the SAME
+    # micro-batches in the SAME stream order; signatures come from a
+    # one-process SignatureStage run (per-doc deterministic), so a
+    # green row covers the sharded-actor routing, probe/commit
+    # atomicity and the vectorized best-match reduction.
+    from raydedup.pipeline.lsh import SignatureStage as _SigStage
+    from raydedup.state.lsh_index import streaming_dedup_local
+
+    _scfg = DedupConfig()
+    _urls_sd = pc.binary_join_element_wise(
+        "https://synth.local/doc/", pc.cast(tbl["doc_id"], pa.string()), ""
+    )
+    _sd_tbl = _SigStage(_scfg)(pa.table({"url": _urls_sd, "text": tbl["text"]}))
+    _sd_urls = _sd_tbl["url"].to_pylist()
+    _sd_sig = (
+        _sd_tbl["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, _scfg.num_perms)
+    _sd_band = (
+        _sd_tbl["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, _scfg.bands)
+    _sd_ids = np.array([int(u.rsplit("/", 1)[1]) for u in _sd_urls], dtype=np.int64)
+    _sd_o = np.argsort(_sd_ids, kind="stable")
+    _sd_urls = [_sd_urls[i] for i in _sd_o]
+    _sd_sig, _sd_band = _sd_sig[_sd_o], _sd_band[_sd_o]
+    _sd_batches = []
+    for s0 in range(0, len(_sd_urls), 100):
+        u = _sd_urls[s0 : s0 + 100]
+        bm = _sd_band[s0 : s0 + 100]
+        dok = np.repeat(np.arange(len(u), dtype=np.int64), _scfg.bands)
+        _sd_batches.append((u, bm.reshape(-1).view(np.int64), dok, _sd_sig[s0 : s0 + 100]))
+    _sd_dup, _sd_match = streaming_dedup_local(_sd_batches, min_agree=0.8, max_key_group=64)
+    outputs["streaming_dedup"] = pa.table(
+        {
+            "url": pa.array(_sd_urls, pa.string()),
+            "is_dup": pa.array(_sd_dup),
+            "match_url": pa.array(_sd_match.tolist(), pa.string()),
+        }
+    ).sort_by("url")
 
     embt = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     from raydedup.ops.ann import _emb_matrix
@@ -3421,6 +3522,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT url_a, url_b, agree_bits, j_b1
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/bbit_jaccard.parquet')
             ORDER BY url_a, url_b
+        """,
+        "streaming_dedup": f"""
+            SELECT url, is_dup, match_url
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/streaming_dedup.parquet')
+            ORDER BY url
         """,
         "token_budget_sample": f"""
             WITH pr AS (

@@ -1,0 +1,188 @@
+"""Streaming near-dup index: a sharded, mutable LSH service.
+
+The batch pipeline (pipeline/run.py) answers "which docs in THIS
+corpus duplicate each other". An ingestion service needs the online
+form: micro-batches arrive in stream order and each must be checked
+against — then added to — everything previously committed. That
+query-then-mutate cycle is shared mutable state, which the Dataset API
+cannot express (Datasets are immutable lineage), so this is one of the
+engine's raw-actor components (alongside pipeline/cluster.py's
+label store).
+
+Design:
+- ``LshIndexShard`` (actor): owns a slice of the band-key space as a
+  dict ``band_key -> [(url, sig)]``. A probe returns, per queried doc,
+  the prior entries colliding on a band key; an insert appends (first
+  ``max_key_group`` docs per key retained — stream order — bounding a
+  hot boilerplate key exactly like the batch pipeline's band-group
+  cap). The signature stored per (key, doc) is the u32x128 fold
+  (512 B) — at 100-TB scale swap in the 16-B b-bit fold
+  (ops/bbit.py) and re-verify survivors against payload storage.
+- ``StreamingDedupIndex``: routes each band key to shard
+  ``fmix64(key) % n_shards``; a doc's keys fan out across shards and
+  the per-doc best match reduces on the caller. Actor round trips are
+  per (batch, shard), never per doc.
+- Semantics (deterministic, micro-batch): a doc is a dup iff some doc
+  of an EARLIER batch shares a band key and its signature agreement
+  >= ``min_agree``; ties break by (max agreement, min url). The batch
+  is the atomicity unit — within-batch duplicates are the batch
+  pipeline's job; the service's contract is vs committed history.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from raydedup.sketches.hashing import fmix64
+
+U64 = np.uint64
+
+
+def _best_match(n_q: int, sigs_q, cand_idx_q, cand_urls, cand_sigs, min_agree: float):
+    """Per queried doc: best (agreement, url) among its candidates.
+
+    Vectorized: one (n_cand, P) equality reduction, then a lexsort pick
+    of max agreement (ties -> min url)."""
+    best_agree = np.zeros(n_q, dtype=np.float64)
+    best_url = np.full(n_q, "", dtype=object)
+    if len(cand_idx_q) == 0:
+        return best_agree, best_url
+    agree = (cand_sigs == sigs_q[cand_idx_q]).mean(axis=1)
+    order = np.lexsort((cand_urls.astype(str), -agree, cand_idx_q))
+    qi = cand_idx_q[order]
+    first = np.ones(len(qi), dtype=bool)
+    first[1:] = qi[1:] != qi[:-1]
+    sel = order[first]
+    rows = cand_idx_q[sel]
+    ok = agree[sel] >= min_agree
+    best_agree[rows[ok]] = agree[sel][ok]
+    best_url[rows[ok]] = cand_urls[sel][ok]
+    return best_agree, best_url
+
+
+@ray.remote
+class LshIndexShard:
+    """One shard of the band-key space. State: key -> [(url, sig)]."""
+
+    def __init__(self, max_key_group: int = 64):
+        self._keys: dict[int, list] = {}
+        self._max = max_key_group
+        self._n_entries = 0
+
+    def probe(self, keys: np.ndarray, doc_of_key: np.ndarray, n_cols: int):
+        """Prior entries under each queried (key, doc). Returns
+        (cand_doc_idx, cand_urls, cand_sigs) concatenated."""
+        idx, curls, csigs = [], [], []
+        for k, d in zip(keys.tolist(), doc_of_key.tolist()):
+            ent = self._keys.get(k)
+            if ent:
+                for u, s in ent:
+                    idx.append(d)
+                    curls.append(u)
+                    csigs.append(s)
+        if not idx:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                np.empty((0, n_cols), np.uint32),
+            )
+        return (np.array(idx, np.int64), np.array(curls, object), np.stack(csigs))
+
+    def insert(self, keys: np.ndarray, doc_of_key: np.ndarray, urls: list, sigs: np.ndarray):
+        """Append (url, sig) under each key (first max_key_group kept)."""
+        for k, d in zip(keys.tolist(), doc_of_key.tolist()):
+            ent = self._keys.setdefault(k, [])
+            if len(ent) < self._max:
+                ent.append((urls[d], sigs[d]))
+                self._n_entries += 1
+        return self._n_entries
+
+    def stats(self):
+        return {"n_keys": len(self._keys), "n_entries": self._n_entries}
+
+
+class StreamingDedupIndex:
+    """Driver-side handle over ``n_shards`` LshIndexShard actors."""
+
+    def __init__(self, n_shards: int = 4, min_agree: float = 0.8, max_key_group: int = 64):
+        self.n_shards = n_shards
+        self.min_agree = min_agree
+        self.shards = [LshIndexShard.remote(max_key_group) for _ in range(n_shards)]
+
+    def _route(self, band_keys: np.ndarray, doc_ix: np.ndarray):
+        shard = (fmix64(band_keys.astype(U64)) % U64(self.n_shards)).astype(np.int64)
+        return [
+            (band_keys[shard == s], doc_ix[shard == s]) for s in range(self.n_shards)
+        ]
+
+    def process_batch(
+        self, urls: list, band_keys: np.ndarray, doc_of_key: np.ndarray, sigs: np.ndarray
+    ):
+        """Probe-then-commit one micro-batch (stream order). Returns
+        (is_dup bool array, match_url object array) vs committed
+        history."""
+        routed = self._route(band_keys, doc_of_key)
+        parts = ray.get(
+            [
+                self.shards[s].probe.remote(k, d, sigs.shape[1])
+                for s, (k, d) in enumerate(routed)
+            ]
+        )
+        cand_idx = np.concatenate([p[0] for p in parts])
+        cand_urls = np.concatenate([p[1] for p in parts])
+        cand_sigs = (
+            np.concatenate([p[2] for p in parts])
+            if len(cand_idx)
+            else np.empty((0, sigs.shape[1]), sigs.dtype)
+        )
+        agree, murl = _best_match(
+            len(urls), sigs, cand_idx, cand_urls, cand_sigs, self.min_agree
+        )
+        is_dup = agree >= self.min_agree
+        ray.get(
+            [
+                self.shards[s].insert.remote(k, d, urls, sigs)
+                for s, (k, d) in enumerate(routed)
+            ]
+        )
+        return is_dup, murl
+
+    def stats(self):
+        return ray.get([s.stats.remote() for s in self.shards])
+
+
+def streaming_dedup_local(batches, min_agree: float = 0.8, max_key_group: int = 64):
+    """Single-process sequential twin over the same micro-batches:
+    explicit dict walk — ground truth for the sharded service.
+
+    ``batches``: iterable of (urls list, band_keys, doc_of_key, sigs).
+    Returns concatenated (is_dup, match_url) in stream order."""
+    index: dict[int, list] = {}
+    all_dup, all_match = [], []
+    for urls, band_keys, doc_of_key, sigs in batches:
+        keys_of_doc: dict[int, list] = {}
+        for k, d in zip(band_keys.tolist(), doc_of_key.tolist()):
+            keys_of_doc.setdefault(d, []).append(k)
+        is_dup = np.zeros(len(urls), dtype=bool)
+        match = np.full(len(urls), "", dtype=object)
+        for d in range(len(urls)):
+            best = None
+            for k in keys_of_doc.get(d, []):
+                for u, s in index.get(k, []):
+                    a = float((s == sigs[d]).mean())
+                    if a >= min_agree and (
+                        best is None or a > best[0] or (a == best[0] and u < best[1])
+                    ):
+                        best = (a, u)
+            if best is not None:
+                is_dup[d] = True
+                match[d] = best[1]
+        for d in range(len(urls)):  # commit AFTER the whole batch probes
+            for k in keys_of_doc.get(d, []):
+                ent = index.setdefault(k, [])
+                if len(ent) < max_key_group:
+                    ent.append((urls[d], sigs[d]))
+        all_dup.append(is_dup)
+        all_match.append(match)
+    return np.concatenate(all_dup), np.concatenate(all_match)

@@ -1,0 +1,136 @@
+"""Streaming (online) near-dup index: sharded actor service vs the
+sequential dict-walk twin (raydedup/state/lsh_index.py).
+
+The service answers the ingestion-time form of the dedup question:
+each micro-batch is probed against — then committed to — everything
+previously committed. These tests pin the sharded implementation to
+the explicit sequential semantics on corpora with planted duplicates.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raydedup.config import DedupConfig
+from raydedup.pipeline.lsh import SignatureStage
+from raydedup.state.lsh_index import (
+    StreamingDedupIndex,
+    _best_match,
+    streaming_dedup_local,
+)
+
+
+def _corpus(n=240, seed=11):
+    """Synthetic docs with planted near-dup chains across the stream."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(500)]
+    texts, base = [], []
+    for i in range(n):
+        if i >= 3 and rng.random() < 0.3:
+            # near-duplicate of an EARLIER doc: copy + light edit
+            j = int(rng.integers(0, i))
+            toks = base[j].split()
+            pos = int(rng.integers(0, len(toks)))
+            toks[pos] = words[int(rng.integers(0, len(words)))]
+            t = " ".join(toks)
+        else:
+            t = " ".join(rng.choice(words, size=60).tolist())
+        texts.append(t)
+        base.append(t)
+    urls = [f"https://synth.local/doc/{i}" for i in range(n)]
+    return urls, texts
+
+
+def _batches(urls, texts, cfg, batch_size):
+    sig_tbl = SignatureStage(cfg)(
+        pa.table({"url": pa.array(urls), "text": pa.array(texts)})
+    )
+    sig = (
+        sig_tbl["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, cfg.num_perms)
+    band = (
+        sig_tbl["band_hash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, cfg.bands)
+    out = []
+    for s0 in range(0, len(urls), batch_size):
+        u = urls[s0 : s0 + batch_size]
+        bm = band[s0 : s0 + batch_size]
+        dok = np.repeat(np.arange(len(u), dtype=np.int64), cfg.bands)
+        out.append((u, bm.reshape(-1).view(np.int64), dok, sig[s0 : s0 + batch_size]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_sharded_index_matches_sequential_twin(n_shards):
+    cfg = DedupConfig()
+    urls, texts = _corpus()
+    batches = _batches(urls, texts, cfg, batch_size=50)
+
+    exp_dup, exp_match = streaming_dedup_local(batches, min_agree=0.8, max_key_group=64)
+
+    index = StreamingDedupIndex(n_shards=n_shards, min_agree=0.8, max_key_group=64)
+    got_dup, got_match = [], []
+    for u, keys, dok, sigs in batches:
+        d, m = index.process_batch(u, keys, dok, sigs)
+        got_dup.append(d)
+        got_match.extend(m.tolist())
+    got_dup = np.concatenate(got_dup)
+
+    assert got_dup.tolist() == exp_dup.tolist()
+    assert got_match == exp_match.tolist()
+    # the planted chains must actually produce dups (non-trivial fixture)
+    assert int(exp_dup.sum()) > 10
+    # every committed entry lives in exactly one shard
+    stats = index.stats()
+    assert sum(s["n_entries"] for s in stats) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_batch_never_dup_and_history_only_matches():
+    """Within-batch pairs are NOT flagged (batch = atomicity unit);
+    a doc repeated in a later batch IS flagged against history."""
+    cfg = DedupConfig()
+    texts = ["alpha beta gamma delta " * 20, "alpha beta gamma delta " * 20]
+    urls = ["https://synth.local/doc/0", "https://synth.local/doc/1"]
+    one_batch = _batches(urls, texts, cfg, batch_size=2)
+    d, m = streaming_dedup_local(one_batch)
+    assert not d.any()
+
+    two_batches = _batches(urls, texts, cfg, batch_size=1)
+    index = StreamingDedupIndex(n_shards=2)
+    d0, _ = index.process_batch(*two_batches[0])
+    d1, m1 = index.process_batch(*two_batches[1])
+    assert not d0.any()
+    assert d1.tolist() == [True]
+    assert m1.tolist() == ["https://synth.local/doc/0"]
+
+
+def test_best_match_tiebreak_min_url():
+    """Equal agreement -> lexicographically smallest url wins."""
+    sigs_q = np.zeros((1, 8), dtype=np.uint32)
+    cand_idx = np.array([0, 0], dtype=np.int64)
+    cand_urls = np.array(["b", "a"], dtype=object)
+    cand_sigs = np.zeros((2, 8), dtype=np.uint32)
+    agree, murl = _best_match(1, sigs_q, cand_idx, cand_urls, cand_sigs, 0.8)
+    assert agree[0] == 1.0 and murl[0] == "a"
+
+    # below-threshold candidates produce no match
+    cand_sigs2 = np.ones((2, 8), dtype=np.uint32)
+    agree2, murl2 = _best_match(1, sigs_q, cand_idx, cand_urls, cand_sigs2, 0.8)
+    assert agree2[0] == 0.0 and murl2[0] == ""
+
+
+def test_max_key_group_caps_hot_key():
+    """A hot band key retains only the first max_key_group entries."""
+    n, P = 10, 4
+    urls = [f"u{i:02d}" for i in range(n)]
+    keys = np.zeros(n, dtype=np.int64)  # everyone shares ONE key
+    dok = np.arange(n, dtype=np.int64)
+    sigs = np.arange(n * P, dtype=np.uint32).reshape(n, P)
+    sigs[:] = sigs[0]  # identical signatures -> all agree 1.0
+    batches = [([u], keys[i : i + 1], np.zeros(1, np.int64), sigs[i : i + 1]) for i, u in enumerate(urls)]
+    d, m = streaming_dedup_local(batches, min_agree=0.8, max_key_group=3)
+    # first doc unmatched; the rest match the earliest committed (u00)
+    assert d.tolist() == [False] + [True] * (n - 1)
+    assert all(x == "u00" for x in m[1:])
