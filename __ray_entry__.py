@@ -2909,6 +2909,47 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source overlap matrix: pairwise distinct-5-gram Jaccard
+    between sources via theta sketch set algebra (ops/overlap.py) —
+    map-side KMV partials, ONE sketch-sized groupby, O(S²) pairwise
+    intersection over S source-level sketches. Sidecar oracle: the
+    single-process from_hashes twin (union-of-partials is provably
+    split-invariant, so the match is value-exact)."""
+    import ray.data as rd
+
+    from raydedup.ops.overlap import source_overlap
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_overlap(docs, k=5, lg_k=12)
+
+
+def _q_template_prefixes(sf_dir: str):
+    """Boilerplate template detection: docs sharing the same normalized
+    64-char prefix form a template group (the cheap tier-0 signal a web
+    pipeline uses to spot mirror/boilerplate families before any
+    sketch work). One normalize+slice map, one count groupby, filter
+    to groups >1 — full-SQL oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(batch["text"]), r"\s+", " "),
+            " ",
+        )
+        return pa.table({"prefix": pc.utf8_slice_codeunits(t, 0, 64)})
+
+    out = (
+        ds.map_batches(prefix, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+    return out.filter(expr="n_docs > 1").sort("prefix")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -3030,6 +3071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights": _q_soft_dedup_weights,
         "bbit_jaccard": _q_bbit_jaccard,
         "streaming_dedup": _q_streaming_dedup,
+        "source_overlap": _q_source_overlap,
+        "template_prefixes": _q_template_prefixes,
     }
 
 
@@ -3081,6 +3124,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
             ("bbit_jaccard", "bbit_jaccard.parquet"),
             ("streaming_dedup", "streaming_dedup.parquet"),
+            ("source_overlap", "source_overlap.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3183,6 +3227,13 @@ def _ensure_oracle_sidecars() -> set[str]:
             "match_url": pa.array(_sd_match.tolist(), pa.string()),
         }
     ).sort_by("url")
+
+    # source_overlap twin: per-source from_hashes over ALL distinct
+    # grams in one process (ops/overlap.py docstring proves the
+    # distributed union-of-partials is bit-identical)
+    from raydedup.ops.overlap import source_overlap_local
+
+    outputs["source_overlap"] = source_overlap_local(tbl_src, k=5, lg_k=12)
 
     embt = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     from raydedup.ops.ann import _emb_matrix
@@ -3528,6 +3579,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/streaming_dedup.parquet')
             ORDER BY url
         """,
+        "source_overlap": f"""
+            SELECT source_a, source_b, jaccard_est
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/source_overlap.parquet')
+            ORDER BY source_a, source_b
+        """,
         "token_budget_sample": f"""
             WITH pr AS (
               SELECT doc_id, priority
@@ -3622,6 +3678,15 @@ def oracle_sql() -> dict[str, str]:
              AND right(a.text, 48) = left(b.text, 48)
             WHERE len(a.text) >= 48 AND len(b.text) >= 48
             ORDER BY id_a, id_b
+        """,
+        "template_prefixes": r"""
+            WITH n AS (
+              SELECT substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 64) AS prefix
+              FROM documents
+            )
+            SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+            FROM n GROUP BY prefix HAVING count(*) > 1
+            ORDER BY prefix
         """,
         "normalized_dedup": r"""
             WITH n AS (
