@@ -2909,6 +2909,42 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Windowed approximate distinct — the streaming "daily active
+    users" shape: users per 1-day tumbling window via the sparse-HLL
+    grouped aggregate (window assignment is a map-side floor; only
+    (window, coupon) partials shuffle, never user rows). The merged
+    sketch is split-invariant, so the in-process sidecar twin matches
+    value-exactly. Window keys ride as int64 epoch-µs through the
+    groupby (Ray hash-partitioning of timestamp keys is untested
+    territory; the cast back is free) and return as timestamps."""
+    import ray.data as rd
+
+    from raydedup.sketches.aggregates import HllDistinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.int64())
+        return pa.table({"w": day, "user_id": batch["user_id"]})
+
+    out = (
+        ev.map_batches(win, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(HllDistinct("user_id", lg_k=12, alias_name="n_users_est"))
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(batch["w"], pa.timestamp("us")),
+                "n_users_est": batch["n_users_est"],
+            }
+        )
+
+    return out.map_batches(back, batch_format="pyarrow").sort("window_start")
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source overlap matrix: pairwise distinct-5-gram Jaccard
     between sources via theta sketch set algebra (ops/overlap.py) —
@@ -3073,6 +3109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": _q_streaming_dedup,
         "source_overlap": _q_source_overlap,
         "template_prefixes": _q_template_prefixes,
+        "window_distinct_users": _q_window_distinct_users,
     }
 
 
@@ -3125,6 +3162,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("bbit_jaccard", "bbit_jaccard.parquet"),
             ("streaming_dedup", "streaming_dedup.parquet"),
             ("source_overlap", "source_overlap.parquet"),
+            ("window_distinct_users", "window_distinct_users.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3327,6 +3365,26 @@ def _ensure_oracle_sidecars() -> set[str]:
         {
             "event_type": pa.array(names, pa.string()),
             "n_users_est": pa.array(ests, pa.int64()),
+        }
+    )
+
+    # window_distinct_users twin: same sparse-HLL build per 1-day
+    # window, one process (split-invariant merged state)
+    evw = pq.read_table(f"{_ORACLE_SF_DIR}/events.parquet", columns=["ts", "user_id"])
+    wday = pc.cast(pc.floor_temporal(evw["ts"].combine_chunks(), unit="day"), pa.int64()).to_numpy()
+    uidw = evw["user_id"].combine_chunks()
+    h1w, h2w = _column_hashes(uidw)
+    wins, wests = [], []
+    for w in np.unique(wday):
+        mask = wday == w
+        slot, value = coupons_from_hashes(h1w[mask], h2w[mask])
+        sk = HllSketch.sparse(12).update_coupons(slot, value)
+        wins.append(int(w))
+        wests.append(int(round(sk.estimate())))
+    outputs["window_distinct_users"] = pa.table(
+        {
+            "window_start": pa.array(np.array(wins, dtype="datetime64[us]")),
+            "n_users_est": pa.array(wests, pa.int64()),
         }
     )
 
@@ -3583,6 +3641,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT source_a, source_b, jaccard_est
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/source_overlap.parquet')
             ORDER BY source_a, source_b
+        """,
+        "window_distinct_users": f"""
+            SELECT window_start, n_users_est
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/window_distinct_users.parquet')
+            ORDER BY window_start
         """,
         "token_budget_sample": f"""
             WITH pr AS (
