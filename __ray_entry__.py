@@ -2909,6 +2909,21 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_fd_spectrum(sf_dir: str):
+    """Corpus embedding spectrum via a Frequent Directions sketch
+    (Liberty 2013; sketches/fd.py): rows hash-bucket once, each bucket
+    absorbs in ascending vec_id order, bucket sketches fold in
+    ascending bucket order — the canonical-order plan that makes FD
+    (an order-dependent sketch) blocking-invariant, so the
+    single-process sidecar twin matches value-exactly."""
+    import ray.data as rd
+
+    from raydedup.ops.fd_embed import fd_corpus_sketch, spectrum_table
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return spectrum_table(fd_corpus_sketch(emb, ell=16, n_buckets=8), top=16)
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Windowed approximate distinct — the streaming "daily active
     users" shape: users per 1-day tumbling window via the sparse-HLL
@@ -3110,6 +3125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "template_prefixes": _q_template_prefixes,
         "window_distinct_users": _q_window_distinct_users,
+        "fd_spectrum": _q_fd_spectrum,
     }
 
 
@@ -3163,6 +3179,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("streaming_dedup", "streaming_dedup.parquet"),
             ("source_overlap", "source_overlap.parquet"),
             ("window_distinct_users", "window_distinct_users.parquet"),
+            ("fd_spectrum", "fd_spectrum.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3265,6 +3282,16 @@ def _ensure_oracle_sidecars() -> set[str]:
             "match_url": pa.array(_sd_match.tolist(), pa.string()),
         }
     ).sort_by("url")
+
+    # fd_spectrum twin: same canonical-order Frequent Directions walk
+    # (bucket -> in-bucket id order -> ascending-bucket fold), one
+    # process (ops/fd_embed.py docstring states the contract)
+    from raydedup.ops.fd_embed import fd_spectrum_local
+
+    embt_fd = pq.read_table(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    outputs["fd_spectrum"] = fd_spectrum_local(embt_fd, ell=16, n_buckets=8, top=16)
 
     # source_overlap twin: per-source from_hashes over ALL distinct
     # grams in one process (ops/overlap.py docstring proves the
@@ -3646,6 +3673,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, n_users_est
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/window_distinct_users.parquet')
             ORDER BY window_start
+        """,
+        "fd_spectrum": f"""
+            SELECT rank, sigma
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fd_spectrum.parquet')
+            ORDER BY rank
         """,
         "token_budget_sample": f"""
             WITH pr AS (
