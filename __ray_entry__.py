@@ -2909,6 +2909,52 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_dedup_threshold_sweep(sf_dir: str):
+    """Dedup-aggressiveness tuning table: cluster statistics at
+    thresholds 0.8/0.85/0.9/0.95 from ONE pipeline run (the report a
+    curation owner reads before fixing the near-dup threshold). Pair
+    completeness at ≥0.8 is the LSH design point (recall
+    1-(1-0.8^4)^32 per pair); every higher threshold filters that
+    complete set, so all four rows are exact. Per threshold: connected
+    components over pairs with exact_jaccard >= thr (driver union-find
+    over the O(dup-pairs) edge list — the flagship's own bounded
+    step), emitting (threshold, n_dup_pairs, n_clusters, n_dup_docs,
+    n_keepers)."""
+    import ray.data as rd
+
+    from raydedup.pipeline.cluster import connected_components
+
+    res = _dedup_result(sf_dir)
+    ver = res.verified.select_columns(["url_a", "url_b", "exact_jaccard"]).to_pandas()
+    n_docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    rows = []
+    for thr in (0.8, 0.85, 0.9, 0.95):
+        d = ver[ver.exact_jaccard >= thr]
+        labels = connected_components(
+            d.url_a.to_numpy(dtype=object), d.url_b.to_numpy(dtype=object)
+        )
+        n_dup_docs = len(labels)
+        n_clusters = len(set(labels.values()))
+        rows.append(
+            {
+                "threshold": thr,
+                "n_dup_pairs": len(d),
+                "n_clusters": n_clusters,
+                "n_dup_docs": n_dup_docs,
+                "n_keepers": n_docs - n_dup_docs + n_clusters,
+            }
+        )
+    return pa.table(
+        {
+            "threshold": pa.array([r["threshold"] for r in rows], pa.float64()),
+            "n_dup_pairs": pa.array([r["n_dup_pairs"] for r in rows], pa.int64()),
+            "n_clusters": pa.array([r["n_clusters"] for r in rows], pa.int64()),
+            "n_dup_docs": pa.array([r["n_dup_docs"] for r in rows], pa.int64()),
+            "n_keepers": pa.array([r["n_keepers"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _q_fd_spectrum(sf_dir: str):
     """Corpus embedding spectrum via a Frequent Directions sketch
     (Liberty 2013; sketches/fd.py): rows hash-bucket once, each bucket
@@ -3126,6 +3172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_prefixes": _q_template_prefixes,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
     }
 
 
@@ -3504,6 +3551,67 @@ def _ensure_oracle_sidecars() -> set[str]:
     return set(outputs)
 
 
+def _threshold_sweep_sql(thresholds=(0.8, 0.85, 0.9, 0.95)) -> str:
+    """Per threshold: brute-force exact-Jaccard pairs + recursive-CTE
+    connected components (the dedup_assignments oracle's derivation),
+    aggregated to the sweep's count columns; UNION ALL over
+    thresholds."""
+    blocks = []
+    for thr in thresholds:
+        blocks.append(
+            f"""
+            SELECT {thr} AS threshold,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p{int(thr * 100)}) AS n_dup_pairs,
+                   CAST(count(DISTINCT l) AS BIGINT) AS n_clusters,
+                   CAST(count(*) AS BIGINT) AS n_dup_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                     - count(*) + count(DISTINCT l) AS n_keepers
+            FROM lab{int(thr * 100)}
+            """
+        )
+    ctes = ["""
+            words AS (
+              SELECT doc_id,
+                     concat('https://synth.local/doc/', CAST(doc_id AS VARCHAR)) AS url,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 w -> len(w) > 0) AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, url,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM words WHERE len(w) > 0
+            )"""]
+    for thr in thresholds:
+        t = int(thr * 100)
+        ctes.append(
+            f"""
+            p{t} AS (
+              SELECT a.url AS ua, b.url AS ub
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {thr}
+            ), e{t} AS (
+              SELECT ua AS src, ub AS dst FROM p{t}
+              UNION ALL SELECT ub, ua FROM p{t}
+            ), cc{t}(node, label) AS (
+              SELECT ua, ua FROM p{t} UNION SELECT ub, ub FROM p{t}
+              UNION
+              SELECT e.dst, cc.label FROM e{t} e JOIN cc{t} cc ON cc.node = e.src
+            ), lab{t} AS (
+              SELECT node, min(label) AS l FROM cc{t} GROUP BY node
+            )"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",".join(ctes)
+        + " SELECT * FROM ("
+        + " UNION ALL ".join(blocks)
+        + ") ORDER BY threshold"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sidecars = _ensure_oracle_sidecars()
     candidates: dict[str, str] = {
@@ -3714,6 +3822,7 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, TIMESTAMP '{lo:%Y-%m-%d}', TIMESTAMP '{hi:%Y-%m-%d}')"
         for i, lo, hi in _promo_windows()
     )
+    extra["dedup_threshold_sweep"] = _threshold_sweep_sql()
     extra["promo_revenue"] = f"""
         WITH r(range_id, lo, hi) AS (VALUES {_vals})
         SELECT CAST(range_id AS BIGINT) AS range_id,
