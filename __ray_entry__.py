@@ -2909,6 +2909,69 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_cm_heavy_tokens(sf_dir: str):
+    """Count-Min in a distributed pipeline: per-block tokenize+update
+    partials tree-merged off-driver (``block_reduce``), evaluated at
+    the exact global top-20 tokens (Misra-Gries partials, exact under
+    the vocab bound). Output (word, n_exact, cm_est, rank); the merged
+    CM is split-invariant (partial count matrices sum), so the
+    in-process sidecar twin matches value-exactly, and cm_est ≥
+    n_exact by construction (one-sided CM error)."""
+    import ray.data as rd
+
+    from raydedup.ops.text_stats import top_words_per_group
+    from raydedup.sketches.aggregates import block_reduce
+    from raydedup.sketches.countmin import CountMinSketch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def const_group(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"g": pa.array(["all"] * len(b), pa.string()), "text": b["text"]}
+        )
+
+    grouped = docs.map_batches(const_group, batch_format="pyarrow")
+    top = top_words_per_group(grouped, "g", k=20).to_pandas()
+    top = top.sort_values("rank").reset_index(drop=True)
+
+    def partial(block: pa.Table) -> bytes:
+        return CountMinSketch(5, 2048).update(_tokens_of(block["text"])).to_bytes()
+
+    row = docs.aggregate(
+        block_reduce(
+            partial,
+            lambda a, b: CountMinSketch.from_bytes(a)
+            .merge(CountMinSketch.from_bytes(b))
+            .to_bytes(),
+            name="cm",
+        )
+    )
+    cm = CountMinSketch.from_bytes(row["cm"])
+    words = pa.array(top.word.tolist(), pa.string())
+    est = cm.estimate(words).astype(np.int64)
+    return pa.table(
+        {
+            "word": words,
+            "n_exact": pa.array(top.n.to_numpy(np.int64)),
+            "cm_est": pa.array(est),
+            "rank": pa.array(top["rank"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _tokens_of(text) -> pa.Array:
+    """The board's shared word derivation: split_whitespace(lower),
+    drop empties — identical to top_words_per_group's partials and the
+    SQL oracles' string_split_regex('\\s+') + len>0 filter."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    flat = pc.utf8_split_whitespace(pc.utf8_lower(text))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.flatten()
+    return flat.filter(pc.greater(pc.utf8_length(flat), 0))
+
+
 def _q_dedup_threshold_sweep(sf_dir: str):
     """Dedup-aggressiveness tuning table: cluster statistics at
     thresholds 0.8/0.85/0.9/0.95 from ONE pipeline run (the report a
@@ -3173,6 +3236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "cm_heavy_tokens": _q_cm_heavy_tokens,
     }
 
 
@@ -3227,6 +3291,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("source_overlap", "source_overlap.parquet"),
             ("window_distinct_users", "window_distinct_users.parquet"),
             ("fd_spectrum", "fd_spectrum.parquet"),
+            ("cm_heavy_tokens", "cm_heavy_tokens.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3329,6 +3394,26 @@ def _ensure_oracle_sidecars() -> set[str]:
             "match_url": pa.array(_sd_match.tolist(), pa.string()),
         }
     ).sort_by("url")
+
+    # cm_heavy_tokens twin: one-process CM over the same token stream
+    # + exact counts via np.unique; split-invariance of the count
+    # matrix makes the comparison value-exact
+    from raydedup.sketches.countmin import CountMinSketch
+
+    toks = _tokens_of(tbl["text"])
+    cm_tw = CountMinSketch(5, 2048).update(toks)
+    tv = toks.to_numpy(zero_copy_only=False)
+    uw, uc = np.unique(tv, return_counts=True)
+    ordx = np.lexsort((uw, -uc))[:20]
+    words_tw = pa.array([str(w) for w in uw[ordx]], pa.string())
+    outputs["cm_heavy_tokens"] = pa.table(
+        {
+            "word": words_tw,
+            "n_exact": pa.array(uc[ordx].astype(np.int64)),
+            "cm_est": pa.array(cm_tw.estimate(words_tw).astype(np.int64)),
+            "rank": pa.array(np.arange(1, len(ordx) + 1, dtype=np.int64)),
+        }
+    )
 
     # fd_spectrum twin: same canonical-order Frequent Directions walk
     # (bucket -> in-bucket id order -> ascending-bucket fold), one
@@ -3785,6 +3870,11 @@ def oracle_sql() -> dict[str, str]:
         "fd_spectrum": f"""
             SELECT rank, sigma
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fd_spectrum.parquet')
+            ORDER BY rank
+        """,
+        "cm_heavy_tokens": f"""
+            SELECT word, n_exact, cm_est, rank
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/cm_heavy_tokens.parquet')
             ORDER BY rank
         """,
         "token_budget_sample": f"""
