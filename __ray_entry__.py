@@ -2909,6 +2909,21 @@ def _q_events_debounce(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_fd_label_spectra(sf_dir: str):
+    """Grouped Frequent Directions: per-label embedding spectra (the
+    drift-report shape — one ℓ×d sketch per group, blocking-invariant
+    because map_groups hands the whole group and rows absorb in
+    ascending vec_id order). Sidecar twin value-exact."""
+    import ray.data as rd
+
+    from raydedup.ops.fd_embed import fd_group_spectra
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return fd_group_spectra(emb, "label", ell=8, top=4).sort(["label", "rank"])
+
+
 def _q_cm_heavy_tokens(sf_dir: str):
     """Count-Min in a distributed pipeline: per-block tokenize+update
     partials tree-merged off-driver (``block_reduce``), evaluated at
@@ -3237,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "cm_heavy_tokens": _q_cm_heavy_tokens,
+        "fd_label_spectra": _q_fd_label_spectra,
     }
 
 
@@ -3292,6 +3308,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("window_distinct_users", "window_distinct_users.parquet"),
             ("fd_spectrum", "fd_spectrum.parquet"),
             ("cm_heavy_tokens", "cm_heavy_tokens.parquet"),
+            ("fd_label_spectra", "fd_label_spectra.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3424,6 +3441,13 @@ def _ensure_oracle_sidecars() -> set[str]:
         f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     outputs["fd_spectrum"] = fd_spectrum_local(embt_fd, ell=16, n_buckets=8, top=16)
+
+    from raydedup.ops.fd_embed import fd_group_spectra_local
+
+    embt_fdg = pq.read_table(
+        f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    outputs["fd_label_spectra"] = fd_group_spectra_local(embt_fdg, "label", ell=8, top=4)
 
     # source_overlap twin: per-source from_hashes over ALL distinct
     # grams in one process (ops/overlap.py docstring proves the
@@ -3876,6 +3900,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, n_exact, cm_est, rank
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/cm_heavy_tokens.parquet')
             ORDER BY rank
+        """,
+        "fd_label_spectra": f"""
+            SELECT label, rank, sigma
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fd_label_spectra.parquet')
+            ORDER BY label, rank
         """,
         "token_budget_sample": f"""
             WITH pr AS (

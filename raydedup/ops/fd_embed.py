@@ -77,6 +77,57 @@ def spectrum_table(fd: FrequentDirections, top: int = 16) -> pa.Table:
     )
 
 
+def fd_group_spectra(ds, group_column: str = "label", ell: int = 8, top: int = 4, id_column: str = "vec_id", vec_column: str = "embedding"):
+    """Per-group embedding spectra — the drift-report shape ("has
+    source X's embedding distribution shifted?"): one FD sketch per
+    group, rows absorbed in ascending id order (map_groups hands the
+    whole group, so the result is blocking-invariant with no bucket
+    fold needed). Output (group, rank, sigma) — fully distributed,
+    n_groups × top rows."""
+    from raydedup.ops.ann import _emb_matrix
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(g, vec_column).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        fd = FrequentDirections(ell, mat.shape[1]).append(mat[order])
+        sv = fd.singular_values()[:top]
+        gv = int(g[group_column][0].as_py())
+        return pa.table(
+            {
+                group_column: pa.array([gv] * len(sv), pa.int64()),
+                "rank": pa.array(np.arange(1, len(sv) + 1), pa.int64()),
+                "sigma": pa.array(np.round(sv, 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby(group_column).map_groups(per_group, batch_format="pyarrow")
+
+
+def fd_group_spectra_local(tbl: pa.Table, group_column: str = "label", ell: int = 8, top: int = 4, id_column: str = "vec_id", vec_column: str = "embedding") -> pa.Table:
+    """Single-process twin of ``fd_group_spectra``."""
+    from raydedup.ops.ann import _emb_matrix
+
+    ids = tbl[id_column].to_numpy(zero_copy_only=False)
+    mat = _emb_matrix(tbl, vec_column).astype(np.float64)
+    groups = tbl[group_column].to_numpy(zero_copy_only=False)
+    out_g, out_r, out_s = [], [], []
+    for gv in np.unique(groups):
+        m = groups == gv
+        order = np.argsort(ids[m], kind="stable")
+        sv = FrequentDirections(ell, mat.shape[1]).append(mat[m][order]).singular_values()[:top]
+        out_g.extend([gv] * len(sv))
+        out_r.extend(range(1, len(sv) + 1))
+        out_s.extend(np.round(sv, 6).tolist())
+    return pa.table(
+        {
+            group_column: pa.array([int(g) for g in out_g], pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "sigma": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
 def fd_spectrum_local(tbl: pa.Table, ell: int = 16, n_buckets: int = 8, id_column: str = "vec_id", vec_column: str = "embedding", top: int = 16) -> pa.Table:
     """Single-process twin: same bucketing, same in-bucket id order,
     same ascending-bucket fold."""
