@@ -3099,6 +3099,21 @@ def _q_source_overlap(sf_dir: str):
     return source_overlap(docs, k=5, lg_k=12)
 
 
+def _q_source_unique_grams(sf_dir: str):
+    """Per-source unique-content estimate: theta A-NOT-B of each
+    source's distinct-5-gram sketch against the union of every other
+    source (sketches/theta.py::theta_a_not_b — the DataSketches AnotB
+    op the Rust reference lacks). Same map-side KMV partial plan as
+    source_overlap; sidecar twin value-exact (split-invariant
+    partials, deterministic algebra)."""
+    import ray.data as rd
+
+    from raydedup.ops.overlap import source_unique_grams
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return source_unique_grams(docs, k=5, lg_k=12)
+
+
 def _q_template_prefixes(sf_dir: str):
     """Boilerplate template detection: docs sharing the same normalized
     64-char prefix form a template group (the cheap tier-0 signal a web
@@ -3253,6 +3268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "cm_heavy_tokens": _q_cm_heavy_tokens,
         "fd_label_spectra": _q_fd_label_spectra,
+        "source_unique_grams": _q_source_unique_grams,
     }
 
 
@@ -3309,6 +3325,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("fd_spectrum", "fd_spectrum.parquet"),
             ("cm_heavy_tokens", "cm_heavy_tokens.parquet"),
             ("fd_label_spectra", "fd_label_spectra.parquet"),
+            ("source_unique_grams", "source_unique_grams.parquet"),
             ("stratified_sample", "stratified_sample.parquet"),
             ("semantic_dedup", "semantic_dedup.parquet"),
             ("quantile_filter", "quantile_filter.parquet"),
@@ -3455,6 +3472,10 @@ def _ensure_oracle_sidecars() -> set[str]:
     from raydedup.ops.overlap import source_overlap_local
 
     outputs["source_overlap"] = source_overlap_local(tbl_src, k=5, lg_k=12)
+
+    from raydedup.ops.overlap import source_unique_grams_local
+
+    outputs["source_unique_grams"] = source_unique_grams_local(tbl_src, k=5, lg_k=12)
 
     embt = pq.read_table(f"{_ORACLE_SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
     from raydedup.ops.ann import _emb_matrix
@@ -3905,6 +3926,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, rank, sigma
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/fd_label_spectra.parquet')
             ORDER BY label, rank
+        """,
+        "source_unique_grams": f"""
+            SELECT source, n_unique_est
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/source_unique_grams.parquet')
+            ORDER BY source
         """,
         "token_budget_sample": f"""
             WITH pr AS (

@@ -29,7 +29,12 @@ import numpy as np
 import pyarrow as pa
 
 from raydedup.pipeline.extract import segmented_unique, text_to_shingle_sets
-from raydedup.sketches.theta import ThetaSketch, jaccard_estimate, theta_union
+from raydedup.sketches.theta import (
+    ThetaSketch,
+    jaccard_estimate,
+    theta_a_not_b,
+    theta_union,
+)
 
 U64 = np.uint64
 
@@ -121,6 +126,47 @@ def source_overlap(ds, k: int = 5, lg_k: int = 12) -> pa.Table:
     return pairwise_jaccard_table(
         {r["source"]: ThetaSketch.from_bytes(r["sketch"]) for r in rows}
     )
+
+
+def unique_grams_table(sketches: dict[str, ThetaSketch]) -> pa.Table:
+    """Per source: estimated distinct grams unique to it vs the union
+    of every other source (theta A-NOT-B over the union — the "what
+    does this source contribute that nothing else has" slice a mixing
+    recipe weighs). O(S²) sketch unions on the caller; estimates round
+    to 6 decimals."""
+    names = sorted(sketches)
+    est = []
+    for s in names:
+        others = theta_union([sketches[t] for t in names if t != s])
+        est.append(round(theta_a_not_b(sketches[s], others).estimate(), 6))
+    return pa.table(
+        {
+            "source": pa.array(names, pa.string()),
+            "n_unique_est": pa.array(est, pa.float64()),
+        }
+    )
+
+
+def source_unique_grams(ds, k: int = 5, lg_k: int = 12) -> pa.Table:
+    """Full pipeline: documents Dataset → per-source unique-gram table
+    (same bounded S-row gather as ``source_overlap``)."""
+    rows = source_gram_sketches(ds, k=k, lg_k=lg_k).take_all()
+    return unique_grams_table(
+        {r["source"]: ThetaSketch.from_bytes(r["sketch"]) for r in rows}
+    )
+
+
+def source_unique_grams_local(tbl: pa.Table, k: int = 5, lg_k: int = 12) -> pa.Table:
+    """Single-process twin (same from_hashes sketches, same algebra)."""
+    sh, off, _ = text_to_shingle_sets(tbl["text"].combine_chunks(), k=k)
+    uvals, uoff = segmented_unique(sh, off)
+    src = tbl["source"].to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(len(src), dtype=np.int64), np.diff(uoff))
+    sketches = {
+        str(s): ThetaSketch.from_hashes(uvals[(src == s)[row_of]] >> U64(1), lg_k=lg_k)
+        for s in np.unique(src)
+    }
+    return unique_grams_table(sketches)
 
 
 def source_overlap_local(tbl: pa.Table, k: int = 5, lg_k: int = 12) -> pa.Table:

@@ -414,6 +414,27 @@ def theta_intersect(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
     return ThetaSketch(min(a.lg_k, b.lg_k), theta, common, a.seed_hash, empty)
 
 
+def theta_a_not_b(a: ThetaSketch, b: ThetaSketch) -> ThetaSketch:
+    """Theta set difference A\\B (the DataSketches AnotB operation —
+    absent from the Rust reference 0.3.0, which ships only
+    intersection; semantics follow the published Java/C++ AnotB and
+    the same screening rule as ``theta_intersect``).
+
+    theta = min(theta_a, theta_b); retain A's entries NOT present in
+    B, screened below theta; empty iff A is empty (B empty → result is
+    A rescreened). Unbiased for |A\\B| by the standard theta argument:
+    every retained hash is a uniform sample of A\\B at rate
+    theta/MAX_THETA."""
+    if not a.empty and not b.empty and a.seed_hash != b.seed_hash:
+        raise codec.InvalidData(
+            f"incompatible seed hash: expected {a.seed_hash}, got {b.seed_hash}"
+        )
+    theta = min(a.theta, b.theta)
+    keep = a.entries[~np.isin(a.entries, b.entries, assume_unique=True)]
+    keep = keep[keep < U64(theta)]
+    return ThetaSketch(min(a.lg_k, b.lg_k), theta, keep, a.seed_hash, a.empty)
+
+
 def jaccard_estimate(a: ThetaSketch, b: ThetaSketch) -> float:
     """Estimated Jaccard similarity |A∩B| / |A∪B| from two theta sketches.
 
