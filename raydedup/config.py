@@ -22,6 +22,15 @@ class DedupConfig:
     shingle_k: int = 5  # words per shingle
     # MinHash (north_star: 128 permutations)
     num_perms: int = 128
+    # signature kernel: "perm" = 128 independent permutations (the
+    # north-star config, default); "oph" = one-permutation hashing with
+    # densified bins (Li/Owen/Zhang 2012 + Shrivastava/Li 2014) — one
+    # hash per shingle instead of 128 permutation passes, the ALU-cheap
+    # scale mode. Candidates from either mode feed the SAME
+    # exact-Jaccard verify, so precision is unchanged; OPH slot
+    # agreement has higher variance on short docs (recall gated on the
+    # golden fixtures in tests).
+    sig_mode: str = "perm"
     # LSH banding: num_perms = bands * rows; threshold ~ (1/b)^(1/r)
     bands: int = 32
     rows: int = 4
@@ -62,6 +71,8 @@ class DedupConfig:
             raise ValueError(
                 f"bands*rows must equal num_perms: {self.bands}*{self.rows} != {self.num_perms}"
             )
+        if self.sig_mode not in ("perm", "oph"):
+            raise ValueError(f"sig_mode must be 'perm' or 'oph' (got {self.sig_mode!r})")
 
     def config_hash(self) -> str:
         """Stable fingerprint of every recall-affecting knob."""

@@ -99,9 +99,14 @@ class SignatureStage:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         sh, off, _ = text_to_shingle_sets(text, k=cfg.shingle_k, seed=cfg.seed)
-        sig = minhash_signatures(
-            sh, off, num_perms=cfg.num_perms, seed=cfg.seed, workspace=self.workspace
-        )
+        if cfg.sig_mode == "oph":
+            from raydedup.pipeline.minhash import oph_signatures
+
+            sig = oph_signatures(sh, off, num_perms=cfg.num_perms, seed=cfg.seed)
+        else:
+            sig = minhash_signatures(
+                sh, off, num_perms=cfg.num_perms, seed=cfg.seed, workspace=self.workspace
+            )
         bands = band_keys(sig, cfg.bands, cfg.rows, seed=cfg.seed)
 
         uvals, uoff = segmented_unique(sh, off)

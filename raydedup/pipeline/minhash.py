@@ -133,6 +133,80 @@ def minhash_signatures(
     return ws.signatures(shingles, offsets)
 
 
+def oph_signatures(
+    shingles: np.ndarray,
+    offsets: np.ndarray,
+    num_perms: int = 128,
+    seed: int = 9001,
+) -> np.ndarray:
+    """One-permutation MinHash with densification (OPH).
+
+    Li, Owen & Zhang (NIPS 2012) "One Permutation Hashing": instead of
+    ``num_perms`` independent permutation passes, hash each shingle
+    ONCE and split the hash universe into ``num_perms`` equal bins (the
+    high bits pick the bin); the signature slot for a bin is the
+    minimum hash that landed in it. Empty bins are filled by
+    densification (Shrivastava & Li, ICML 2014): each empty bin borrows
+    from the nearest non-empty bin to its left in circular order, with
+    the borrow distance mixed into the borrowed value so two docs agree
+    on a densified slot iff they borrowed the SAME value from the SAME
+    relative offset — preserving P(agree) ~= J.
+
+    Cost per shingle is one fmix64 + one argsort share, vs 128
+    multiply/xor/min passes for the permutation family — the ALU-cheap
+    signature path. Slot agreement has somewhat higher variance than
+    true 128-perm MinHash for short docs (few filled bins), so the
+    flagship default stays ``perm``; OPH is the opt-in scale mode and
+    its candidates feed the same exact-Jaccard verify.
+
+    Returns (n_docs, num_perms) uint64; all-empty docs keep EMPTY_SLOT
+    rows (excluded from banding upstream, same contract as
+    ``minhash_signatures``).
+    """
+    if num_perms & (num_perms - 1):
+        raise ValueError(f"num_perms must be a power of two for OPH (got {num_perms})")
+    n_docs = len(offsets) - 1
+    k = num_perms
+    sig = np.full((n_docs, k), EMPTY_SLOT, dtype=U64)
+    if n_docs == 0 or len(shingles) == 0:
+        return sig
+    shift = U64(64 - int(np.log2(k)))
+    salt = fmix64((np.asarray(seed, dtype=U64) * _SALT_STRIDE) ^ _MIX_C)
+    h = fmix64(shingles ^ salt)  # one hash per shingle — the whole point
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+    key = doc * k + (h >> shift).astype(np.int64)
+    order = np.argsort(key, kind="stable")
+    ks, hs = key[order], h[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    filled_key = ks[starts]
+    flat = sig.reshape(-1)
+    flat[filled_key] = np.minimum.reduceat(hs, starts)
+    filled = np.zeros(n_docs * k, dtype=bool)
+    filled[filled_key] = True
+    filled = filled.reshape(n_docs, k)
+
+    if filled.all():
+        return sig
+    # densify: circular left-fill via a doubled position index.
+    # idx2[r, j] = doubled position j where filled, else -1; a running
+    # max over the doubled axis yields, at position k+j, the nearest
+    # filled bin at-or-before j in circular order.
+    pos2 = np.arange(2 * k, dtype=np.int64)
+    filled2 = np.concatenate([filled, filled], axis=1)
+    idx2 = np.where(filled2, pos2[None, :], -1)
+    ff = np.maximum.accumulate(idx2, axis=1)[:, k:]
+    any_row = filled.any(axis=1)
+    d = (np.arange(k, dtype=np.int64)[None, :] + k) - ff  # 0 for filled slots
+    src = ff % k
+    rows_idx = np.nonzero(any_row)[0]
+    if len(rows_idx):
+        vals = sig[rows_idx[:, None], src[rows_idx]]
+        dd = d[rows_idx].astype(U64)
+        borrowed = fmix64(vals ^ (dd * _SALT_STRIDE))
+        sig[rows_idx] = np.where(d[rows_idx] == 0, vals, borrowed)
+    return sig
+
+
 def band_keys(sig: np.ndarray, bands: int, rows: int, seed: int = 9001) -> np.ndarray:
     """(n_docs, bands) uint64 band-hash matrix.
 

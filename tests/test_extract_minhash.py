@@ -148,3 +148,71 @@ def test_signature_stage_kmv_trim_oversized_docs():
             np.testing.assert_array_equal(got, seg)
             assert theta == MAX_THETA
         assert out["n_shingles"][d].as_py() == len(got)
+
+
+# ---------------------------------------------------------------- OPH
+
+
+def _pair_sets(rng, n_shared, n_a, n_b):
+    univ = rng.choice(2**62, size=n_a + n_b - n_shared, replace=False).astype(np.uint64)
+    return univ[:n_a], np.concatenate([univ[:n_shared], univ[n_a:]])
+
+
+def test_oph_agreement_tracks_jaccard():
+    from raydedup.pipeline.minhash import oph_signatures
+
+    rng = np.random.default_rng(7)
+    ests = []
+    for _ in range(40):
+        a, b = _pair_sets(rng, 300, 400, 400)
+        sh = np.concatenate([a, b])
+        off = np.array([0, len(a), len(a) + len(b)], dtype=np.int64)
+        sig = oph_signatures(sh, off, num_perms=128, seed=9001)
+        ests.append((sig[0] == sig[1]).mean())
+    # true J = 300/500 = 0.6; OPH is unbiased, so the mean of 40
+    # trials lands well inside 3 sigma of 0.6
+    assert abs(np.mean(ests) - 0.6) < 0.03, np.mean(ests)
+
+
+def test_oph_invariants():
+    from raydedup.pipeline.minhash import oph_signatures
+
+    rng = np.random.default_rng(11)
+    a = rng.choice(2**62, size=50, replace=False).astype(np.uint64)
+    # empty rows keep EMPTY_SLOT; non-empty rows densify fully
+    off = np.array([0, 0, 50, 50], dtype=np.int64)
+    sig = oph_signatures(a, off, 128)
+    assert (sig[0] == EMPTY_SLOT).all() and (sig[2] == EMPTY_SLOT).all()
+    assert not (sig[1] == EMPTY_SLOT).any()
+    # identical docs -> identical sigs; within-doc order irrelevant
+    off2 = np.array([0, 50, 100], dtype=np.int64)
+    s1 = oph_signatures(np.concatenate([a, a]), off2, 128)
+    s2 = oph_signatures(np.concatenate([a[::-1], a]), off2, 128)
+    assert (s1[0] == s1[1]).all()
+    np.testing.assert_array_equal(s1, s2)
+    # a single-shingle doc densifies every bin, distance-salted so the
+    # 128 slots are distinct (two docs agree on a borrowed slot only
+    # when they borrowed the same value at the same relative offset)
+    s3 = oph_signatures(a[:1], np.array([0, 1], dtype=np.int64), 128)
+    assert not (s3 == EMPTY_SLOT).any()
+    assert len(np.unique(s3)) == 128
+
+
+def test_oph_requires_power_of_two():
+    import pytest
+
+    from raydedup.pipeline.minhash import oph_signatures
+
+    with pytest.raises(ValueError):
+        oph_signatures(np.array([1], dtype=np.uint64), np.array([0, 1], dtype=np.int64), 96)
+
+
+def test_oph_disjoint_sets_rarely_agree():
+    from raydedup.pipeline.minhash import oph_signatures
+
+    rng = np.random.default_rng(3)
+    a, b = _pair_sets(rng, 0, 400, 400)
+    sh = np.concatenate([a, b])
+    off = np.array([0, len(a), len(a) + len(b)], dtype=np.int64)
+    sig = oph_signatures(sh, off, num_perms=128, seed=9001)
+    assert (sig[0] == sig[1]).mean() < 0.05

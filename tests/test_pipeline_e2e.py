@@ -263,3 +263,24 @@ def test_worker_kill_retry_determinism(ray_session, corpus, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_oph_mode_recall_golden_pairs(ray_session, corpus, golden_oracle):
+    """sig_mode="oph" (one-permutation hashing + densification) is the
+    ALU-cheap signature path: one hash per shingle instead of 128
+    permutation passes. Candidates feed the SAME exact-Jaccard verify,
+    so precision is inherited; this gates recall on the golden fixture
+    (higher slot variance than true 128-perm MinHash, but the 4-row
+    band OR across 32 bands absorbs it at the 0.8 design point)."""
+    pages_tbl, _ = corpus
+    golden_pairs, _ = golden_oracle
+    res = run_dedup(rd.from_arrow(pages_tbl), DedupConfig(sig_mode="oph"), n_buckets=32)
+    asg = res.assignments.to_pandas()
+    asg_map = dict(zip(asg["url"], asg["cluster_id"]))
+    found = sum(1 for a, b in golden_pairs if asg_map[a] == asg_map[b])
+    recall = found / len(golden_pairs)
+    assert recall >= 0.99, f"OPH recall {recall:.4f} below target"
+    # verified dup pairs are exact-Jaccard >= threshold regardless of mode
+    ver = res.verified.to_pandas()
+    dups = ver[ver.is_dup]
+    assert (dups.exact_jaccard >= DedupConfig().threshold - 1e-9).all()
