@@ -3114,6 +3114,61 @@ def _q_source_unique_grams(sf_dir: str):
     return source_unique_grams(docs, k=5, lg_k=12)
 
 
+def _q_snm_dup_pairs(sf_dir: str):
+    """Sorted-neighborhood dedup (Hernandez-Stolfo 1995, the classic
+    sort-merge blocking family): global sort by a normalized 48-char
+    key, compare ONLY rank neighbors within window 6, keep pairs
+    within Levenshtein 4 (ops/snm.py — rank via the packing prefix-sum
+    shape, window pairs via one anchor/probe hash exchange, shared
+    batched Wagner-Fischer verify). Near-dup coverage is planted
+    (doc_id % 5 == 0 -> doc_id + 100000 with chars 41-42 overwritten —
+    a TAIL edit, so the sort prefixes still collate adjacently); the
+    oracle derives the same corpus and re-checks the full window
+    semantics via row_number + rank-distance self-join + levenshtein."""
+    import ray.data as rd
+
+    from raydedup.ops.snm import normalize_sort_key, snm_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(_mod(batch["doc_id"], 5), 0))
+        t = sel["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        edited = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(t, 0, 40),
+            pa.scalar("qq"),
+            pc.utf8_slice_codeunits(t, 42, 2**62),
+            pa.scalar(""),
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], pa.scalar(100000, pa.int64())),
+                "text": edited,
+            }
+        )
+
+    aug = docs.union(docs.map_batches(planted, batch_format="pyarrow"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "key": normalize_sort_key(batch["text"], key_len=48),
+            }
+        )
+
+    return snm_pairs(
+        aug.map_batches(keyed, batch_format="pyarrow"),
+        "doc_id",
+        "key",
+        window=6,
+        max_dist=4,
+        key_len=48,
+    ).sort(["doc_a", "doc_b"])
+
+
 def _q_template_prefixes(sf_dir: str):
     """Boilerplate template detection: docs sharing the same normalized
     64-char prefix form a template group (the cheap tier-0 signal a web
@@ -3263,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": _q_streaming_dedup,
         "source_overlap": _q_source_overlap,
         "template_prefixes": _q_template_prefixes,
+        "snm_dup_pairs": _q_snm_dup_pairs,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -4036,6 +4092,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "snm_dup_pairs": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     substr(text, 1, 40) || 'qq' || substr(text, 43) AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ), k AS (
+              SELECT doc_id,
+                     substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 48) AS key
+              FROM corpus
+            ), r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rnk
+              FROM k
+            )
+            SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+            FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
+            WHERE levenshtein(a.key, b.key) <= 4
+            ORDER BY doc_a, doc_b
         """,
         "normalized_dedup": r"""
             WITH n AS (
