@@ -74,6 +74,22 @@ class DedupConfig:
         if self.sig_mode not in ("perm", "oph"):
             raise ValueError(f"sig_mode must be 'perm' or 'oph' (got {self.sig_mode!r})")
 
+    @classmethod
+    def plan(cls, threshold: float = 0.8, num_perms: int = 128, **kw) -> "DedupConfig":
+        """Config with (bands, rows) chosen by the S-curve planner
+        (``pipeline/plan.py::optimal_bands``) for ``threshold`` —
+        recall-leaning weights, since candidates feed an exact verify
+        here so a false positive costs compute but a false negative is
+        unrecoverable. The hand-picked default (32x4 at 0.8) is MORE
+        recall-leaning still (collision prob ~1.0 at s=0.8); use this
+        when tuning to a different threshold."""
+        from raydedup.pipeline.plan import optimal_bands
+
+        bands, rows, _, _ = optimal_bands(num_perms, threshold)
+        return cls(
+            num_perms=num_perms, bands=bands, rows=rows, threshold=threshold, **kw
+        )
+
     def config_hash(self) -> str:
         """Stable fingerprint of every recall-affecting knob."""
         payload = json.dumps(asdict(self), sort_keys=True).encode()
