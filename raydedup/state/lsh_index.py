@@ -101,6 +101,35 @@ class LshIndexShard:
     def stats(self):
         return {"n_keys": len(self._keys), "n_entries": self._n_entries}
 
+    def dump(self):
+        """Flatten the shard to arrays, one row per (key, entry), in
+        key-list order (order is semantic: it encodes which entries
+        beat the ``max_key_group`` cap). -> (keys int64, urls object,
+        sigs uint32 (n, P)) — empty shard returns zero-row arrays."""
+        ks, us, ss = [], [], []
+        for k, ent in self._keys.items():
+            for u, s in ent:
+                ks.append(k)
+                us.append(u)
+                ss.append(s)
+        if not ks:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, object),
+                np.empty((0, 0), np.uint32),
+            )
+        return np.array(ks, np.int64), np.array(us, object), np.stack(ss)
+
+    def load(self, keys: np.ndarray, urls: np.ndarray, sigs: np.ndarray):
+        """Rebuild state from a dump, preserving entry order. The cap
+        was enforced at insert time, so rows replay verbatim."""
+        self._keys.clear()
+        self._n_entries = 0
+        for k, u, s in zip(keys.tolist(), urls.tolist(), sigs):
+            self._keys.setdefault(k, []).append((u, s))
+            self._n_entries += 1
+        return self._n_entries
+
 
 class StreamingDedupIndex:
     """Driver-side handle over ``n_shards`` LshIndexShard actors."""
@@ -108,6 +137,7 @@ class StreamingDedupIndex:
     def __init__(self, n_shards: int = 4, min_agree: float = 0.8, max_key_group: int = 64):
         self.n_shards = n_shards
         self.min_agree = min_agree
+        self.max_key_group = max_key_group
         self.shards = [LshIndexShard.remote(max_key_group) for _ in range(n_shards)]
 
     def _route(self, band_keys: np.ndarray, doc_ix: np.ndarray):
@@ -150,6 +180,83 @@ class StreamingDedupIndex:
 
     def stats(self):
         return ray.get([s.stats.remote() for s in self.shards])
+
+    def checkpoint(self, path: str):
+        """Snapshot the service: one parquet per shard (the
+        per-partition lineage unit — a restore reloads shards
+        independently) + a manifest carrying the routing/semantic
+        config. Call between micro-batches (the service's atomicity
+        unit); shard dumps are fetched in parallel."""
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        dumps = ray.get([s.dump.remote() for s in self.shards])
+        rows = []
+        for i, (keys, urls, sigs) in enumerate(dumps):
+            ncols = sigs.shape[1] if sigs.size else 0
+            tbl = pa.table(
+                {
+                    "key": pa.array(keys),
+                    "url": pa.array(urls.astype(str) if len(urls) else [], pa.string()),
+                    "sig": pa.array(
+                        list(sigs) if sigs.size else [],
+                        pa.list_(pa.uint32(), ncols) if ncols else pa.list_(pa.uint32()),
+                    ),
+                }
+            )
+            pq.write_table(tbl, os.path.join(path, f"shard_{i:04d}.parquet"))
+            rows.append({"shard": i, "n_rows": tbl.num_rows})
+        manifest = {
+            "n_shards": self.n_shards,
+            "min_agree": self.min_agree,
+            "max_key_group": self.max_key_group,
+            "shards": rows,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    @classmethod
+    def restore(cls, path: str) -> "StreamingDedupIndex":
+        """Rebuild a service from :meth:`checkpoint` output. Shard
+        count and semantics come from the manifest — state is only
+        meaningful under the routing that wrote it."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        idx = cls(
+            n_shards=manifest["n_shards"],
+            min_agree=manifest["min_agree"],
+            max_key_group=manifest["max_key_group"],
+        )
+        loads = []
+        for row in manifest["shards"]:
+            tbl = pq.read_table(os.path.join(path, f"shard_{row['shard']:04d}.parquet"))
+            if tbl.num_rows != row["n_rows"]:
+                raise ValueError(
+                    f"shard {row['shard']}: manifest says {row['n_rows']} rows, "
+                    f"file has {tbl.num_rows}"
+                )
+            keys = tbl["key"].to_numpy(zero_copy_only=False)
+            urls = tbl["url"].to_numpy(zero_copy_only=False)
+            sig_list = tbl["sig"].combine_chunks()
+            if tbl.num_rows:
+                sigs = np.stack(
+                    [np.asarray(x, dtype=np.uint32) for x in sig_list.to_pylist()]
+                )
+            else:
+                sigs = np.empty((0, 0), np.uint32)
+            loads.append(idx.shards[row["shard"]].load.remote(keys, urls, sigs))
+        ray.get(loads)
+        return idx
 
 
 def streaming_dedup_local(batches, min_agree: float = 0.8, max_key_group: int = 64):

@@ -134,3 +134,54 @@ def test_max_key_group_caps_hot_key():
     # first doc unmatched; the rest match the earliest committed (u00)
     assert d.tolist() == [False] + [True] * (n - 1)
     assert all(x == "u00" for x in m[1:])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_restore_resumes_identically(tmp_path):
+    """checkpoint() mid-stream + restore() must continue EXACTLY as the
+    uninterrupted service would: same dup flags, same match urls, same
+    shard stats. Also pins the manifest lineage (per-shard row counts)."""
+    cfg = DedupConfig()
+    urls, texts = _corpus(n=160, seed=23)
+    batches = _batches(urls, texts, cfg, batch_size=40)
+
+    # uninterrupted run
+    full = StreamingDedupIndex(n_shards=3, min_agree=0.8, max_key_group=64)
+    want = [full.process_batch(*b) for b in batches]
+
+    # run half, snapshot, restore into a NEW service, run the rest
+    half = StreamingDedupIndex(n_shards=3, min_agree=0.8, max_key_group=64)
+    got = [half.process_batch(*b) for b in batches[:2]]
+    manifest = half.checkpoint(str(tmp_path / "ckpt"))
+    assert manifest["n_shards"] == 3
+    assert sum(r["n_rows"] for r in manifest["shards"]) > 0
+    resumed = StreamingDedupIndex.restore(str(tmp_path / "ckpt"))
+    assert resumed.min_agree == 0.8 and resumed.max_key_group == 64
+    got += [resumed.process_batch(*b) for b in batches[2:]]
+
+    for (wd, wm), (gd, gm) in zip(want, got):
+        assert (wd == gd).all()
+        assert (wm == gm).all()
+    assert resumed.stats() == full.stats()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_restore_rejects_manifest_row_mismatch(tmp_path):
+    import json
+    import os
+
+    cfg = DedupConfig()
+    urls, texts = _corpus(n=40, seed=29)
+    batches = _batches(urls, texts, cfg, batch_size=40)
+    idx = StreamingDedupIndex(n_shards=2, min_agree=0.8, max_key_group=64)
+    idx.process_batch(*batches[0])
+    path = str(tmp_path / "ckpt")
+    idx.checkpoint(path)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["shards"][0]["n_rows"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="manifest says"):
+        StreamingDedupIndex.restore(path)
