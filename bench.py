@@ -76,7 +76,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = _sf_from_dir(sf_dir)
     corpus_dir = ensure_corpus(sf)
-    cfg = DedupConfig()
+    # RAYDEDUP_SIG_MODE=oph benches the one-permutation-hashing
+    # signature kernel (one hash per shingle vs 128 permutation
+    # passes); candidates feed the same exact verify either way
+    cfg = DedupConfig(sig_mode=os.environ.get("RAYDEDUP_SIG_MODE", "perm"))
 
     import glob
 
@@ -233,6 +236,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         "n_docs": n_docs,
+        "sig_mode": cfg.sig_mode,
         "docs_per_sec": round(n_docs / headline, 1),
         # host-throttle probe (see _canary): ~0.1-0.2 s on a clean
         # window, 1.5-9 s inside this VM's whole-box throttle windows —
@@ -355,6 +359,7 @@ def run_scaling(sf_dir: str) -> dict:
         "stage_efficiency": stage_eff,
         "sf": results[hi_cpu]["sf"],
         "n_docs": results[hi_cpu]["n_docs"],
+        "sig_mode": os.environ.get("RAYDEDUP_SIG_MODE", "perm"),
     }
 
 
