@@ -3169,6 +3169,45 @@ def _q_snm_dup_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_mirror_hosts(sf_dir: str):
+    """Mirror detection: host pairs serving >= 2 identical documents
+    (ops/mirror.py — 128-bit content fingerprints, per-bucket distinct
+    (fp, host) + run all-pairs, ONE pair-count rollup; content never
+    shuffles). Hosts are planted ('h'||doc_id%7; every doc_id%3==0 also
+    served from 'm'||doc_id%2) since the synth corpus has no host
+    column; the oracle derives the same corpus and joins on exact
+    text equality — also a completeness check of the fingerprint
+    identity."""
+    import ray.data as rd
+
+    from raydedup.ops.mirror import host_content_overlap
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def hosted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False)
+        host = pa.array(np.char.add("h", (idv % 7).astype(str)))
+        base = pa.table({"host": host, "text": batch["text"]})
+        sel = idv % 3 == 0
+        mirror = pa.table(
+            {
+                "host": pa.array(np.char.add("m", (idv[sel] % 2).astype(str))),
+                "text": pa.Table.from_arrays([batch["text"]], ["t"])["t"]
+                .combine_chunks()
+                .filter(pa.array(sel)),
+            }
+        )
+        return pa.concat_tables([base, mirror])
+
+    corpus = docs.map_batches(hosted, batch_format="pyarrow")
+    return host_content_overlap(corpus, "host", "text", min_shared=2).sort(
+        ["host_a", "host_b"]
+    )
+
+
 def _q_template_prefixes(sf_dir: str):
     """Boilerplate template detection: docs sharing the same normalized
     64-char prefix form a template group (the cheap tier-0 signal a web
@@ -3319,6 +3358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "template_prefixes": _q_template_prefixes,
         "snm_dup_pairs": _q_snm_dup_pairs,
+        "mirror_hosts": _q_mirror_hosts,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -4092,6 +4132,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "mirror_hosts": r"""
+            WITH corpus AS (
+              SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host, text
+              FROM documents
+              UNION ALL
+              SELECT 'm' || CAST(doc_id % 2 AS VARCHAR) AS host, text
+              FROM documents WHERE doc_id % 3 = 0
+            ), h AS (
+              SELECT DISTINCT host, text FROM corpus
+            )
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM h a JOIN h b ON a.text = b.text AND a.host < b.host
+            GROUP BY a.host, b.host
+            HAVING count(*) >= 2
+            ORDER BY host_a, host_b
         """,
         "snm_dup_pairs": r"""
             WITH corpus AS (
