@@ -2789,7 +2789,7 @@ def _q_stitch_shards(sf_dir: str):
     return stitch_pairs(corpus, "doc_id", k=48, n_buckets=32).sort(["id_a", "id_b"])
 
 
-def _q_streaming_dedup(sf_dir: str):
+def _q_streaming_dedup(sf_dir: str, checkpoint_mid: bool = False):
     """Online dedup service: micro-batches of docs (100 per batch, in
     doc_id order) probe-then-commit a sharded mutable LSH index
     (state/lsh_index.py — raw actors; the one semantics Dataset lineage
@@ -2828,7 +2828,17 @@ def _q_streaming_dedup(sf_dir: str):
     index = StreamingDedupIndex(n_shards=4, min_agree=0.8, max_key_group=64)
     out_url, out_dup, out_match = [], [], []
     B = 100
-    for s0 in range(0, len(urls_all), B):
+    starts = list(range(0, len(urls_all), B))
+    ckpt_at = starts[len(starts) // 2] if checkpoint_mid else None
+    for s0 in starts:
+        if checkpoint_mid and s0 == ckpt_at:
+            # snapshot + rebuild mid-stream: the resumed service must
+            # continue exactly where the committed history left off
+            import tempfile
+
+            with tempfile.TemporaryDirectory(prefix="raydedup_sd_ckpt_") as d:
+                index.checkpoint(d)
+                index = StreamingDedupIndex.restore(d)
         u = urls_all[s0 : s0 + B]
         sm = sig_m[s0 : s0 + B]
         bm = band_m[s0 : s0 + B]
@@ -2846,6 +2856,15 @@ def _q_streaming_dedup(sf_dir: str):
             "match_url": pa.array(out_match, pa.string()),
         }
     ).sort_by("url")
+
+
+def _q_streaming_dedup_resumed(sf_dir: str):
+    """The streaming service's resumability contract under the gate:
+    the SAME stream as streaming_dedup, but the index is checkpointed
+    to parquet (one file per shard + manifest) and restored into a
+    fresh actor fleet halfway through — output must be value-identical
+    to the uninterrupted sequential twin."""
+    return _q_streaming_dedup(sf_dir, checkpoint_mid=True)
 
 
 def _q_bbit_jaccard(sf_dir: str):
@@ -3355,6 +3374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_dedup_weights": _q_soft_dedup_weights,
         "bbit_jaccard": _q_bbit_jaccard,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_dedup_resumed": _q_streaming_dedup_resumed,
         "source_overlap": _q_source_overlap,
         "template_prefixes": _q_template_prefixes,
         "snm_dup_pairs": _q_snm_dup_pairs,
@@ -3416,6 +3436,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("sig_distance_quantiles", "sig_distance_quantiles.parquet"),
             ("bbit_jaccard", "bbit_jaccard.parquet"),
             ("streaming_dedup", "streaming_dedup.parquet"),
+            ("streaming_dedup_resumed", "streaming_dedup_resumed.parquet"),
             ("source_overlap", "source_overlap.parquet"),
             ("window_distinct_users", "window_distinct_users.parquet"),
             ("fd_spectrum", "fd_spectrum.parquet"),
@@ -3524,6 +3545,8 @@ def _ensure_oracle_sidecars() -> set[str]:
             "match_url": pa.array(_sd_match.tolist(), pa.string()),
         }
     ).sort_by("url")
+    # the resumed run's contract is identity with the uninterrupted twin
+    outputs["streaming_dedup_resumed"] = outputs["streaming_dedup"]
 
     # cm_heavy_tokens twin: one-process CM over the same token stream
     # + exact counts via np.unique; split-invariance of the count
@@ -3996,6 +4019,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup": f"""
             SELECT url, is_dup, match_url
             FROM read_parquet('{_ORACLE_SIDECAR_DIR}/streaming_dedup.parquet')
+            ORDER BY url
+        """,
+        "streaming_dedup_resumed": f"""
+            SELECT url, is_dup, match_url
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/streaming_dedup_resumed.parquet')
             ORDER BY url
         """,
         "source_overlap": f"""
