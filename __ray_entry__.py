@@ -3188,6 +3188,36 @@ def _q_snm_dup_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_lsh_plan(sf_dir: str):
+    """LSH banding planner surface (pipeline/plan.py): the S-curve
+    false-positive / false-negative error areas for every divisor
+    split of 128 permutations at three target thresholds — the table
+    a user reads to pick (bands, rows). Pure math, but gate-checkable:
+    the oracle recomputes the same 512-point trapezoid integrals in
+    SQL (power() + generate_series), value-exact at 6 decimals."""
+    from raydedup.pipeline.plan import error_areas
+
+    th, bs, rs, fps, fns = [], [], [], [], []
+    for t in (0.7, 0.8, 0.9):
+        for r in (1, 2, 4, 8, 16, 32, 64, 128):
+            b = 128 // r
+            fp, fn = error_areas(b, r, t)
+            th.append(t)
+            bs.append(b)
+            rs.append(r)
+            fps.append(fp)
+            fns.append(fn)
+    return pa.table(
+        {
+            "threshold": pa.array(th, pa.float64()),
+            "bands": pa.array(bs, pa.int64()),
+            "rows_pb": pa.array(rs, pa.int64()),
+            "fp_area": pa.array(fps, pa.float64()),
+            "fn_area": pa.array(fns, pa.float64()),
+        }
+    )
+
+
 def _q_mirror_hosts(sf_dir: str):
     """Mirror detection: host pairs serving >= 2 identical documents
     (ops/mirror.py — 128-bit content fingerprints, per-bucket distinct
@@ -3379,6 +3409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_prefixes": _q_template_prefixes,
         "snm_dup_pairs": _q_snm_dup_pairs,
         "mirror_hosts": _q_mirror_hosts,
+        "lsh_plan": _q_lsh_plan,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -4160,6 +4191,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "lsh_plan": r"""
+            WITH splits(bands, rows_pb) AS (
+              VALUES (128,1),(64,2),(32,4),(16,8),(8,16),(4,32),(2,64),(1,128)
+            ), th(threshold) AS (
+              VALUES (0.7),(0.8),(0.9)
+            ), grid AS (
+              SELECT i FROM generate_series(0, 511) AS g(i)
+            ), lo AS (
+              SELECT t.threshold, s.bands, s.rows_pb, g.i,
+                     1 - power(1 - power(t.threshold * g.i / 511.0, s.rows_pb), s.bands) AS p
+              FROM th t CROSS JOIN splits s CROSS JOIN grid g
+            ), fp AS (
+              SELECT threshold, bands, rows_pb,
+                     sum(CASE WHEN i = 0 OR i = 511 THEN p / 2 ELSE p END)
+                       * (threshold / 511.0) AS fp_area
+              FROM lo GROUP BY threshold, bands, rows_pb
+            ), hi AS (
+              SELECT t.threshold, s.bands, s.rows_pb, g.i,
+                     power(1 - power(t.threshold + (1 - t.threshold) * g.i / 511.0,
+                                     s.rows_pb), s.bands) AS q
+              FROM th t CROSS JOIN splits s CROSS JOIN grid g
+            ), fn AS (
+              SELECT threshold, bands, rows_pb,
+                     sum(CASE WHEN i = 0 OR i = 511 THEN q / 2 ELSE q END)
+                       * ((1 - threshold) / 511.0) AS fn_area
+              FROM hi GROUP BY threshold, bands, rows_pb
+            )
+            SELECT fp.threshold, CAST(fp.bands AS BIGINT) AS bands,
+                   CAST(fp.rows_pb AS BIGINT) AS rows_pb,
+                   fp.fp_area, fn.fn_area
+            FROM fp JOIN fn USING (threshold, bands, rows_pb)
+            ORDER BY threshold, rows_pb
         """,
         "mirror_hosts": r"""
             WITH corpus AS (
