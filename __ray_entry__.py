@@ -3188,6 +3188,63 @@ def _q_snm_dup_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_source_datasheet(sf_dir: str):
+    """Per-source data card (the summary table a curation run
+    publishes): doc count, total whitespace tokens, mean chars,
+    language count and dominant language. One narrow tokenize map,
+    two pre-aggregated groupbys (per-source stats; per-(source,lang)
+    counts folded to top-lang per source), and a bounded broadcast
+    attach — the source domain is report-shaped (capped), never
+    corpus-shaped."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from raydedup.ops.text_stats import token_stats
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ts = token_stats(batch, "doc_id")
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "n_chars": ts["n_chars"],
+                "n_tokens": ts["n_tokens"],
+            }
+        )
+
+    n = docs.map_batches(narrow, batch_format="pyarrow").materialize()
+    agg = n.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_chars", alias_name="mean_chars"),
+    )
+    lc = (
+        n.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()  # bounded: |sources| x |langs| (report-shaped)
+    )
+    if len(lc) > 100_000:
+        raise ValueError("source_datasheet: source x lang domain exceeds report cap")
+    top_lang: dict[str, str] = {}
+    n_langs: dict[str, int] = {}
+    for src, grp in lc.groupby("source"):
+        grp = grp.sort_values(["cnt", "lang"], ascending=[False, True])
+        top_lang[src] = grp["lang"].iloc[0]
+        n_langs[src] = grp["lang"].nunique()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        return batch.append_column(
+            "n_langs", pa.array([n_langs[s] for s in srcs], pa.int64())
+        ).append_column("top_lang", pa.array([top_lang[s] for s in srcs], pa.string()))
+
+    return agg.map_batches(attach, batch_format="pyarrow").sort("source")
+
+
 def _q_lsh_plan(sf_dir: str):
     """LSH banding planner surface (pipeline/plan.py): the S-curve
     false-positive / false-negative error areas for every divisor
@@ -3410,6 +3467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_dup_pairs": _q_snm_dup_pairs,
         "mirror_hosts": _q_mirror_hosts,
         "lsh_plan": _q_lsh_plan,
+        "source_datasheet": _q_source_datasheet,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -4191,6 +4249,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "source_datasheet": r"""
+            WITH t AS (
+              SELECT source, lang, length(text) AS n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+              FROM documents
+            ), agg AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     avg(n_chars) AS mean_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM t GROUP BY source
+            ), lc AS (
+              SELECT source, lang, count(*) AS cnt FROM t GROUP BY source, lang
+            ), top AS (
+              SELECT source, lang AS top_lang,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, lang) AS rn
+              FROM lc
+            )
+            SELECT a.source, a.n_docs, a.total_tokens, a.mean_chars,
+                   a.n_langs, top.top_lang
+            FROM agg a JOIN top ON top.source = a.source AND top.rn = 1
+            ORDER BY a.source
         """,
         "lsh_plan": r"""
             WITH splits(bands, rows_pb) AS (
