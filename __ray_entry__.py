@@ -3188,6 +3188,125 @@ def _q_snm_dup_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _wj_augmented_docs(sf_dir: str):
+    """Corpus with planted tf-shifted near-dups for the weighted-
+    Jaccard queries: doc_id % 5 == 0 gains a copy (id + 100000) whose
+    text is the original plus its own first 80 chars — same token SET
+    (mostly), shifted term frequencies, so J_w < 1 while unweighted
+    Jaccard stays ~1. SQL derives the identical corpus."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def planted(batch: pa.Table) -> pa.Table:
+        sel = batch.filter(pc.equal(_mod(batch["doc_id"], 5), 0))
+        t = sel["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        edited = pc.binary_join_element_wise(
+            t, pc.utf8_slice_codeunits(t, 0, 80), pa.scalar(" ")
+        )
+        return pa.table(
+            {
+                "doc_id": pc.add(sel["doc_id"], pa.scalar(100000, pa.int64())),
+                "text": edited,
+            }
+        )
+
+    return docs.union(docs.map_batches(planted, batch_format="pyarrow"))
+
+
+def _wj_pair_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    sel = np.sort(ids[ids % 5 == 0])
+    return pa.table(
+        {
+            "doc_a": pa.array(sel, pa.int64()),
+            "doc_b": pa.array(sel + 100000, pa.int64()),
+        }
+    )
+
+
+def _q_wjaccard_pairs(sf_dir: str):
+    """Exact weighted (tf) Jaccard for the planted pair list
+    (ops/wjaccard.py — one tf map, vectorized pair fan-out from the
+    report-shaped candidate list, ONE bucketed exchange with a
+    min/max-fold kernel). Full SQL oracle: per-pair token tf tables
+    FULL-joined via a side-tagged union, sum(least)/sum(greatest)."""
+    from raydedup.ops.wjaccard import weighted_jaccard_pairs
+
+    return weighted_jaccard_pairs(
+        _wj_augmented_docs(sf_dir), _wj_pair_table(sf_dir)
+    ).sort(["doc_a", "doc_b"])
+
+
+def _q_icws_jaccard(sf_dir: str):
+    """ICWS weighted MinHash (Ioffe 2010, sketches/icws.py): per-doc
+    128-slot signatures computed distributedly (map-only — the tf
+    kernel + per-doc segment-min sampling inside map_batches), then
+    the planted pairs' slot-agreement estimates. Deterministic fmix64
+    randomness -> the single-process sidecar twin is value-exact. The
+    exact counterpart (wjaccard_pairs) is the SQL-checked anchor."""
+    from raydedup.ops.wjaccard import token_tf_rows
+    from raydedup.sketches.icws import icws_estimate, icws_signatures
+
+    pairs = _wj_pair_table(sf_dir)
+    wanted = set(pairs["doc_a"].to_pylist()) | set(pairs["doc_b"].to_pylist())
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        tf = token_tf_rows(batch, "doc_id")
+        ids = tf["doc_id"].to_numpy(zero_copy_only=False)
+        tok = tf["tok"].to_numpy(zero_copy_only=False).view(np.uint64)
+        w = tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uids, doc_of = np.unique(ids, return_inverse=True)
+        order = np.argsort(doc_of, kind="stable")
+        sig = icws_signatures(
+            tok[order], w[order], doc_of[order], len(uids), num_hashes=128
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uids),
+                "sig": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(128 * 8),
+                    len(uids),
+                    [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())],
+                ),
+            }
+        )
+
+    wanted_arr = pa.array(sorted(wanted), pa.int64())
+
+    def member_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=wanted_arr))
+
+    sigs = (
+        _wj_augmented_docs(sf_dir)
+        .map_batches(member_filter, batch_format="pyarrow")
+        .map_batches(sig_batch, batch_format="pyarrow")
+        .to_pandas()  # bounded: pair members only (report-shaped)
+    )
+    by_id = {
+        int(d): np.frombuffer(s, dtype=np.uint64)
+        for d, s in zip(sigs["doc_id"], sigs["sig"])
+    }
+    a = pairs["doc_a"].to_numpy()
+    b = pairs["doc_b"].to_numpy()
+    est = np.array(
+        [float(icws_estimate(by_id[int(x)], by_id[int(y)])) for x, y in zip(a, b)]
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "est_wj": pa.array(est, pa.float64()),
+        }
+    )
+
+
 def _q_source_datasheet(sf_dir: str):
     """Per-source data card (the summary table a curation run
     publishes): doc count, total whitespace tokens, mean chars,
@@ -3468,6 +3587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_hosts": _q_mirror_hosts,
         "lsh_plan": _q_lsh_plan,
         "source_datasheet": _q_source_datasheet,
+        "wjaccard_pairs": _q_wjaccard_pairs,
+        "icws_jaccard": _q_icws_jaccard,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
@@ -3526,6 +3647,7 @@ def _ensure_oracle_sidecars() -> set[str]:
             ("bbit_jaccard", "bbit_jaccard.parquet"),
             ("streaming_dedup", "streaming_dedup.parquet"),
             ("streaming_dedup_resumed", "streaming_dedup_resumed.parquet"),
+            ("icws_jaccard", "icws_jaccard.parquet"),
             ("source_overlap", "source_overlap.parquet"),
             ("window_distinct_users", "window_distinct_users.parquet"),
             ("fd_spectrum", "fd_spectrum.parquet"),
@@ -3636,6 +3758,57 @@ def _ensure_oracle_sidecars() -> set[str]:
     ).sort_by("url")
     # the resumed run's contract is identity with the uninterrupted twin
     outputs["streaming_dedup_resumed"] = outputs["streaming_dedup"]
+
+    # icws_jaccard twin: same deterministic kernels (tf fold + ICWS
+    # segment-min sampling), ONE process over the same augmented
+    # corpus — fmix64 randomness makes the distributed run value-exact
+    from raydedup.ops.wjaccard import token_tf_rows as _tfr
+    from raydedup.sketches.icws import icws_estimate as _ie
+    from raydedup.sketches.icws import icws_signatures as _isig
+
+    _ids0 = tbl["doc_id"].to_numpy()
+    _txt = tbl["text"].combine_chunks()
+    _sel = _ids0 % 5 == 0
+    _selmask = pa.array(_sel)
+    _edited = pc.binary_join_element_wise(
+        _txt.filter(_selmask),
+        pc.utf8_slice_codeunits(_txt.filter(_selmask), 0, 80),
+        pa.scalar(" "),
+    )
+    _aug = pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([_ids0, _ids0[_sel] + 100000]).astype(np.int64)
+            ),
+            "text": pa.concat_arrays([_txt, _edited]),
+        }
+    )
+    _tf = _tfr(_aug, "doc_id")
+    _tids = _tf["doc_id"].to_numpy(zero_copy_only=False)
+    _uids, _doc_of = np.unique(_tids, return_inverse=True)
+    _ordx2 = np.argsort(_doc_of, kind="stable")
+    _sigm = _isig(
+        _tf["tok"].to_numpy(zero_copy_only=False).view(np.uint64)[_ordx2],
+        _tf["tf"].to_numpy(zero_copy_only=False).astype(np.float64)[_ordx2],
+        _doc_of[_ordx2],
+        len(_uids),
+        num_hashes=128,
+    )
+    _row_of = {int(d): i for i, d in enumerate(_uids)}
+    _pa_ids = np.sort(_ids0[_sel])
+    _est = np.array(
+        [
+            float(_ie(_sigm[_row_of[int(x)]], _sigm[_row_of[int(x) + 100000]]))
+            for x in _pa_ids
+        ]
+    )
+    outputs["icws_jaccard"] = pa.table(
+        {
+            "doc_a": pa.array(_pa_ids.astype(np.int64)),
+            "doc_b": pa.array((_pa_ids + 100000).astype(np.int64)),
+            "est_wj": pa.array(_est, pa.float64()),
+        }
+    )
 
     # cm_heavy_tokens twin: one-process CM over the same token stream
     # + exact counts via np.unique; split-invariance of the count
@@ -4249,6 +4422,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "wjaccard_pairs": r"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id,
+                     text || ' ' || substr(text, 1, 80) AS text
+              FROM documents WHERE doc_id % 5 = 0
+            ), tok AS (
+              SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS tf
+              FROM corpus,
+                   unnest(list_filter(string_split_regex(text, '\s+'),
+                                      x -> len(x) > 0)) AS t(w)
+              GROUP BY doc_id, w
+            ), pairs AS (
+              SELECT doc_id AS a, doc_id + 100000 AS b
+              FROM documents WHERE doc_id % 5 = 0
+            ), sided AS (
+              SELECT p.a, p.b, t.token, t.tf, 0 AS side
+              FROM pairs p JOIN tok t ON t.doc_id = p.a
+              UNION ALL
+              SELECT p.a, p.b, t.token, t.tf, 1
+              FROM pairs p JOIN tok t ON t.doc_id = p.b
+            ), m AS (
+              SELECT a, b, token,
+                     coalesce(sum(CASE WHEN side = 0 THEN tf END), 0) AS fa,
+                     coalesce(sum(CASE WHEN side = 1 THEN tf END), 0) AS fb
+              FROM sided GROUP BY a, b, token
+            )
+            SELECT a AS doc_a, b AS doc_b,
+                   CAST(sum(least(fa, fb)) AS DOUBLE)
+                     / sum(greatest(fa, fb)) AS w_jaccard
+            FROM m GROUP BY a, b ORDER BY doc_a, doc_b
+        """,
+        "icws_jaccard": f"""
+            SELECT doc_a, doc_b, est_wj
+            FROM read_parquet('{_ORACLE_SIDECAR_DIR}/icws_jaccard.parquet')
+            ORDER BY doc_a, doc_b
         """,
         "source_datasheet": r"""
             WITH t AS (
