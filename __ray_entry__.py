@@ -3188,6 +3188,32 @@ def _q_snm_dup_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_containment_search(sf_dir: str):
+    """Asymmetric containment search (ops/censemble.py, the LSH
+    Ensemble idea — Zhu et al. VLDB 2016): find corpus docs containing
+    >= 50% of a query's distinct 5-gram shingles. Queries are planted
+    150-char prefixes of every 50th doc (high containment vs their
+    source, LOW Jaccard — the pair shape the flagship's 0.8-tuned
+    bands are designed to miss). Size-partitioned conservative banding
+    generates candidates; an exact broadcast-probe verify computes the
+    returned containment values, so the full SQL oracle (shingle-set
+    intersection over all pairs) checks both completeness and values."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raydedup.ops.censemble import containment_search
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ids = tbl["doc_id"].to_numpy()
+    sel = pa.array(ids % 50 == 0)
+    qtext = pc.utf8_slice_codeunits(tbl["text"].combine_chunks().filter(sel), 0, 150)
+    queries = pa.table(
+        {"qid": pa.array(ids[ids % 50 == 0].astype(np.int64)), "text": qtext}
+    )
+    corpus = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return containment_search(corpus, queries, tau=0.5).sort(["qid", "doc_id"])
+
+
 def _wj_augmented_docs(sf_dir: str):
     """Corpus with planted tf-shifted near-dups for the weighted-
     Jaccard queries: doc_id % 5 == 0 gains a copy (id + 100000) whose
@@ -3588,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_plan": _q_lsh_plan,
         "source_datasheet": _q_source_datasheet,
         "wjaccard_pairs": _q_wjaccard_pairs,
+        "containment_search": _q_containment_search,
         "icws_jaccard": _q_icws_jaccard,
         "window_distinct_users": _q_window_distinct_users,
         "fd_spectrum": _q_fd_spectrum,
@@ -4422,6 +4449,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
             FROM n GROUP BY prefix HAVING count(*) > 1
             ORDER BY prefix
+        """,
+        "containment_search": r"""
+            WITH q AS (
+              SELECT doc_id AS qid, substr(text, 1, 150) AS text
+              FROM documents WHERE doc_id % 50 = 0
+            ), qw AS (
+              SELECT qid, list_filter(string_split_regex(lower(text), '\s+'),
+                                      w -> len(w) > 0) AS w
+              FROM q
+            ), qs AS (
+              SELECT qid, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM qw WHERE len(w) > 0
+            ), dw AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                         w -> len(w) > 0) AS w
+              FROM documents
+            ), ds AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 4, 1)),
+                       i -> array_to_string(w[i:i+4], ' '))) AS s
+              FROM dw WHERE len(w) > 0
+            )
+            SELECT qs.qid, ds.doc_id,
+                   len(list_intersect(qs.s, ds.s))::DOUBLE / len(qs.s) AS containment
+            FROM qs JOIN ds
+              ON len(list_intersect(qs.s, ds.s))::DOUBLE / len(qs.s) >= 0.5
+            ORDER BY qid, doc_id
         """,
         "wjaccard_pairs": r"""
             WITH corpus AS (
