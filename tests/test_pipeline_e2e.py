@@ -284,3 +284,49 @@ def test_oph_mode_recall_golden_pairs(ray_session, corpus, golden_oracle):
     ver = res.verified.to_pandas()
     dups = ver[ver.is_dup]
     assert (dups.exact_jaccard >= DedupConfig().threshold - 1e-9).all()
+
+
+def test_planned_config_recall_at_higher_threshold(ray_session, corpus):
+    """DedupConfig.plan(0.9) drives the WHOLE pipeline with
+    planner-chosen (bands, rows) instead of the hand-picked 32x4:
+    golden recall at the 0.9 design point must stay 1.0 and verified
+    dup pairs must respect the planned threshold. Ties the S-curve
+    planner (pipeline/plan.py) to the flagship end-to-end."""
+    pages_tbl, golden = corpus
+    cfg = DedupConfig.plan(threshold=0.9, num_perms=128)
+    assert (cfg.bands, cfg.rows) != (32, 4)
+
+    # exact 0.9-pairs within planted clusters (same oracle recipe as
+    # golden_oracle, evaluated at the planned threshold)
+    sh, off, _ = text_to_shingle_sets(pages_tbl["text"].combine_chunks())
+    us, uo = segmented_unique(sh, off)
+    urls = pages_tbl["url"].to_pylist()
+    cid = golden["cluster_id"].to_pylist()
+    clusters = collections.defaultdict(list)
+    for i, c in enumerate(cid):
+        if c >= 0:
+            clusters[c].append(i)
+
+    def jac(i, j):
+        a, b = us[uo[i] : uo[i + 1]], us[uo[j] : uo[j + 1]]
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        den = len(a) + len(b) - inter
+        return inter / den if den else 0.0
+
+    want = set()
+    for mem in clusters.values():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                i, j = mem[x], mem[y]
+                if jac(i, j) >= 0.9:
+                    want.add((min(urls[i], urls[j]), max(urls[i], urls[j])))
+    assert want, "fixture must contain 0.9-pairs"
+
+    res = run_dedup(rd.from_arrow(pages_tbl), cfg, n_buckets=32)
+    asg = res.assignments.to_pandas()
+    asg_map = dict(zip(asg["url"], asg["cluster_id"]))
+    found = sum(1 for a, b in want if asg_map[a] == asg_map[b])
+    assert found / len(want) >= 0.99, f"planned-config recall {found/len(want):.4f}"
+    ver = res.verified.to_pandas()
+    dups = ver[ver.is_dup]
+    assert (dups.exact_jaccard >= 0.9 - 1e-9).all()
