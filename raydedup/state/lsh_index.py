@@ -77,7 +77,7 @@ class LshIndexShard:
         for k, d in zip(keys.tolist(), doc_of_key.tolist()):
             ent = self._keys.get(k)
             if ent:
-                for u, s in ent:
+                for u, s, _ in ent:
                     idx.append(d)
                     curls.append(u)
                     csigs.append(s)
@@ -89,13 +89,39 @@ class LshIndexShard:
             )
         return (np.array(idx, np.int64), np.array(curls, object), np.stack(csigs))
 
-    def insert(self, keys: np.ndarray, doc_of_key: np.ndarray, urls: list, sigs: np.ndarray):
-        """Append (url, sig) under each key (first max_key_group kept)."""
+    def insert(
+        self,
+        keys: np.ndarray,
+        doc_of_key: np.ndarray,
+        urls: list,
+        sigs: np.ndarray,
+        stamp: int = 0,
+    ):
+        """Append (url, sig, stamp) under each key (first
+        max_key_group kept; ``stamp`` is the caller's batch sequence
+        number — the recency unit evict_before operates on)."""
         for k, d in zip(keys.tolist(), doc_of_key.tolist()):
             ent = self._keys.setdefault(k, [])
             if len(ent) < self._max:
-                ent.append((urls[d], sigs[d]))
+                ent.append((urls[d], sigs[d], stamp))
                 self._n_entries += 1
+        return self._n_entries
+
+    def evict_before(self, stamp: int):
+        """Drop entries older than ``stamp`` (crawl-recency TTL).
+        Remaining entries keep their relative order, so the hot-key
+        cap re-opens exactly as if the old entries never existed."""
+        drop_keys = []
+        for k, ent in self._keys.items():
+            kept = [e for e in ent if e[2] >= stamp]
+            if len(kept) != len(ent):
+                self._n_entries -= len(ent) - len(kept)
+                if kept:
+                    self._keys[k] = kept
+                else:
+                    drop_keys.append(k)
+        for k in drop_keys:
+            del self._keys[k]
         return self._n_entries
 
     def stats(self):
@@ -106,27 +132,42 @@ class LshIndexShard:
         key-list order (order is semantic: it encodes which entries
         beat the ``max_key_group`` cap). -> (keys int64, urls object,
         sigs uint32 (n, P)) — empty shard returns zero-row arrays."""
-        ks, us, ss = [], [], []
+        ks, us, ss, ts = [], [], [], []
         for k, ent in self._keys.items():
-            for u, s in ent:
+            for u, s, t in ent:
                 ks.append(k)
                 us.append(u)
                 ss.append(s)
+                ts.append(t)
         if not ks:
             return (
                 np.empty(0, np.int64),
                 np.empty(0, object),
                 np.empty((0, 0), np.uint32),
+                np.empty(0, np.int64),
             )
-        return np.array(ks, np.int64), np.array(us, object), np.stack(ss)
+        return (
+            np.array(ks, np.int64),
+            np.array(us, object),
+            np.stack(ss),
+            np.array(ts, np.int64),
+        )
 
-    def load(self, keys: np.ndarray, urls: np.ndarray, sigs: np.ndarray):
+    def load(
+        self,
+        keys: np.ndarray,
+        urls: np.ndarray,
+        sigs: np.ndarray,
+        stamps: np.ndarray | None = None,
+    ):
         """Rebuild state from a dump, preserving entry order. The cap
         was enforced at insert time, so rows replay verbatim."""
         self._keys.clear()
         self._n_entries = 0
-        for k, u, s in zip(keys.tolist(), urls.tolist(), sigs):
-            self._keys.setdefault(k, []).append((u, s))
+        if stamps is None:
+            stamps = np.zeros(len(keys), np.int64)
+        for k, u, s, t in zip(keys.tolist(), urls.tolist(), sigs, stamps.tolist()):
+            self._keys.setdefault(k, []).append((u, s, t))
             self._n_entries += 1
         return self._n_entries
 
@@ -134,10 +175,20 @@ class LshIndexShard:
 class StreamingDedupIndex:
     """Driver-side handle over ``n_shards`` LshIndexShard actors."""
 
-    def __init__(self, n_shards: int = 4, min_agree: float = 0.8, max_key_group: int = 64):
+    def __init__(
+        self,
+        n_shards: int = 4,
+        min_agree: float = 0.8,
+        max_key_group: int = 64,
+        max_age: int | None = None,
+    ):
         self.n_shards = n_shards
         self.min_agree = min_agree
         self.max_key_group = max_key_group
+        # crawl-recency TTL in micro-batches: a doc only matches
+        # history from the last ``max_age`` batches; None = unbounded
+        self.max_age = max_age
+        self.batch_no = 0
         self.shards = [LshIndexShard.remote(max_key_group) for _ in range(n_shards)]
 
     def _route(self, band_keys: np.ndarray, doc_ix: np.ndarray):
@@ -151,7 +202,14 @@ class StreamingDedupIndex:
     ):
         """Probe-then-commit one micro-batch (stream order). Returns
         (is_dup bool array, match_url object array) vs committed
-        history."""
+        history (the last ``max_age`` batches when a TTL is set)."""
+        if self.max_age is not None and self.batch_no >= self.max_age:
+            ray.get(
+                [
+                    s.evict_before.remote(self.batch_no - self.max_age + 1)
+                    for s in self.shards
+                ]
+            )
         routed = self._route(band_keys, doc_of_key)
         parts = ray.get(
             [
@@ -172,10 +230,11 @@ class StreamingDedupIndex:
         is_dup = agree >= self.min_agree
         ray.get(
             [
-                self.shards[s].insert.remote(k, d, urls, sigs)
+                self.shards[s].insert.remote(k, d, urls, sigs, self.batch_no)
                 for s, (k, d) in enumerate(routed)
             ]
         )
+        self.batch_no += 1
         return is_dup, murl
 
     def stats(self):
@@ -196,7 +255,7 @@ class StreamingDedupIndex:
         os.makedirs(path, exist_ok=True)
         dumps = ray.get([s.dump.remote() for s in self.shards])
         rows = []
-        for i, (keys, urls, sigs) in enumerate(dumps):
+        for i, (keys, urls, sigs, stamps) in enumerate(dumps):
             ncols = sigs.shape[1] if sigs.size else 0
             tbl = pa.table(
                 {
@@ -206,6 +265,7 @@ class StreamingDedupIndex:
                         list(sigs) if sigs.size else [],
                         pa.list_(pa.uint32(), ncols) if ncols else pa.list_(pa.uint32()),
                     ),
+                    "stamp": pa.array(stamps),
                 }
             )
             pq.write_table(tbl, os.path.join(path, f"shard_{i:04d}.parquet"))
@@ -214,6 +274,8 @@ class StreamingDedupIndex:
             "n_shards": self.n_shards,
             "min_agree": self.min_agree,
             "max_key_group": self.max_key_group,
+            "max_age": self.max_age,
+            "batch_no": self.batch_no,
             "shards": rows,
         }
         with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -236,7 +298,9 @@ class StreamingDedupIndex:
             n_shards=manifest["n_shards"],
             min_agree=manifest["min_agree"],
             max_key_group=manifest["max_key_group"],
+            max_age=manifest.get("max_age"),
         )
+        idx.batch_no = manifest.get("batch_no", 0)
         loads = []
         for row in manifest["shards"]:
             tbl = pq.read_table(os.path.join(path, f"shard_{row['shard']:04d}.parquet"))
@@ -254,20 +318,35 @@ class StreamingDedupIndex:
                 )
             else:
                 sigs = np.empty((0, 0), np.uint32)
-            loads.append(idx.shards[row["shard"]].load.remote(keys, urls, sigs))
+            stamps = tbl["stamp"].to_numpy(zero_copy_only=False)
+            loads.append(
+                idx.shards[row["shard"]].load.remote(keys, urls, sigs, stamps)
+            )
         ray.get(loads)
         return idx
 
 
-def streaming_dedup_local(batches, min_agree: float = 0.8, max_key_group: int = 64):
+def streaming_dedup_local(
+    batches, min_agree: float = 0.8, max_key_group: int = 64, max_age: int | None = None
+):
     """Single-process sequential twin over the same micro-batches:
     explicit dict walk — ground truth for the sharded service.
 
     ``batches``: iterable of (urls list, band_keys, doc_of_key, sigs).
+    ``max_age`` mirrors the service's crawl-recency TTL (entries older
+    than that many batches are evicted before each probe).
     Returns concatenated (is_dup, match_url) in stream order."""
     index: dict[int, list] = {}
     all_dup, all_match = [], []
-    for urls, band_keys, doc_of_key, sigs in batches:
+    for bi, (urls, band_keys, doc_of_key, sigs) in enumerate(batches):
+        if max_age is not None and bi >= max_age:
+            cutoff = bi - max_age + 1
+            for kk in list(index):
+                kept = [e for e in index[kk] if e[2] >= cutoff]
+                if kept:
+                    index[kk] = kept
+                else:
+                    del index[kk]
         keys_of_doc: dict[int, list] = {}
         for k, d in zip(band_keys.tolist(), doc_of_key.tolist()):
             keys_of_doc.setdefault(d, []).append(k)
@@ -276,7 +355,7 @@ def streaming_dedup_local(batches, min_agree: float = 0.8, max_key_group: int = 
         for d in range(len(urls)):
             best = None
             for k in keys_of_doc.get(d, []):
-                for u, s in index.get(k, []):
+                for u, s, _ in index.get(k, []):
                     a = float((s == sigs[d]).mean())
                     if a >= min_agree and (
                         best is None or a > best[0] or (a == best[0] and u < best[1])
@@ -289,7 +368,7 @@ def streaming_dedup_local(batches, min_agree: float = 0.8, max_key_group: int = 
             for k in keys_of_doc.get(d, []):
                 ent = index.setdefault(k, [])
                 if len(ent) < max_key_group:
-                    ent.append((urls[d], sigs[d]))
+                    ent.append((urls[d], sigs[d], bi))
         all_dup.append(is_dup)
         all_match.append(match)
     return np.concatenate(all_dup), np.concatenate(all_match)

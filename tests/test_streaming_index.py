@@ -185,3 +185,35 @@ def test_restore_rejects_manifest_row_mismatch(tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError, match="manifest says"):
         StreamingDedupIndex.restore(path)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ttl_eviction_matches_twin_and_survives_checkpoint(tmp_path):
+    """Crawl-recency TTL: with max_age=2 a repeat of a doc seen 3+
+    batches ago is NOT flagged; the sharded service matches the
+    sequential twin under the same TTL, and checkpoint/restore carries
+    the stamps and batch counter so eviction resumes correctly."""
+    cfg = DedupConfig()
+    base = " ".join(f"tok{i}" for i in range(60))
+    # batch 0: doc A; batches 1-2: fillers; batch 3: exact repeat of A
+    texts = [base] + [f"filler {i} " * 30 for i in range(2)] + [base]
+    urls = [f"u{i}" for i in range(4)]
+    batches = _batches(urls, texts, cfg, batch_size=1)
+
+    exp_dup, exp_match = streaming_dedup_local(
+        batches, min_agree=0.8, max_key_group=64, max_age=2
+    )
+    assert not exp_dup[3]  # aged out under TTL 2
+    no_ttl_dup, _ = streaming_dedup_local(batches, min_agree=0.8, max_key_group=64)
+    assert no_ttl_dup[3]  # and WOULD match without the TTL
+
+    idx = StreamingDedupIndex(n_shards=3, min_agree=0.8, max_key_group=64, max_age=2)
+    got = [idx.process_batch(*b) for b in batches[:2]]
+    idx.checkpoint(str(tmp_path / "ck"))
+    resumed = StreamingDedupIndex.restore(str(tmp_path / "ck"))
+    assert resumed.max_age == 2 and resumed.batch_no == 2
+    got += [resumed.process_batch(*b) for b in batches[2:]]
+    gd = np.concatenate([g[0] for g in got])
+    gm = np.concatenate([g[1] for g in got])
+    assert (gd == exp_dup).all()
+    assert (gm == exp_match).all()
