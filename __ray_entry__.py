@@ -1116,6 +1116,53 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(ds, _BM25_TERMS, k=10)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two lexical
+    rankings for the standing 4-term query: BM25 top-50 and summed
+    TF-IDF top-50, fused as sum(1/(60+rank)) and cut to top-10. Both
+    source rankings reuse their gate-checked ops verbatim (ops/bm25,
+    ops/tfidf — per-term weights rounded to 6dp before the sum, so
+    ranks are ulp-stable), ranks tie-break by doc_id, and the fusion
+    itself is a report-shaped driver fold over two 50-row lists. At
+    scale the query-term filter pushes into the TF map exactly as the
+    BM25 op already does."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from raydedup.ops.bm25 import bm25_topk
+    from raydedup.ops.tfidf import doc_term_tfidf
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bm = bm25_topk(ds, _BM25_TERMS, k=50).to_pandas()  # (doc_id, bm25) desc
+
+    terms_arr = pa.array(_BM25_TERMS)
+
+    def qterms_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["term"], value_set=terms_arr))
+
+    tf = (
+        doc_term_tfidf(ds)
+        .map_batches(qterms_only, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tfidf", alias_name="s"))
+        .sort(["s", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    rrf: dict[int, float] = {}
+    for rank, d in enumerate(bm["doc_id"], start=1):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (60 + rank)
+    for rank, d in enumerate(tf["doc_id"], start=1):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (60 + rank)
+    top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "rrf_score": pa.array([round(s, 6) for _, s in top], pa.float64()),
+        }
+    )
+
+
 def _q_collocations(sf_dir: str):
     """PMI collocation mining: top-20 word pairs co-occurring far more
     than chance (support >= 5). Map-side combined unigram/bigram
@@ -3540,6 +3587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": _q_top_ngrams,
         "collocations": _q_collocations,
         "bm25_topk": _q_bm25_topk,
+        "rrf_fusion": _q_rrf_fusion,
         "image_features": _q_image_features,
         "png_features": _q_png_features,
         "ivf_partitioned_topk": _q_ivf_partitioned_topk,
@@ -4478,6 +4526,67 @@ def oracle_sql() -> dict[str, str]:
             FROM qs JOIN ds
               ON len(list_intersect(qs.s, ds.s))::DOUBLE / len(qs.s) >= 0.5
             ORDER BY qid, doc_id
+        """,
+        "rrf_fusion": r"""
+            WITH w AS (
+              SELECT doc_id, word FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents
+              ) raw WHERE word <> ''
+            ), dl AS (
+              SELECT d.doc_id, count(w.word) AS dl
+              FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+              GROUP BY d.doc_id
+            ), stats AS (
+              SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl
+            ), q(term) AS (VALUES ('hash'), ('join'), ('vector'), ('spark')),
+            btf AS (
+              SELECT doc_id, word AS term, count(*) AS tf FROM w
+              WHERE word IN ('hash', 'join', 'vector', 'spark')
+              GROUP BY doc_id, word
+            ), dfq AS (
+              SELECT q.term, count(DISTINCT btf.doc_id) AS df
+              FROM q LEFT JOIN btf USING (term) GROUP BY q.term
+            ), contrib AS (
+              SELECT btf.doc_id,
+                     ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                       * btf.tf * (1.2 + 1)
+                       / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                          / (CAST(stats.sum_dl AS DOUBLE) / stats.n))) AS c
+              FROM btf JOIN dfq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN stats
+            ), bscore AS (
+              SELECT doc_id, round(sum(c), 6) AS s FROM contrib GROUP BY doc_id
+            ), brank AS (
+              SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+              FROM bscore QUALIFY r <= 50
+            ), tterm AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> len(x) > 0)) AS term
+                FROM documents
+              ) GROUP BY doc_id, term
+            ), tdf AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tterm GROUP BY term
+            ), tn AS (SELECT count(*) AS n FROM documents),
+            tscore AS (
+              SELECT t.doc_id,
+                     sum(round(t.tf * ln(CAST(tn.n AS DOUBLE) / d.df), 6)) AS s
+              FROM tterm t JOIN tdf d USING (term), tn
+              WHERE t.term IN ('hash', 'join', 'vector', 'spark')
+              GROUP BY t.doc_id
+            ), trank AS (
+              SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+              FROM tscore QUALIFY r <= 50
+            ), u AS (
+              SELECT doc_id, 1.0 / (60 + r) AS c FROM brank
+              UNION ALL
+              SELECT doc_id, 1.0 / (60 + r) FROM trank
+            )
+            SELECT doc_id, round(sum(c), 6) AS rrf_score
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10
         """,
         "wjaccard_pairs": r"""
             WITH corpus AS (
