@@ -173,6 +173,24 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         sig_best = el if sig_best is None or el < sig_best else sig_best
     queries["signatures"] = round(sig_best, 3)
 
+    # the OPH signature path timed alongside (same corpus, same
+    # consumer contract) so every round records both kernels
+    if cfg.sig_mode != "oph":
+        from dataclasses import replace as _dc_replace
+
+        cfg_oph = _dc_replace(cfg, sig_mode="oph")
+        oph_best = None
+        for _ in range(int(os.environ.get("RAYDEDUP_QUERY_TRIALS", "2"))):
+            t0 = time.time()
+            build_signatures(
+                rd.read_parquet(page_files, columns=["url", "text"]),
+                cfg_oph,
+                concurrency=(1, num_cpus),
+            ).count()
+            el = time.time() - t0
+            oph_best = el if oph_best is None or el < oph_best else oph_best
+        queries["signatures_oph"] = round(oph_best, 3)
+
     # simhash dedup over the same corpus (the cheaper fingerprint
     # path). Shingles are SHARED with the MinHash signature stage the
     # e2e run just materialized — the tokenize + k-gram murmur cost
