@@ -31,6 +31,16 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True, help="output dir for assignments/ and dup_pairs/")
     p.add_argument("--checkpoint", default=None, help="stage-checkpoint dir (enables resume)")
     p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument(
+        "--sig-mode", choices=("perm", "oph"), default="perm",
+        help="signature kernel: 128-permutation MinHash (north-star) or "
+             "one-permutation hashing (ALU-cheap scale mode)",
+    )
+    p.add_argument(
+        "--plan-bands", action="store_true",
+        help="pick (bands, rows) from the S-curve planner for --threshold "
+             "instead of the 32x4 default",
+    )
     p.add_argument("--salt-hot", action="store_true", help="Misra-Gries hot-band salting pre-pass")
     p.add_argument("--n-buckets", type=int, default=256)
     args = p.parse_args(argv)
@@ -51,7 +61,10 @@ def main(argv=None) -> int:
 
     from raydedup.config import DedupConfig
 
-    cfg = DedupConfig(threshold=args.threshold)
+    if args.plan_bands:
+        cfg = DedupConfig.plan(threshold=args.threshold, sig_mode=args.sig_mode)
+    else:
+        cfg = DedupConfig(threshold=args.threshold, sig_mode=args.sig_mode)
     t0 = time.time()
     pages = rd.read_parquet(args.input)
 

@@ -95,3 +95,34 @@ def test_job_cli_end_to_end(ray_session, corpus, tmp_path_factory):
         .reset_index(drop=True)
     )
     assert df1.equals(df2)
+
+
+def test_job_cli_sig_mode_and_planned_bands(ray_session, corpus, tmp_path_factory):
+    """--sig-mode oph and --plan-bands drive the whole job with the
+    OPH kernel and planner-chosen bands; assignments still cover every
+    input doc and the config hash reflects the non-default knobs."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.job import main
+
+    root = tmp_path_factory.mktemp("jobcli_oph")
+    inp = str(root / "pages.parquet")
+    pq.write_table(corpus.select(["url", "text"]), inp)
+    out = str(root / "out")
+
+    assert (
+        main(
+            [
+                "--input", inp, "--output", out,
+                "--sig-mode", "oph", "--threshold", "0.9", "--plan-bands",
+            ]
+        )
+        == 0
+    )
+    a = rd.read_parquet(f"{out}/assignments")
+    assert a.count() == corpus.num_rows
+    planned = DedupConfig.plan(threshold=0.9, sig_mode="oph")
+    assert planned.config_hash() != DedupConfig().config_hash()
