@@ -223,22 +223,21 @@ def explode_bands(batch: pa.Table, bands: int, n_buckets: int, hot_keys=None, n_
     )
 
 
-def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
+def _emit_pairs_core(
+    key: np.ndarray, fp: np.ndarray, uh: np.ndarray, max_band_group: int
+) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized pair emission for one bucket of band rows.
 
     Sorts by (key, fp, uh), finds equal-key runs, and emits all-pairs
     for runs <= cap, sorted-neighbor chains for larger runs. Loops
     only over distinct run *sizes* (all runs of one size emit in a
-    single vectorized shot). Pairs are (ha, hb) uint64 url-hash tokens
-    with ha < hb.
+    single vectorized shot). Returns deduped (ha, hb) uint64 url-hash
+    tokens with ha < hb.
     """
-    key = df["key"].to_numpy().astype(U64)
-    fp = df["fp"].to_numpy()
-    uh = df["uh"].to_numpy().astype(U64)
     order = np.lexsort((uh, fp, key))
     key, uh = key[order], uh[order]
 
-    new_run = np.ones(len(df), dtype=bool)
+    new_run = np.ones(len(key), dtype=bool)
     new_run[1:] = key[1:] != key[:-1]
     run_id = np.cumsum(new_run) - 1
     run_len = np.bincount(run_id)
@@ -261,15 +260,44 @@ def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
         out_b.append(seg[1:])
 
     if not out_a:
-        return pd.DataFrame(
-            {"ha": pd.Series([], dtype=np.uint64), "hb": pd.Series([], dtype=np.uint64)}
-        )
+        e = np.empty(0, dtype=U64)
+        return e, e
     a = np.concatenate(out_a)
     b = np.concatenate(out_b)
     lo = np.minimum(a, b)
     hi = np.maximum(a, b)
     keep = lo != hi
-    return pd.DataFrame({"ha": lo[keep], "hb": hi[keep]}).drop_duplicates()
+    lo, hi = lo[keep], hi[keep]
+    dorder = np.lexsort((hi, lo))
+    lo, hi = lo[dorder], hi[dorder]
+    uniq = np.ones(len(lo), dtype=bool)
+    uniq[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    return lo[uniq], hi[uniq]
+
+
+def emit_pairs_bucket(df: pd.DataFrame, max_band_group: int) -> pd.DataFrame:
+    """pandas wrapper of :func:`_emit_pairs_core` (the single-process
+    twin in pipeline/reference.py consumes this shape)."""
+    a, b = _emit_pairs_core(
+        df["key"].to_numpy().astype(U64),
+        df["fp"].to_numpy(),
+        df["uh"].to_numpy().astype(U64),
+        max_band_group,
+    )
+    return pd.DataFrame({"ha": a, "hb": b})
+
+
+def emit_pairs_bucket_arrow(g: pa.Table, max_band_group: int) -> pa.Table:
+    """Arrow wrapper of :func:`_emit_pairs_core` — the pipeline path:
+    zero-copy column access on the widest exchange, no pandas
+    conversion of the ~28 B/row band stream."""
+    a, b = _emit_pairs_core(
+        g["key"].to_numpy(zero_copy_only=False).astype(U64, copy=False),
+        g["fp"].to_numpy(zero_copy_only=False),
+        g["uh"].to_numpy(zero_copy_only=False).astype(U64, copy=False),
+        max_band_group,
+    )
+    return pa.table({"ha": pa.array(a, pa.uint64()), "hb": pa.array(b, pa.uint64())})
 
 
 def detect_hot_band_keys(
@@ -340,7 +368,8 @@ def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot
 
     band_rows = signatures.map_batches(explode, batch_format="pyarrow")
     pairs = band_rows.groupby("bucket").map_groups(
-        lambda df: emit_pairs_bucket(df, cfg.max_band_group), batch_format="pandas"
+        lambda g: emit_pairs_bucket_arrow(g, cfg.max_band_group),
+        batch_format="pyarrow",
     )
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
@@ -351,11 +380,19 @@ def candidate_pairs(signatures, cfg: DedupConfig, n_buckets: int = 256, salt_hot
         pb = (fmix64(ha ^ fmix64(hb)) % U64(n_buckets)).astype(np.int64)
         return batch.append_column("pbucket", pa.array(pb))
 
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        ha = g["ha"].to_numpy(zero_copy_only=False)
+        hb = g["hb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hb, ha))
+        ha, hb = ha[order], hb[order]
+        uniq = np.ones(len(ha), dtype=bool)
+        uniq[1:] = (ha[1:] != ha[:-1]) | (hb[1:] != hb[:-1])
+        return pa.table(
+            {"ha": pa.array(ha[uniq], pa.uint64()), "hb": pa.array(hb[uniq], pa.uint64())}
+        )
+
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(
-            lambda df: df.drop_duplicates(["ha", "hb"])[["ha", "hb"]],
-            batch_format="pandas",
-        )
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
