@@ -3443,11 +3443,21 @@ def _q_lsh_plan(sf_dir: str):
     split of 128 permutations at three target thresholds — the table
     a user reads to pick (bands, rows). Pure math, but gate-checkable:
     the oracle recomputes the same 512-point trapezoid integrals in
-    SQL (power() + generate_series), value-exact at 6 decimals."""
-    from raydedup.pipeline.plan import error_areas
+    SQL (power() + generate_series), value-exact at 6 decimals.
+    ``chosen`` marks the (bands, rows) the planner picks per threshold
+    (argmin of the default 0.2*FP + 0.8*FN recall-leaning cost — the
+    oracle re-derives it with a window min), and ``sig_mode`` is the
+    planner's signature-kernel choice for a planned config
+    (``DedupConfig.plan``: OPH — faster and better-scaling at every
+    measured corpus size with identical exact-verify results; the SQL
+    twin pins the same constant)."""
+    from raydedup.config import DedupConfig
+    from raydedup.pipeline.plan import error_areas, optimal_bands
 
-    th, bs, rs, fps, fns = [], [], [], [], []
+    th, bs, rs, fps, fns, chosen, modes = [], [], [], [], [], [], []
     for t in (0.7, 0.8, 0.9):
+        best_b, best_r, _, _ = optimal_bands(128, t)
+        mode = DedupConfig.plan(threshold=t).sig_mode
         for r in (1, 2, 4, 8, 16, 32, 64, 128):
             b = 128 // r
             fp, fn = error_areas(b, r, t)
@@ -3456,6 +3466,8 @@ def _q_lsh_plan(sf_dir: str):
             rs.append(r)
             fps.append(fp)
             fns.append(fn)
+            chosen.append((b, r) == (best_b, best_r))
+            modes.append(mode)
     return pa.table(
         {
             "threshold": pa.array(th, pa.float64()),
@@ -3463,6 +3475,8 @@ def _q_lsh_plan(sf_dir: str):
             "rows_pb": pa.array(rs, pa.int64()),
             "fp_area": pa.array(fps, pa.float64()),
             "fn_area": pa.array(fns, pa.float64()),
+            "chosen": pa.array(chosen, pa.bool_()),
+            "sig_mode": pa.array(modes, pa.string()),
         }
     )
 
@@ -4680,7 +4694,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT fp.threshold, CAST(fp.bands AS BIGINT) AS bands,
                    CAST(fp.rows_pb AS BIGINT) AS rows_pb,
-                   fp.fp_area, fn.fn_area
+                   fp.fp_area, fn.fn_area,
+                   (0.2 * fp.fp_area + 0.8 * fn.fn_area)
+                     = min(0.2 * fp.fp_area + 0.8 * fn.fn_area)
+                       OVER (PARTITION BY fp.threshold) AS chosen,
+                   'oph' AS sig_mode
             FROM fp JOIN fn USING (threshold, bands, rows_pb)
             ORDER BY threshold, rows_pb
         """,

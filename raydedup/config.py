@@ -82,10 +82,21 @@ class DedupConfig:
         here so a false positive costs compute but a false negative is
         unrecoverable. The hand-picked default (32x4 at 0.8) is MORE
         recall-leaning still (collision prob ~1.0 at s=0.8); use this
-        when tuning to a different threshold."""
+        when tuning to a different threshold.
+
+        The planner also picks ``sig_mode`` (round-5, verdict item 3):
+        **oph** unless the caller pins one. One-permutation hashing
+        beat the 128-permutation kernel on BOTH throughput and scaling
+        at every measured corpus size (240k: 37.8k vs 31.2k docs/s;
+        960k: 55.6k vs 45.2k docs/s, 8->32 efficiency 0.717 vs 0.662 —
+        BASELINE.md round-4 records) with golden dup-pair recall gated
+        at 1.0, because candidates from either mode feed the SAME
+        exact-Jaccard verify. ``DedupConfig()`` itself keeps
+        ``sig_mode="perm"`` — the north-star compatibility default."""
         from raydedup.pipeline.plan import optimal_bands
 
         bands, rows, _, _ = optimal_bands(num_perms, threshold)
+        kw.setdefault("sig_mode", "oph")
         return cls(
             num_perms=num_perms, bands=bands, rows=rows, threshold=threshold, **kw
         )

@@ -176,7 +176,7 @@ def cdc_dedup_stats(
     source_column: str = "source",
     window: int = 16,
     mask_bits: int = 6,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Per-source CDC dedup report:
     (source, n_chunks, n_dup_chunks, total_bytes, dup_bytes, dup_ratio).
@@ -191,6 +191,12 @@ def cdc_dedup_stats(
     from ray.data.aggregate import Sum
 
     import pyarrow.compute as pc
+
+    from raydedup.ops._bucketed import resolve_buckets
+
+    # ~40 B of fingerprint row per ~2^mask_bits-byte chunk => sub-1x
+    # blowup; floor keeps the historical default at test scales
+    n_buckets = resolve_buckets(ds, n_buckets)
 
     srcs = sorted(
         r[source_column] for r in ds.groupby(source_column).count().select_columns([source_column]).take_all()

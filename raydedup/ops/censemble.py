@@ -235,20 +235,25 @@ def containment_search(
         cand = ids[(side == 1) & has_q[run_id]]
         return pa.table({"doc_id": pa.array(np.unique(cand))})
 
-    cand_docs = (
+    cand_ds = (
         exchange.groupby("_b")
         .map_groups(match_kernel, batch_format="pyarrow")
         .groupby("doc_id")
         .count()
         .select_columns(["doc_id"])
-        .to_pandas()  # bounded: candidate DOC list (max_candidate_docs)
+        .materialize()  # object store, not driver heap
     )
-    if len(cand_docs) > max_candidate_docs:
+    # gate BEFORE the driver-side collect: the cap exists to bound the
+    # driver, so the count check must run on the distributed dataset
+    # (round-4 advisor: checking after to_pandas() defeats the cap)
+    n_cand = cand_ds.count()
+    if n_cand > max_candidate_docs:
         raise ValueError(
-            f"containment_search: {len(cand_docs)} candidate docs exceed "
+            f"containment_search: {n_cand} candidate docs exceed "
             f"max_candidate_docs={max_candidate_docs}; raise the cap or "
             f"verify via the bucketed pair path"
         )
+    cand_docs = cand_ds.to_pandas()  # bounded: <= max_candidate_docs rows
     cand_set = pa.array(cand_docs["doc_id"].to_numpy().astype(np.int64))
 
     # broadcast the sorted (gram -> qid) table + per-query sizes

@@ -61,12 +61,11 @@ def _attach_count(
 ):
     """Attach ``uni``'s (word, c) count to every ``cand`` row whose
     ``key_col`` matches — a hash-join expressed as the repo's bucketed
-    union-cogroup (hash(word) % n_buckets → one vectorized pandas merge
-    per bucket), immune to Ray's schema-less-empty-partition join
-    quirk. Inner semantics: cand rows without a matching word drop
-    (impossible here — a word's count always >= any bigram containing
-    it)."""
-    import pandas as pd
+    union-cogroup (hash(word) % n_buckets → one vectorized
+    sorted-lookup kernel per bucket), immune to Ray's
+    schema-less-empty-partition join quirk. Inner semantics: cand rows
+    without a matching word drop (impossible here — a word's count
+    always >= any bigram containing it)."""
 
     from raydedup.sketches.aggregates import _column_hashes
 
@@ -107,12 +106,30 @@ def _attach_count(
         uni.map_batches(tag_uni, batch_format="pyarrow")
     )
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lut = g.loc[g["_u"] == 1, [key_col, "_c"]].rename(columns={"_c": out_col})
-        sub = g.loc[g["_u"] == 0, cand_cols]
-        return sub.merge(lut, on=key_col, how="inner")
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        from raydedup.ops._bucketed import column_np
 
-    return tagged.groupby("_b").map_groups(merge_bucket, batch_format="pandas")
+        u = column_np(g["_u"])
+        keys = column_np(g[key_col])
+        cvals = column_np(g["_c"]).astype(np.int64)
+        is_u = u == 1
+        lk, lv = keys[is_u], cvals[is_u]
+        lorder = np.argsort(lk, kind="stable")
+        lk, lv = lk[lorder], lv[lorder]
+        cand_idx = np.flatnonzero(~is_u)
+        base = g.select(cand_cols)
+        if len(lk) == 0 or len(cand_idx) == 0:
+            out = base.take(pa.array(np.empty(0, np.int64)))
+            return out.append_column(out_col, pa.array([], pa.int64()))
+        ck = keys[cand_idx]
+        pos = np.searchsorted(lk, ck)
+        pos_c = np.minimum(pos, len(lk) - 1)
+        ok = (pos < len(lk)) & (lk[pos_c] == ck)
+        sel = cand_idx[ok]
+        out = base.take(pa.array(sel))
+        return out.append_column(out_col, pa.array(lv[pos_c[ok]]))
+
+    return tagged.groupby("_b").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def collocations(ds, text_column: str = "text", min_count: int = 5, top_k: int = 20):

@@ -18,7 +18,6 @@ Scale design (100 TB lens):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -29,13 +28,16 @@ def funnel_stages(
     ts: str,
     type_col: str,
     steps: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """→ (key, stage) with stage ∈ [0, len(steps)]: the longest prefix
     of ``steps`` completed in strict temporal order (first-completion
     semantics; step k counts only if its earliest occurrence after
     step k−1's completion time exists)."""
+    from raydedup.ops._bucketed import resolve_buckets
+
     step_list = list(steps)
+    n_buckets = resolve_buckets(ds, n_buckets)
 
     def keep_and_bucket(batch: pa.Table) -> pa.Table:
         from raydedup.sketches.aggregates import _column_hashes
@@ -56,11 +58,13 @@ def funnel_stages(
             }
         )
 
-    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        t = g[ts].to_numpy().astype("datetime64[us]").view(np.int64)
-        typ = g[type_col].to_numpy()
-        keys = g[key].to_numpy()
-        uniq, codes = np.unique(keys, return_inverse=True)
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        from raydedup.ops._bucketed import column_np, ts_us
+
+        t = ts_us(g[ts])
+        typ = column_np(g[type_col])
+        keys = column_np(g[key])
+        uniq, uniq_idx, codes = np.unique(keys, return_index=True, return_inverse=True)
         stage = np.zeros(len(uniq), dtype=np.int64)
         # completion time of the last completed step per key
         t_prev = np.full(len(uniq), -(2**62), dtype=np.int64)
@@ -76,11 +80,16 @@ def funnel_stages(
             stage[done & alive] = k + 1
             alive = alive & done
             t_prev = np.where(done, t_step, t_prev)
-        return pd.DataFrame({key: uniq, "stage": stage})
+        return pa.table(
+            {
+                key: g[key].combine_chunks().take(pa.array(uniq_idx)),
+                "stage": pa.array(stage),
+            }
+        )
 
     return (
         ds.select_columns([key, ts, type_col])
         .map_batches(keep_and_bucket, batch_format="pyarrow")
         .groupby("_fbucket")
-        .map_groups(funnel_bucket, batch_format="pandas")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
     )

@@ -46,7 +46,18 @@ def host_content_overlap(
     max_hosts_per_fp: int = 256,
 ):
     """ds (host, text) -> Dataset (host_a, host_b, n_shared): host
-    pairs sharing >= ``min_shared`` distinct texts; host_a < host_b."""
+    pairs sharing >= ``min_shared`` distinct texts; host_a < host_b.
+
+    ``max_hosts_per_fp`` caps each fingerprint run at its first
+    ``max_hosts_per_fp`` hosts in ASCENDING host order before pair
+    emission — universal boilerplate (a blank page served by thousands
+    of hosts) is not mirroring evidence. The cap is therefore
+    systematic, not random: hosts sorting late lexicographically are
+    the ones dropped from capped runs, and ``n_shared`` undercounts
+    pairs involving them. Capped kernels emit a ``warnings.warn`` with
+    the affected run count so a capped result is distinguishable from
+    an exact one (round-4 advisor); pass ``max_hosts_per_fp`` large
+    enough for your corpus when exact counts matter."""
 
     def rows(batch: pa.Table) -> pa.Table:
         t = batch[text_col]
@@ -88,6 +99,17 @@ def host_content_overlap(
         np.cumsum(run_len[:-1], out=run_start[1:])
         ia_all, ib_all = [], []
         capped = np.minimum(run_len, max_hosts_per_fp)
+        n_capped_runs = int((run_len > max_hosts_per_fp).sum())
+        if n_capped_runs:
+            import warnings
+
+            warnings.warn(
+                f"host_content_overlap: {n_capped_runs} fingerprint run(s) "
+                f"exceeded max_hosts_per_fp={max_hosts_per_fp}; n_shared "
+                "undercounts pairs involving their later-sorted hosts",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         for s in np.unique(capped[capped >= 2]):
             starts = run_start[capped == s]
             members = starts[:, None] + np.arange(s)[None, :]

@@ -23,7 +23,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def gram_novelty(ds, id_column: str, text_column: str = "text", k: int = 5, n_buckets: int = 64):
+def gram_novelty(
+    ds, id_column: str, text_column: str = "text", k: int = 5, n_buckets: int | None = None
+):
     """(id, n_grams, dup_grams, dup_frac) per doc with >=1 word.
 
     ``dup_grams`` counts this doc's distinct k-gram shingles whose
@@ -35,8 +37,14 @@ def gram_novelty(ds, id_column: str, text_column: str = "text", k: int = 5, n_bu
     """
     from ray.data.aggregate import Sum
 
+    from raydedup.ops._bucketed import resolve_buckets
     from raydedup.pipeline.extract import segmented_unique, text_to_shingle_sets
     from raydedup.sketches.hashing import fmix64
+
+    # gram rows are ~16 B per corpus word (~4x the text bytes); size the
+    # gram-bucket exchange so one bucket fits a worker (floor = the
+    # historical 64)
+    n_buckets = resolve_buckets(ds, n_buckets, blowup=4.0)
 
     U64 = np.uint64
 

@@ -33,7 +33,6 @@ A mega-document larger than ``seq_len`` simply spans several packs
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -87,15 +86,19 @@ def pack_concat_chunks(
     seq_len: int,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """docs (id, text) → Dataset (id, n_tokens, pack_id, pack_pos).
 
     ``pack_id`` = floor(exclusive_cumsum(n_tokens) / seq_len) over docs
     in ascending id order; ``pack_pos`` = that cumsum mod seq_len.
     """
+    from raydedup.ops._bucketed import resolve_buckets
     from raydedup.ops.text_stats import token_stats
     from raydedup.sketches.aggregates import block_reduce
+
+    # the in-bucket cumsum exchange carries (id, n_tokens) rows only
+    n_buckets = resolve_buckets(docs, n_buckets)
 
     counts = docs.map_batches(
         lambda b: token_stats(b, id_col, text_column=text_col).select([id_col, "n_tokens"]),
@@ -125,20 +128,19 @@ def pack_concat_chunks(
         sums = np.zeros(nb, dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
 
-    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bkt = int(g["_pbucket"].iloc[0])
-        ids = g[id_col].to_numpy().astype(str)
+    def pack_bucket(g: pa.Table) -> pa.Table:
+        bkt = int(g["_pbucket"][0].as_py())
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(str)
         order = np.argsort(ids, kind="stable")
-        nt = g["n_tokens"].to_numpy()[order].astype(np.int64)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
         start = offsets[bkt] + np.concatenate([[0], np.cumsum(nt)[:-1]])
-        out = pd.DataFrame(
+        return pa.table(
             {
-                id_col: ids[order],
-                "n_tokens": nt,
-                "pack_id": start // seq_len,
-                "pack_pos": start % seq_len,
+                id_col: pa.array(ids[order]),
+                "n_tokens": pa.array(nt),
+                "pack_id": pa.array(start // seq_len),
+                "pack_pos": pa.array(start % seq_len),
             }
         )
-        return out
 
-    return bucketed.groupby("_pbucket").map_groups(pack_bucket, batch_format="pandas")
+    return bucketed.groupby("_pbucket").map_groups(pack_bucket, batch_format="pyarrow")

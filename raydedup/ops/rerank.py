@@ -115,11 +115,13 @@ def rerank_candidates(
         concurrency=(1, 4),
     )
 
-    def rank_group(g):
-        import pandas as pd
+    def rank_group(g: pa.Table) -> pa.Table:
+        sc = g["rerank_score"].to_numpy(zero_copy_only=False)
+        vid = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sc))
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rerank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
-        g = g.sort_values(["rerank_score", "vec_id"], ascending=[False, True])
-        g["rerank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return scored.groupby("query_id").map_groups(rank_group, batch_format="pandas")
+    return scored.groupby("query_id").map_groups(rank_group, batch_format="pyarrow")

@@ -166,7 +166,7 @@ def mix_sources(ds, id_column: str, source_column: str, rates: dict, default_rat
     return ds.map_batches(mix, batch_format="pyarrow")
 
 
-def shuffle_ranks(ds, id_column: str, n_buckets: int = 64):
+def shuffle_ranks(ds, id_column: str, n_buckets: int | None = None):
     """Deterministic global training-order shuffle: each row's dense
     0-based position under (murmur3 priority, id) order — the "shuffle
     the corpus before packing" step, reproducible across runs and
@@ -179,10 +179,12 @@ def shuffle_ranks(ds, id_column: str, n_buckets: int = 64):
     bucket offsets (the driver exclusive-scans B numbers); the only
     shuffle is the in-bucket groupby over (id, priority, bucket) rows.
     """
-    import pandas as pd
-
+    from raydedup.ops._bucketed import resolve_buckets
     from raydedup.sketches.aggregates import _column_hashes, block_reduce
 
+    if n_buckets is None:
+        # order-preserving top-bit bucketing needs a power of two
+        n_buckets = 1 << (resolve_buckets(ds, None) - 1).bit_length()
     lgb = int(n_buckets).bit_length() - 1
     if (1 << lgb) != n_buckets:
         raise ValueError("n_buckets must be a power of two")
@@ -211,13 +213,13 @@ def shuffle_ranks(ds, id_column: str, n_buckets: int = 64):
         sums = np.zeros(n_buckets, dtype=np.int64)
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
 
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bkt = int(g["_sbucket"].iloc[0])
-        h = g["_priority"].to_numpy().astype(np.uint64)
-        ids = g[id_column].to_numpy()
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        bkt = int(g["_sbucket"][0].as_py())
+        h = g["_priority"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_column].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, h))
         ranks = np.empty(len(h), np.int64)
         ranks[order] = offsets[bkt] + np.arange(len(h), dtype=np.int64)
-        return pd.DataFrame({id_column: ids, "shuffle_rank": ranks})
+        return pa.table({id_column: g[id_column], "shuffle_rank": pa.array(ranks)})
 
-    return tagged.groupby("_sbucket").map_groups(rank_bucket, batch_format="pandas")
+    return tagged.groupby("_sbucket").map_groups(rank_bucket, batch_format="pyarrow")

@@ -31,7 +31,7 @@ def best_in_cluster(
     id_column: str = "url",
     cluster_column: str = "cluster_id",
     text_column: str = "text",
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     num_partitions: int = 8,
 ):
     """(id, cluster_id) assignments × (id, text) corpus → one row per
@@ -39,10 +39,12 @@ def best_in_cluster(
     member with the most whitespace tokens (ties → lexicographically
     smallest id). Singleton clusters keep their only member.
     """
-    import pandas as pd
 
+    from raydedup.ops._bucketed import resolve_buckets
     from raydedup.ops.text_stats import token_stats
     from raydedup.sketches.aggregates import _column_hashes
+
+    n_buckets = resolve_buckets(assignments, n_buckets, floor=32)
 
     def score_fn(batch: pa.Table) -> pa.Table:
         t = token_stats(batch, id_column, text_column)
@@ -64,20 +66,31 @@ def best_in_cluster(
             "_bkt", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
         )
 
-    def pick_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            [cluster_column, "n_tokens", id_column],
-            ascending=[True, False, True],
-            kind="mergesort",
+    def pick_bucket(g: pa.Table) -> pa.Table:
+        from raydedup.ops._bucketed import column_np
+
+        cl = column_np(g[cluster_column])
+        nt = column_np(g["n_tokens"]).astype(np.int64)
+        ids = column_np(g[id_column])
+        order = np.lexsort((ids, -nt, cl))
+        sc = cl[order]
+        new = np.ones(len(sc), dtype=bool)
+        if len(sc) > 1:
+            new[1:] = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(sc))).astype(np.int64)
+        sel = pa.array(order[starts])
+        return pa.table(
+            {
+                cluster_column: g[cluster_column].combine_chunks().take(sel),
+                "keeper_url": g[id_column].combine_chunks().take(sel),
+                "keeper_tokens": g["n_tokens"].combine_chunks().take(sel),
+                "n_members": pa.array(sizes),
+            }
         )
-        grp = g.groupby(cluster_column, sort=False)
-        out = g[grp.cumcount() == 0].copy()
-        out["n_members"] = grp[id_column].size().to_numpy().astype(np.int64)
-        out = out.rename(columns={id_column: "keeper_url", "n_tokens": "keeper_tokens"})
-        return out[[cluster_column, "keeper_url", "keeper_tokens", "n_members"]]
 
     return (
         joined.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bkt")
-        .map_groups(pick_bucket, batch_format="pandas")
+        .map_groups(pick_bucket, batch_format="pyarrow")
     )

@@ -204,16 +204,21 @@ def semantic_dedup(
         ds.select_columns([id_column, column]), centroids, id_column, column
     )
 
-    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_column].to_numpy()
-        xn = _normalize(np.stack(g[column].to_numpy()))
-        cl = int(g["cluster"].iloc[0])
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        xn = _normalize(_emb_matrix(g, column))
+        cl = int(g["cluster"][0].as_py())
         keep, sims = cluster_keep_flags(xn, ids, centroids[cl], tau)
-        return pd.DataFrame(
-            {id_column: ids, "cluster": cl, "sim_centroid": sims, "keep": keep}
+        return pa.table(
+            {
+                id_column: g[id_column],
+                "cluster": pa.array(np.full(len(g), cl, dtype=np.int64)),
+                "sim_centroid": pa.array(sims),
+                "keep": pa.array(keep),
+            }
         )
 
-    return tagged.groupby("cluster").map_groups(dedup_cluster, batch_format="pandas")
+    return tagged.groupby("cluster").map_groups(dedup_cluster, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

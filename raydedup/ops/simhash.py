@@ -17,7 +17,6 @@ distance.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from raydedup.pipeline.extract import text_to_shingle_sets
@@ -134,14 +133,23 @@ def simhash_from_signatures(signatures, id_column: str = "url"):
     )
 
 
-def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: int = 4, n_buckets: int = 64):
+def simhash_pairs(
+    fingerprints,
+    id_column: str,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    n_buckets: int | None = None,
+):
     """fingerprints Dataset (id, simhash) → pairs within hamming distance.
 
     Block-permutation candidates + exact hamming verify; same coarse-
     bucket vectorized grouping as the MinHash LSH stage.
     """
+    from raydedup.ops._bucketed import resolve_buckets
     from raydedup.sketches.hashing import fmix64
 
+    # the explode stage emits n_blocks rows per fingerprint row
+    n_buckets = resolve_buckets(fingerprints, n_buckets, blowup=float(n_blocks))
     assert n_blocks > max_hamming, "need n_blocks > max_hamming for completeness"
     width = 64 // n_blocks
 
@@ -164,18 +172,30 @@ def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: 
             }
         )
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        block = df["block"].to_numpy()
-        chunk = df["chunk"].to_numpy().astype(U64)
-        ids = df["id"].to_numpy()
-        sh = df["simhash"].to_numpy().astype(U64)
+    def emit(g: pa.Table) -> pa.Table:
+        from raydedup.sketches.aggregates import _column_hashes
+
+        idtype = g["id"].type
+        empty = pa.table(
+            {
+                "id_a": pa.array([], idtype),
+                "id_b": pa.array([], idtype),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        block = g["block"].to_numpy(zero_copy_only=False)
+        chunk = g["chunk"].to_numpy(zero_copy_only=False).astype(U64)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(U64)
         # tiebreak on a u64 id hash, not the id itself: string ids would
         # make the lexsort a Python-compare sort (the ordering inside a
         # run only affects emission order, never which pairs survive)
-        idh = pd.util.hash_array(ids)
+        idh, _ = _column_hashes(g["id"])
         order = np.lexsort((idh, chunk, block))
         block, chunk, ids, sh = block[order], chunk[order], ids[order], sh[order]
-        new = np.ones(len(df), dtype=bool)
+        new = np.ones(len(g), dtype=bool)
         new[1:] = (block[1:] != block[:-1]) | (chunk[1:] != chunk[:-1])
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
@@ -194,24 +214,31 @@ def simhash_pairs(fingerprints, id_column: str, max_hamming: int = 3, n_blocks: 
             out_b.append(ids[b_idx][keep])
             out_d.append(d[keep])
         if not out_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=object), "id_b": pd.Series([], dtype=object), "hamming": pd.Series([], dtype=np.int64)}
-            )
+            return empty
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         d = np.concatenate(out_d)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         keep = lo != hi
-        return (
-            pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep], "hamming": d[keep]})
-            .drop_duplicates(["id_a", "id_b"])
+        tbl = pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=idtype),
+                "id_b": pa.array(hi[keep], type=idtype),
+                "hamming": pa.array(d[keep].astype(np.int64)),
+            }
         )
+        if len(tbl) == 0:
+            return tbl
+        gg = tbl.append_column("_i", pa.array(np.arange(len(tbl), dtype=np.int64)))
+        first = gg.group_by(["id_a", "id_b"], use_threads=False).aggregate([("_i", "min")])
+        sel = np.sort(first["_i_min"].combine_chunks().to_numpy(zero_copy_only=False))
+        return tbl.take(pa.array(sel))
 
     from raydedup.ops.pairs import dedup_pairs
 
     rows = fingerprints.map_batches(explode, batch_format="pyarrow")
-    pairs = rows.groupby("bucket").map_groups(emit, batch_format="pandas")
+    pairs = rows.groupby("bucket").map_groups(emit, batch_format="pyarrow")
     # cross-bucket dedup (a pair can surface from several blocks):
     # coarse-bucket drop_duplicates, never one group per pair
     return dedup_pairs(pairs, n_buckets=n_buckets)

@@ -10,16 +10,28 @@ semantics are expressed as deterministic batch transforms over the
   vectorized sort + gap-cumsum per key group — the ordering assumption
   (events of one key fit one group, sorted in-kernel) is the
   documented partitioning contract.
+
+All bucketed kernels run zero-copy Arrow end to end (round-5 port; the
+pandas group-conversion tax measured ~9% of the candidate stage in
+round 4), and bucket counts are byte-adaptive via
+``ops/_bucketed.resolve_buckets`` with the historical 64 as the floor.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
+
+from raydedup.ops._bucketed import (
+    column_np,
+    hash_bucket_appender,
+    key_order,
+    resolve_buckets,
+    ts_us,
+)
 
 
 def tumbling_window_aggregate(events, key: str, ts: str, value: str, width_s: int):
@@ -80,7 +92,7 @@ def cumulative_per_key(
     value: str,
     out_col: str = "running_total",
     decimals: int = 2,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     window: int | None = None,
 ):
     """Per-key running sum of ``value`` in ``order_cols`` order — the
@@ -103,23 +115,11 @@ def cumulative_per_key(
     ``scaled / 10**decimals`` as float64.
     """
     scale = float(10**decimals)
+    n_buckets = resolve_buckets(ds, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
-
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_cbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        order_arrays = [g[c].to_numpy() for c in order_cols]
-        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
-        c = codes[order]
-        cents = np.rint(g[value].to_numpy()[order] * scale).astype(np.int64)
-        new = np.ones(len(c), dtype=bool)
-        new[1:] = c[1:] != c[:-1]
+    def cumsum_bucket(g: pa.Table) -> pa.Table:
+        order, c, new = key_order(g, key, order_cols)
+        cents = np.rint(column_np(g[value])[order] * scale).astype(np.int64)
         cs = np.cumsum(cents)
         starts = np.flatnonzero(new)
         seg_start = starts[np.cumsum(new) - 1]
@@ -129,62 +129,45 @@ def cumulative_per_key(
             lo = np.maximum(np.arange(len(cs), dtype=np.int64) - (window - 1), seg_start)
         base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
         running = cs - base
-        out = {key: g[key].to_numpy()[order]}
-        for col in order_cols:
-            out[col] = g[col].to_numpy()[order]
-        out[out_col] = running / scale
-        return pd.DataFrame(out)
+        idx = pa.array(order)
+        out = g.select([key, *order_cols]).take(idx)
+        return out.append_column(out_col, pa.array(running / scale))
 
     cols = [key, *order_cols, value]
     return (
         ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(hash_bucket_appender(key, n_buckets, "_cbucket"), batch_format="pyarrow")
         .groupby("_cbucket")
-        .map_groups(cumsum_bucket, batch_format="pandas")
+        .map_groups(cumsum_bucket, batch_format="pyarrow")
     )
 
 
-def rank_per_key(ds, key: str, order_cols: list[str], n_buckets: int = 64):
+def rank_per_key(ds, key: str, order_cols: list[str], n_buckets: int | None = None):
     """Per-key rank analytics: 1-based ``rnk`` and ``pct_rank`` =
     (rnk−1)/(n−1) (0 for singleton keys — SQL percent_rank semantics)
     in ``order_cols`` order. ``order_cols`` must end in a unique
     tiebreak so rank == row_number == RANK. Same coarse-bucket
     lexsort kernel as the other window ops — no per-key groups."""
+    n_buckets = resolve_buckets(ds, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
-
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_rbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        order_arrays = [g[c].to_numpy() for c in order_cols]
-        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
-        c = codes[order]
-        new = np.ones(len(c), dtype=bool)
-        new[1:] = c[1:] != c[:-1]
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        order, c, new = key_order(g, key, order_cols)
         starts = np.flatnonzero(new)
         grp = np.cumsum(new) - 1
         rnk = np.arange(len(c), dtype=np.int64) - starts[grp] + 1
         sizes = np.diff(np.append(starts, len(c)))
         n_of = sizes[grp].astype(np.float64)
         pct = np.where(n_of > 1, (rnk - 1) / (n_of - 1), 0.0)
-        out = {key: g[key].to_numpy()[order]}
-        for col in order_cols:
-            out[col] = g[col].to_numpy()[order]
-        out["rnk"] = rnk
-        out["pct_rank"] = np.round(pct, 6)
-        return pd.DataFrame(out)
+        out = g.select([key, *order_cols]).take(pa.array(order))
+        out = out.append_column("rnk", pa.array(rnk))
+        return out.append_column("pct_rank", pa.array(np.round(pct, 6)))
 
     cols = [key, *order_cols]
     return (
         ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(hash_bucket_appender(key, n_buckets, "_rbucket"), batch_format="pyarrow")
         .groupby("_rbucket")
-        .map_groups(rank_bucket, batch_format="pandas")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )
 
 
@@ -194,46 +177,36 @@ def path_per_key(
     order_cols: list[str],
     step_col: str,
     sep: str = ">",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Per-key ordered path string (``string_agg(step, sep ORDER BY
     ...)``): the session-path / clickstream-journey aggregate. Same
     coarse-bucket lexsort kernel; each bucket assembles every key's
-    joined path in one pass (string assembly is inherently per-key,
-    but keys never cross buckets and no per-key exchange happens).
-    ``order_cols`` must end in a unique tiebreak for a deterministic
-    path. → (key, path, n_steps)."""
+    joined path with one vectorized ``pc.binary_join`` over a list
+    view of the sorted steps (keys never cross buckets and no per-key
+    exchange happens). ``order_cols`` must end in a unique tiebreak
+    for a deterministic path. → (key, path, n_steps)."""
+    n_buckets = resolve_buckets(ds, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
-
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_pbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def path_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, uniq = pd.factorize(g[key], sort=False)
-        order_arrays = [g[c].to_numpy() for c in order_cols]
-        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
-        c = codes[order]
-        steps = pd.Series(g[step_col].to_numpy()[order])
-        paths = steps.groupby(c, sort=True).agg(sep.join)
-        counts = np.bincount(c, minlength=len(uniq)).astype(np.int64)
-        return pd.DataFrame(
-            {
-                key: uniq[paths.index.to_numpy()],
-                "path": paths.to_numpy(),
-                "n_steps": counts[paths.index.to_numpy()],
-            }
-        )
+    def path_bucket(g: pa.Table) -> pa.Table:
+        order, c, new = key_order(g, key, order_cols)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(c))).astype(np.int64)
+        idx = pa.array(order)
+        steps = g[step_col].combine_chunks().take(idx)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=offsets[1:])
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets), steps.cast(pa.large_string()))
+        paths = pc.binary_join(lists, pa.scalar(sep, pa.large_string())).cast(pa.string())
+        keys = g[key].combine_chunks().take(pa.array(order[starts]))
+        return pa.table({key: keys, "path": paths, "n_steps": pa.array(sizes)})
 
     cols = list(dict.fromkeys([key, *order_cols, step_col]))
     return (
         ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(hash_bucket_appender(key, n_buckets, "_pbucket"), batch_format="pyarrow")
         .groupby("_pbucket")
-        .map_groups(path_bucket, batch_format="pandas")
+        .map_groups(path_bucket, batch_format="pyarrow")
     )
 
 
@@ -243,7 +216,7 @@ def ntile_dense_per_key(
     order_cols: list[str],
     k: int,
     dense_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Per-key NTILE(k) + DENSE_RANK window analytics: ``rnk`` =
     row_number in ``order_cols`` order (must end in a unique
@@ -253,23 +226,11 @@ def ntile_dense_per_key(
     lexsort serves both. Same coarse-bucket kernel as the other window
     ops: hash(key) % n_buckets, one vectorized pass per bucket, no
     per-key groups."""
+    n_buckets = resolve_buckets(ds, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
-
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_nbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def ntile_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        order_arrays = [g[c].to_numpy() for c in order_cols]
-        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
-        c = codes[order]
+    def ntile_bucket(g: pa.Table) -> pa.Table:
+        order, c, new = key_order(g, key, order_cols)
         n = len(c)
-        new = np.ones(n, dtype=bool)
-        new[1:] = c[1:] != c[:-1]
         starts = np.flatnonzero(new)
         grp = np.cumsum(new) - 1
         i0 = np.arange(n, dtype=np.int64) - starts[grp]
@@ -280,67 +241,51 @@ def ntile_dense_per_key(
         tile = (
             np.where(i0 < cut, i0 // (q + 1), r + (i0 - cut) // np.maximum(q, 1)) + 1
         )
-        dv = g[dense_col].to_numpy()[order]
+        dv = column_np(g[dense_col])[order]
         ch = np.ones(n, dtype=bool)
         ch[1:] = dv[1:] != dv[:-1]
         ch |= new
         cs = np.cumsum(ch)
         drnk = cs - cs[starts[grp]] + 1
-        out = {key: g[key].to_numpy()[order]}
-        for col in order_cols:
-            out[col] = g[col].to_numpy()[order]
-        out["rnk"] = i0 + 1
-        out["tile"] = tile.astype(np.int64)
-        out["drnk"] = drnk.astype(np.int64)
-        return pd.DataFrame(out)
+        out = g.select([key, *order_cols]).take(pa.array(order))
+        out = out.append_column("rnk", pa.array(i0 + 1))
+        out = out.append_column("tile", pa.array(tile.astype(np.int64)))
+        return out.append_column("drnk", pa.array(drnk.astype(np.int64)))
 
     cols = list(dict.fromkeys([key, *order_cols, dense_col]))
     return (
         ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(hash_bucket_appender(key, n_buckets, "_nbucket"), batch_format="pyarrow")
         .groupby("_nbucket")
-        .map_groups(ntile_bucket, batch_format="pandas")
+        .map_groups(ntile_bucket, batch_format="pyarrow")
     )
 
 
-def lag_delta_per_key(ds, key: str, ts: str, order_cols: list[str], n_buckets: int = 64):
+def lag_delta_per_key(
+    ds, key: str, ts: str, order_cols: list[str], n_buckets: int | None = None
+):
     """Per-key delta to the previous row: ``delta_us`` = ts − lag(ts)
     in microseconds (null for each key's first row) — the
     inter-arrival-time signal. Same bucketed kernel; ``order_cols``
     must be a total order within a key and start with ``ts``."""
+    n_buckets = resolve_buckets(ds, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
-
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_lbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def delta_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        order_arrays = [g[c].to_numpy() for c in order_cols]
-        order = np.lexsort(tuple(reversed(order_arrays)) + (codes,))
-        c = codes[order]
-        t = g[ts].to_numpy()[order].astype("datetime64[us]").view(np.int64)
-        new = np.ones(len(c), dtype=bool)
-        new[1:] = c[1:] != c[:-1]
+    def delta_bucket(g: pa.Table) -> pa.Table:
+        order, c, new = key_order(g, key, order_cols)
+        t = ts_us(g[ts])[order]
         delta = np.empty(len(t), dtype=np.float64)
         delta[0] = np.nan
         delta[1:] = (t[1:] - t[:-1]).astype(np.float64)
         delta[new] = np.nan
-        out = {key: g[key].to_numpy()[order]}
-        for col in order_cols:
-            out[col] = g[col].to_numpy()[order]
-        out["delta_us"] = delta
-        return pd.DataFrame(out)
+        out = g.select([key, *order_cols]).take(pa.array(order))
+        return out.append_column("delta_us", pa.array(delta))
 
     cols = list(dict.fromkeys([key, ts, *order_cols]))
     return (
         ds.select_columns(cols)
-        .map_batches(add_bucket, batch_format="pyarrow")
+        .map_batches(hash_bucket_appender(key, n_buckets, "_lbucket"), batch_format="pyarrow")
         .groupby("_lbucket")
-        .map_groups(delta_bucket, batch_format="pandas")
+        .map_groups(delta_bucket, batch_format="pyarrow")
     )
 
 
@@ -351,7 +296,7 @@ def debounce_events(
     ts: str,
     id_col: str,
     gap_s: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Event-stream dedup (telemetry debounce): keep an event iff it is
     the first of its (user, type) key or its gap to the key's PREVIOUS
@@ -365,23 +310,15 @@ def debounce_events(
     column only, the type column subdivides inside the kernel."""
 
     gap_us = gap_s * 1_000_000
+    n_buckets = resolve_buckets(events, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
+    def keep_bucket(g: pa.Table) -> pa.Table:
+        from raydedup.ops._bucketed import factorize
 
-        h1, _ = _column_hashes(batch[user_col])
-        return batch.append_column(
-            "_sbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def keep_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        tcodes, _ = pd.factorize(g[type_col], sort=False)
-        uid = g[user_col].to_numpy()
-        # normalize to µs regardless of the pandas datetime unit
-        # (Arrow timestamp[us] arrives as datetime64[us], but ns-unit
-        # frames would silently misscale a bare astype(int64))
-        t = g[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        ids = g[id_col].to_numpy()
+        tcodes = factorize(g[type_col])
+        uid = column_np(g[user_col])
+        t = ts_us(g[ts])
+        ids = column_np(g[id_col])
         order = np.lexsort((ids, t, tcodes, uid))
         su, sc, st = uid[order], tcodes[order], t[order]
         keep = np.ones(len(order), dtype=bool)
@@ -389,16 +326,18 @@ def debounce_events(
             (su[1:] != su[:-1]) | (sc[1:] != sc[:-1]) | ((st[1:] - st[:-1]) > gap_us)
         )
         sel = order[keep]
-        return g.iloc[sel][[id_col, user_col, type_col, ts]]
+        return g.select([id_col, user_col, type_col, ts]).take(pa.array(sel))
 
     return (
-        events.map_batches(add_bucket, batch_format="pyarrow")
+        events.map_batches(
+            hash_bucket_appender(user_col, n_buckets, "_sbucket"), batch_format="pyarrow"
+        )
         .groupby("_sbucket")
-        .map_groups(keep_bucket, batch_format="pandas")
+        .map_groups(keep_bucket, batch_format="pyarrow")
     )
 
 
-def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
+def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int | None = None):
     """Per-key gap-based sessions: (key, session_start, session_end,
     n_events). A new session begins when the gap to the previous event
     of the same key exceeds ``gap_s``.
@@ -411,41 +350,35 @@ def session_windows(events, key: str, ts: str, gap_s: int, n_buckets: int = 64):
     bucket, not a per-key group."""
 
     gap_us = gap_s * 1_000_000
+    n_buckets = resolve_buckets(events, n_buckets)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        from raydedup.sketches.aggregates import _column_hashes
+    def sessionize_bucket(g: pa.Table) -> pa.Table:
+        from raydedup.ops._bucketed import factorize
 
-        h1, _ = _column_hashes(batch[key])
-        return batch.append_column(
-            "_sbucket", pa.array((h1 % np.uint64(n_buckets)).astype(np.int64))
-        )
-
-    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        codes, _ = pd.factorize(g[key], sort=False)
-        # normalize to µs (see debounce_events: a bare astype(int64)
-        # yields ns for ns-unit frames and breaks gap_us)
-        t = g[ts].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        codes = factorize(g[key])
+        t = ts_us(g[ts])
         order = np.lexsort((t, codes))
         codes, t = codes[order], t[order]
         new = np.ones(len(t), dtype=bool)
         new[1:] = (codes[1:] != codes[:-1]) | ((t[1:] - t[:-1]) > gap_us)
         sid = np.cumsum(new) - 1
-        counts = np.bincount(sid)
+        counts = np.bincount(sid).astype(np.int64)
         # t is sorted within key, so first/last element per session = min/max
         boundaries = np.nonzero(new)[0]
         starts = t[boundaries]
         ends = t[np.concatenate([boundaries[1:] - 1, [len(t) - 1]])]
-        return pd.DataFrame(
+        keys = g[key].combine_chunks().take(pa.array(order[boundaries]))
+        return pa.table(
             {
-                key: g[key].to_numpy()[order][boundaries],
-                "session_start": pd.to_datetime(starts, unit="us"),
-                "session_end": pd.to_datetime(ends, unit="us"),
-                "n_events": counts,
+                key: keys,
+                "session_start": pc.cast(pa.array(starts), pa.timestamp("us")),
+                "session_end": pc.cast(pa.array(ends), pa.timestamp("us")),
+                "n_events": pa.array(counts),
             }
         )
 
     return (
-        events.map_batches(add_bucket, batch_format="pyarrow")
+        events.map_batches(hash_bucket_appender(key, n_buckets, "_sbucket"), batch_format="pyarrow")
         .groupby("_sbucket")
-        .map_groups(sessionize_bucket, batch_format="pandas")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
     )

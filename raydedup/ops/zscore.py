@@ -138,7 +138,9 @@ def grouped_zscore(
     return ds.map_batches(normalize, batch_format="pyarrow")
 
 
-def _zscore_cogroup(ds, group: str, x: str, scale: float, z_col: str, n_buckets: int = 256):
+def _zscore_cogroup(
+    ds, group: str, x: str, scale: float, z_col: str, n_buckets: int | None = None
+):
     """Group-count-unbounded z-score: bucket the FULL rows on
     hash(group) so each kernel owns every row of its groups, derive the
     exact integer moments in-kernel with the same hi/lo int128
@@ -148,17 +150,20 @@ def _zscore_cogroup(ds, group: str, x: str, scale: float, z_col: str, n_buckets:
     so the two paths agree bit-for-bit before rounding. One data-row
     exchange, no driver state of any size."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_gb"] = (
-            pd.util.hash_array(df[group].to_numpy()) % np.uint64(n_buckets)
-        ).astype(np.int64)
-        return df
+    from raydedup.ops._bucketed import (
+        column_np,
+        factorize,
+        hash_bucket_appender,
+        resolve_buckets,
+    )
 
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_gb"])
-        c = np.rint(df[x].to_numpy().astype(np.float64) * scale).astype(np.int64)
-        codes, _ = pd.factorize(df[group].to_numpy(), sort=False)
+    n_buckets = resolve_buckets(ds, n_buckets, floor=256)
+    add_bucket = hash_bucket_appender(group, n_buckets, "_gb")
+
+    def kernel(g: pa.Table) -> pa.Table:
+        out = g.select([c for c in g.column_names if c != "_gb"])
+        c = np.rint(column_np(g[x]).astype(np.float64) * scale).astype(np.int64)
+        codes = factorize(g[group])
         order = np.argsort(codes, kind="stable")
         cs = c[order]
         seg = codes[order]
@@ -189,11 +194,10 @@ def _zscore_cogroup(ds, group: str, x: str, scale: float, z_col: str, n_buckets:
         by_code_mean[seg[starts]] = mean
         by_code_std[seg[starts]] = std
         z = np.round((c.astype(np.float64) - by_code_mean[codes]) / by_code_std[codes], 6)
-        df[z_col] = z
-        return df
+        return out.append_column(z_col, pa.array(z))
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_gb")
-        .map_groups(kernel, batch_format="pandas")
+        .map_groups(kernel, batch_format="pyarrow")
     )

@@ -32,9 +32,12 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None, help="stage-checkpoint dir (enables resume)")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument(
-        "--sig-mode", choices=("perm", "oph"), default="perm",
-        help="signature kernel: 128-permutation MinHash (north-star) or "
-             "one-permutation hashing (ALU-cheap scale mode)",
+        "--sig-mode", choices=("auto", "perm", "oph"), default="auto",
+        help="signature kernel: 'auto' lets the planner choose (oph under "
+             "--plan-bands — faster AND better-scaling at every measured "
+             "size, same exact verify; perm otherwise, the north-star "
+             "compatibility config); or pin 128-permutation MinHash "
+             "('perm') / one-permutation hashing ('oph') explicitly",
     )
     p.add_argument(
         "--plan-bands", action="store_true",
@@ -61,10 +64,11 @@ def main(argv=None) -> int:
 
     from raydedup.config import DedupConfig
 
+    mode_kw = {} if args.sig_mode == "auto" else {"sig_mode": args.sig_mode}
     if args.plan_bands:
-        cfg = DedupConfig.plan(threshold=args.threshold, sig_mode=args.sig_mode)
+        cfg = DedupConfig.plan(threshold=args.threshold, **mode_kw)
     else:
-        cfg = DedupConfig(threshold=args.threshold, sig_mode=args.sig_mode)
+        cfg = DedupConfig(threshold=args.threshold, **mode_kw)
     t0 = time.time()
     pages = rd.read_parquet(args.input)
 

@@ -39,6 +39,20 @@ from raydedup.sketches.hashing import fmix64
 U64 = np.uint64
 
 
+def _canon_keys(keys: np.ndarray) -> np.ndarray:
+    """Canonical int64 view of 64-bit band keys at the API boundary.
+
+    ``band_keys()`` naturally produces uint64; storing raw uint64 would
+    make ``dump()``'s int64 checkpoint arrays overflow for keys >=
+    2**63 (found by round-4 advisor). All entry points normalize to
+    the bit-identical int64 pattern, so insert/probe/checkpoint agree
+    for every 64-bit key regardless of the caller's dtype."""
+    keys = np.asarray(keys)
+    if keys.dtype == np.uint64:
+        return keys.view(np.int64)
+    return keys.astype(np.int64, copy=False)
+
+
 def _best_match(n_q: int, sigs_q, cand_idx_q, cand_urls, cand_sigs, min_agree: float):
     """Per queried doc: best (agreement, url) among its candidates.
 
@@ -73,6 +87,7 @@ class LshIndexShard:
     def probe(self, keys: np.ndarray, doc_of_key: np.ndarray, n_cols: int):
         """Prior entries under each queried (key, doc). Returns
         (cand_doc_idx, cand_urls, cand_sigs) concatenated."""
+        keys = _canon_keys(keys)
         idx, curls, csigs = [], [], []
         for k, d in zip(keys.tolist(), doc_of_key.tolist()):
             ent = self._keys.get(k)
@@ -100,6 +115,7 @@ class LshIndexShard:
         """Append (url, sig, stamp) under each key (first
         max_key_group kept; ``stamp`` is the caller's batch sequence
         number — the recency unit evict_before operates on)."""
+        keys = _canon_keys(keys)
         for k, d in zip(keys.tolist(), doc_of_key.tolist()):
             ent = self._keys.setdefault(k, [])
             if len(ent) < self._max:
@@ -162,6 +178,7 @@ class LshIndexShard:
     ):
         """Rebuild state from a dump, preserving entry order. The cap
         was enforced at insert time, so rows replay verbatim."""
+        keys = _canon_keys(keys)
         self._keys.clear()
         self._n_entries = 0
         if stamps is None:
@@ -192,7 +209,8 @@ class StreamingDedupIndex:
         self.shards = [LshIndexShard.remote(max_key_group) for _ in range(n_shards)]
 
     def _route(self, band_keys: np.ndarray, doc_ix: np.ndarray):
-        shard = (fmix64(band_keys.astype(U64)) % U64(self.n_shards)).astype(np.int64)
+        band_keys = _canon_keys(band_keys)
+        shard = (fmix64(band_keys.view(U64)) % U64(self.n_shards)).astype(np.int64)
         return [
             (band_keys[shard == s], doc_ix[shard == s]) for s in range(self.n_shards)
         ]

@@ -217,3 +217,29 @@ def test_ttl_eviction_matches_twin_and_survives_checkpoint(tmp_path):
     gm = np.concatenate([g[1] for g in got])
     assert (gd == exp_dup).all()
     assert (gm == exp_match).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_uint64_band_keys_checkpoint_and_match(tmp_path):
+    """Raw uint64 band keys (the natural ``band_keys()`` dtype) with
+    values >= 2**63 must insert, probe AND checkpoint — round-4 advisor
+    found dump() overflowed exactly when snapshotting. The canonical
+    int64 normalization also makes a uint64 probe match an entry that
+    was inserted via the int64 view of the same bit pattern."""
+    cfg = DedupConfig()
+    sigs = np.arange(2 * cfg.num_perms, dtype=np.uint32).reshape(2, -1)
+    sigs[1] = sigs[0]  # identical signatures -> agreement 1.0
+    hi_keys = np.array([2**63 + 5, 2**64 - 17], dtype=np.uint64)
+    dok = np.zeros(len(hi_keys), dtype=np.int64)
+
+    idx = StreamingDedupIndex(n_shards=2, min_agree=0.8)
+    is_dup, _ = idx.process_batch(["a"], hi_keys, dok, sigs[:1])
+    assert not is_dup[0]
+    # checkpoint used to raise OverflowError with uint64-keyed state
+    idx.checkpoint(str(tmp_path / "ck"))
+    resumed = StreamingDedupIndex.restore(str(tmp_path / "ck"))
+    # probe with the int64 view of the SAME keys: must match "a"
+    is_dup2, match2 = resumed.process_batch(
+        ["b"], hi_keys.view(np.int64), dok, sigs[1:]
+    )
+    assert is_dup2[0] and match2[0] == "a"
