@@ -121,8 +121,6 @@ def cosine_all_pairs_blockwise(
     over B(B+1)/2 independent tasks; the driver materializes nothing.
     Use ``cosine_dup_pairs`` (SRP-LSH) for high-tau near-dup instead.
     """
-    import pandas as pd
-
     from raydedup.sketches.hashing import fmix64
 
     B = n_chunks
@@ -145,17 +143,18 @@ def cosine_all_pairs_blockwise(
         t = batch.take(pa.array(idx))
         return pa.table({"pkey": pa.array(pkey), id_column: t[id_column], column: t[column]})
 
-    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_column].to_numpy()
-        emb = _normalize(np.stack(g[column].to_numpy()))
-        pkey = int(g["pkey"].iloc[0])
+    def group_pairs(g: pa.Table) -> pa.Table:
+        idtype = g[id_column].type
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        emb = _normalize(_emb_matrix(g, column))
+        pkey = int(g["pkey"][0].as_py())
         lo, hi = pkey // B, pkey % B
         c = (fmix64(ids.astype(np.int64).view(U64)) % U64(B)).astype(np.int64)
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "id_a": pd.Series([], dtype=ids.dtype),
-                "id_b": pd.Series([], dtype=ids.dtype),
-                "cosine": pd.Series([], dtype=np.float64),
+                "id_a": pa.array([], idtype),
+                "id_b": pa.array([], idtype),
+                "cosine": pa.array([], pa.float64()),
             }
         )
         if lo == hi:
@@ -176,15 +175,19 @@ def cosine_all_pairs_blockwise(
         if not len(ia):
             return empty
         a, b = ids[ia], ids[ib]
-        lo_id = np.minimum(a, b)
-        hi_id = np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo_id, "id_b": hi_id, "cosine": cos})
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, b), idtype),
+                "id_b": pa.array(np.maximum(a, b), idtype),
+                "cosine": pa.array(cos),
+            }
+        )
 
     return (
         ds.select_columns([id_column, column])
         .map_batches(replicate, batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(group_pairs, batch_format="pandas")
+        .map_groups(group_pairs, batch_format="pyarrow")
     )
 
 
@@ -247,8 +250,6 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
     ``pipeline/lsh.py``/``verify.py``), never replicated ×bands
     through the wide band shuffle.
     """
-    import pandas as pd
-
     from raydedup.ops.pairs import dedup_pairs
     from raydedup.sketches.hashing import fmix64
 
@@ -283,13 +284,17 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
             }
         )
 
-    def emit(df: pd.DataFrame) -> pd.DataFrame:
-        band = df["band"].to_numpy()
-        chunk = df["chunk"].to_numpy().astype(U)
-        ids = df["id"].to_numpy()
+    def emit(g: pa.Table) -> pa.Table:
+        idtype = g["id"].type
+        empty = pa.table({"id_a": pa.array([], idtype), "id_b": pa.array([], idtype)})
+        if len(g) == 0:
+            return empty
+        band = g["band"].to_numpy(zero_copy_only=False)
+        chunk = g["chunk"].to_numpy(zero_copy_only=False).astype(U)
+        ids = g["id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, chunk, band))
         band, chunk, ids = band[order], chunk[order], ids[order]
-        new = np.ones(len(df), dtype=bool)
+        new = np.ones(len(g), dtype=bool)
         new[1:] = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
         run_id = np.cumsum(new) - 1
         run_len = np.bincount(run_id)
@@ -303,19 +308,25 @@ def cosine_dup_pairs(ds, tau: float = 0.9, id_column: str = "vec_id", column: st
             out_a.append(ids[members[:, ia].reshape(-1)])
             out_b.append(ids[members[:, ib].reshape(-1)])
         if not out_a:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
-            )
+            return empty
         a = np.concatenate(out_a)
         b = np.concatenate(out_b)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         keep = lo != hi
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]}).drop_duplicates()
+        tbl = pa.table(
+            {"id_a": pa.array(lo[keep], idtype), "id_b": pa.array(hi[keep], idtype)}
+        )
+        if len(tbl) == 0:
+            return tbl
+        gg = tbl.append_column("_i", pa.array(np.arange(len(tbl), dtype=np.int64)))
+        first = gg.group_by(["id_a", "id_b"], use_threads=False).aggregate([("_i", "min")])
+        sel = np.sort(first["_i_min"].combine_chunks().to_numpy(zero_copy_only=False))
+        return tbl.take(pa.array(sel))
 
     rows = ds.map_batches(fingerprint, batch_format="pyarrow")
     cand = dedup_pairs(
-        rows.groupby("bucket").map_groups(emit, batch_format="pandas"),
+        rows.groupby("bucket").map_groups(emit, batch_format="pyarrow"),
         n_buckets=n_buckets,
     )
     return _verify_cosine_pairs(cand, ds, tau, id_column, column, n_buckets)
@@ -325,8 +336,6 @@ def _verify_cosine_pairs(pairs, ds, tau: float, id_column: str, column: str, n_b
     """Attach embeddings to candidate id pairs via bucketed cogroup on
     id and keep pairs with exact cosine >= tau. Both sides distributed;
     embedding bytes travel once per (pair-side), not once per band."""
-    import pandas as pd
-
     from raydedup.sketches.hashing import fmix64
 
     U = np.uint64
@@ -374,67 +383,97 @@ def _verify_cosine_pairs(pairs, ds, tau: float, id_column: str, column: str, n_b
     requests = pairs.map_batches(to_requests, batch_format="pyarrow")
     payloads = ds.map_batches(tag_payloads, batch_format="pyarrow")
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        is_pay = df["side"].to_numpy() == 255
-        req = df[~is_pay]
-        pay = df[is_pay]
-        if len(req) == 0 or len(pay) == 0:
-            return pd.DataFrame(
-                {
-                    "pbucket": pd.Series([], dtype=np.int64),
-                    "pair_id": pd.Series([], dtype=np.uint64),
-                    "side": pd.Series([], dtype=np.uint8),
-                    "id": pd.Series([], dtype=np.int64),
-                    "pay": pd.Series([], dtype=object),
-                }
-            )
-        merged = req[["pair_id", "side", "id"]].merge(
-            pay[["id", "pay"]], on="id", how="inner"
-        )
-        merged["pbucket"] = (merged["pair_id"].to_numpy().astype(U) % U(n_buckets)).astype(np.int64)
-        return merged[["pbucket", "pair_id", "side", "id", "pay"]]
-
-    attached = requests.union(payloads).groupby("bucket").map_groups(
-        attach, batch_format="pandas"
-    )
-
-    empty = pd.DataFrame(
-        {
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "cosine": pd.Series([], dtype=float),
-        }
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return empty
-        df = df.sort_values(["pair_id", "side"], kind="stable")
-        pid = df["pair_id"].to_numpy()
-        new = np.ones(len(df), dtype=bool)
-        new[1:] = pid[1:] != pid[:-1]
-        run_id = np.cumsum(new) - 1
-        cnt = np.bincount(run_id)
-        df = df[cnt[run_id] == 2]  # both sides resolved
-        if len(df) == 0:
-            return empty
-        a = df[df["side"].to_numpy() == 0]
-        b = df[df["side"].to_numpy() == 1]
-        ea = np.frombuffer(b"".join(a["pay"].to_numpy()), np.float64).reshape(len(a), -1)
-        eb = np.frombuffer(b"".join(b["pay"].to_numpy()), np.float64).reshape(len(b), -1)
-        cos = (ea * eb).sum(axis=1)
-        keep = cos >= tau
-        ia = a["id"].to_numpy()[keep]
-        ib = b["id"].to_numpy()[keep]
-        return pd.DataFrame(
+    def attach(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        pay_idx = np.flatnonzero(side == 255)
+        req_idx = np.flatnonzero(side != 255)
+        empty = pa.table(
             {
-                "id_a": np.minimum(ia, ib),
-                "id_b": np.maximum(ia, ib),
-                "cosine": cos[keep],
+                "pbucket": pa.array([], pa.int64()),
+                "pair_id": pa.array([], pa.uint64()),
+                "side": pa.array([], pa.uint8()),
+                "id": pa.array([], g["id"].type),
+                "pay": pa.array([], pa.large_binary()),
+            }
+        )
+        if len(req_idx) == 0 or len(pay_idx) == 0:
+            return empty
+        # sorted-lookup semi-join: payload ids are unique (one
+        # embedding per id), so searchsorted resolves each request row
+        pk = ids[pay_idx]
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        rk = ids[req_idx]
+        pos = np.searchsorted(pk_s, rk)
+        posc = np.minimum(pos, len(pk_s) - 1)
+        ok = (pos < len(pk_s)) & (pk_s[posc] == rk)
+        sel_req = req_idx[ok]
+        sel_pay = pay_idx[porder[posc[ok]]]
+        pair_id = g["pair_id"].to_numpy(zero_copy_only=False)[sel_req].astype(U)
+        return pa.table(
+            {
+                "pbucket": pa.array((pair_id % U(n_buckets)).astype(np.int64)),
+                "pair_id": pa.array(pair_id, pa.uint64()),
+                "side": g["side"].combine_chunks().take(pa.array(sel_req)),
+                "id": g["id"].combine_chunks().take(pa.array(sel_req)),
+                "pay": g["pay"].combine_chunks().take(pa.array(sel_pay)),
             }
         )
 
-    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
+    attached = requests.union(payloads).groupby("bucket").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+
+    def _pay_matrix(pay_arr: pa.Array, rows: np.ndarray) -> np.ndarray:
+        """Taken payload slices -> (n, d) float64, zero-copy from the
+        take result's contiguous values buffer."""
+        taken = pay_arr.take(pa.array(rows))
+        offs = np.frombuffer(taken.buffers()[1], np.int64)
+        data = np.frombuffer(taken.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        return data.view(np.float64).reshape(len(rows), -1)
+
+    def finalize(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return empty
+        pid = g["pair_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pid))
+        pid_s, side_s = pid[order], side[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = pid_s[1:] != pid_s[:-1]
+        run_id = np.cumsum(new) - 1
+        cnt = np.bincount(run_id)
+        both = cnt[run_id] == 2  # both sides resolved
+        a_sel = order[both & (side_s == 0)]
+        b_sel = order[both & (side_s == 1)]
+        if len(a_sel) == 0:
+            return empty
+        pay = g["pay"].combine_chunks()
+        ea = _pay_matrix(pay, a_sel)
+        eb = _pay_matrix(pay, b_sel)
+        cos = (ea * eb).sum(axis=1)
+        keep = cos >= tau
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ia = ids[a_sel][keep]
+        ib = ids[b_sel][keep]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib)),
+                "id_b": pa.array(np.maximum(ia, ib)),
+                "cosine": pa.array(cos[keep]),
+            }
+        )
+
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -276,6 +276,34 @@ _EMPTY_METRICS = pd.DataFrame(
 )
 
 
+_METRICS_SCHEMA = pa.schema(
+    [
+        ("url_a", pa.string()),
+        ("url_b", pa.string()),
+        ("jaccard_sig_est", pa.float64()),
+        ("exact_jaccard", pa.float64()),
+        ("containment", pa.float64()),
+        ("is_dup", pa.bool_()),
+        ("substring_candidate", pa.bool_()),
+    ]
+)
+_EMPTY_METRICS_TBL = pa.Table.from_pandas(
+    _EMPTY_METRICS, schema=_METRICS_SCHEMA, preserve_index=False
+)
+
+
+def _arrow_blob_words(binarr: pa.Array, rows: np.ndarray):
+    """``binarr.take(rows)`` -> (u64 word buffer, word offsets[m+1]),
+    zero-copy from the take result's contiguous values buffer — the
+    Arrow-native form of ``_concat_blobs`` (no per-blob Python)."""
+    taken = binarr.take(pa.array(rows))
+    odtype = np.int64 if pa.types.is_large_binary(taken.type) else np.int32
+    offs = np.frombuffer(taken.buffers()[1], odtype).astype(np.int64)
+    offs = offs[taken.offset : taken.offset + len(taken) + 1]
+    data = np.frombuffer(taken.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+    return data.view(U64), (offs - offs[0]) // 8
+
+
 _BCAST_CACHE: dict = {}
 
 
@@ -655,54 +683,74 @@ def _verify_cogroup(pairs, packed, cfg: DedupConfig, n_buckets: int = 64):
     requests = pairs.map_batches(to_requests, batch_format="pyarrow")
     payloads = packed.map_batches(tag_payloads, batch_format="pyarrow")
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        is_pay = df["side"].to_numpy() == 255
-        pay = df[is_pay]
-        req = df[~is_pay]
-        if len(req) == 0 or len(pay) == 0:
-            return pd.DataFrame(
+    def attach(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        uh = g["uh"].to_numpy(zero_copy_only=False).astype(U64)
+        pay_idx = np.flatnonzero(side == 255)
+        req_idx = np.flatnonzero(side != 255)
+        if len(req_idx) == 0 or len(pay_idx) == 0:
+            return pa.table(
                 {
-                    "pbucket": pd.Series([], dtype=np.int64),
-                    "pair_id": pd.Series([], dtype=np.uint64),
-                    "side": pd.Series([], dtype=np.uint8),
-                    "url": pd.Series([], dtype=object),
-                    "vpay": pd.Series([], dtype=object),
+                    "pbucket": pa.array([], pa.int64()),
+                    "pair_id": pa.array([], pa.uint64()),
+                    "side": pa.array([], pa.uint8()),
+                    "url": pa.array([], pa.string()),
+                    "vpay": pa.array([], g["vpay"].type),
                 }
             )
-        merged = req[["pair_id", "side", "uh"]].merge(
-            pay[["uh", "url", "vpay"]], on="uh", how="inner"
+        # sorted-lookup semi-join on the url hash (payload uh unique:
+        # one packed payload per url) — no pandas merge
+        pk = uh[pay_idx]
+        porder = np.argsort(pk, kind="stable")
+        pk_s = pk[porder]
+        rk = uh[req_idx]
+        pos = np.searchsorted(pk_s, rk)
+        posc = np.minimum(pos, len(pk_s) - 1)
+        ok = (pos < len(pk_s)) & (pk_s[posc] == rk)
+        sel_req = req_idx[ok]
+        sel_pay = pay_idx[porder[posc[ok]]]
+        pair_id = g["pair_id"].to_numpy(zero_copy_only=False)[sel_req].astype(U64)
+        return pa.table(
+            {
+                "pbucket": pa.array((pair_id % U64(n_buckets)).astype(np.int64)),
+                "pair_id": pa.array(pair_id, pa.uint64()),
+                "side": g["side"].combine_chunks().take(pa.array(sel_req)),
+                "url": g["url"].combine_chunks().take(pa.array(sel_pay)),
+                "vpay": g["vpay"].combine_chunks().take(pa.array(sel_pay)),
+            }
         )
-        merged["pbucket"] = (merged["pair_id"].to_numpy().astype(U64) % U64(n_buckets)).astype(np.int64)
-        return merged[["pbucket", "pair_id", "side", "url", "vpay"]]
 
     attached = requests.union(payloads).groupby("cbucket").map_groups(
-        attach, batch_format="pandas"
+        attach, batch_format="pyarrow"
     )
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _EMPTY_METRICS
-        df = df.sort_values(["pair_id", "side"], kind="stable")
-        pid = df["pair_id"].to_numpy()
-        new = np.ones(len(df), dtype=bool)
-        new[1:] = pid[1:] != pid[:-1]
+    def finalize(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return _EMPTY_METRICS_TBL
+        pid = g["pair_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pid))
+        pid_s, side_s = pid[order], side[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = pid_s[1:] != pid_s[:-1]
         run_id = np.cumsum(new) - 1
         cnt = np.bincount(run_id)
-        df = df[cnt[run_id] == 2]  # both sides present
-        if len(df) == 0:
-            return _EMPTY_METRICS
-        a = df[df["side"].to_numpy() == 0]
-        b = df[df["side"].to_numpy() == 1]
-        return _metrics_from_payloads(
-            a["url"].to_numpy(),
-            b["url"].to_numpy(),
-            a["vpay"].to_numpy(),
-            b["vpay"].to_numpy(),
-            num_perms,
-            threshold,
+        both = cnt[run_id] == 2  # both sides present
+        a_sel = order[both & (side_s == 0)]
+        b_sel = order[both & (side_s == 1)]
+        if len(a_sel) == 0:
+            return _EMPTY_METRICS_TBL
+        urls = g["url"].to_numpy(zero_copy_only=False)
+        vpay = g["vpay"].combine_chunks()
+        buf_a, off_a = _arrow_blob_words(vpay, a_sel)
+        buf_b, off_b = _arrow_blob_words(vpay, b_sel)
+        df = _metrics_from_buffers(
+            urls[a_sel], urls[b_sel], buf_a, off_a[:-1], buf_b, off_b[:-1],
+            num_perms, threshold,
         )
+        return pa.Table.from_pandas(df, schema=_METRICS_SCHEMA, preserve_index=False)
 
-    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pyarrow")
 
 
 def verify_pairs(
@@ -869,19 +917,21 @@ def verify_pairs(
         right_suffix="_rb",
     )
 
-    def _kernel(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _EMPTY_METRICS
-        return _metrics_from_payloads(
-            df["url_a"].to_numpy(),
-            df["url_b"].to_numpy(),
-            df["vpay_a"].to_numpy(),
-            df["vpay_b"].to_numpy(),
-            cfg.num_perms,
-            cfg.threshold,
+    def _kernel(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_METRICS_TBL
+        rows = np.arange(len(batch), dtype=np.int64)
+        buf_a, off_a = _arrow_blob_words(batch["vpay_a"].combine_chunks(), rows)
+        buf_b, off_b = _arrow_blob_words(batch["vpay_b"].combine_chunks(), rows)
+        df = _metrics_from_buffers(
+            batch["url_a"].to_numpy(zero_copy_only=False),
+            batch["url_b"].to_numpy(zero_copy_only=False),
+            buf_a, off_a[:-1], buf_b, off_b[:-1],
+            cfg.num_perms, cfg.threshold,
         )
+        return pa.Table.from_pandas(df, schema=_METRICS_SCHEMA, preserve_index=False)
 
-    return joined.map_batches(_kernel, batch_format="pandas")
+    return joined.map_batches(_kernel, batch_format="pyarrow")
 
 
 class _CheckSubstring:
@@ -1013,63 +1063,82 @@ def _confirm_substrings_cogroup(sp, pages, n_buckets: int = 32):
         .map_batches(tag_payloads, batch_format="pyarrow")
     )
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        is_pay = df["side"].to_numpy() == 255
-        pay = df[is_pay]
-        req = df[~is_pay]
-        if len(req) == 0:
-            return pd.DataFrame(
+    def attach(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        uh = g["uh"].to_numpy(zero_copy_only=False).astype(U64)
+        pay_idx = np.flatnonzero(side == 255)
+        req_idx = np.flatnonzero(side != 255)
+        if len(req_idx) == 0:
+            return pa.table(
                 {
-                    "pbucket": pd.Series([], dtype=np.int64),
-                    "pair_id": pd.Series([], dtype=np.uint64),
-                    "side": pd.Series([], dtype=np.uint8),
-                    "url": pd.Series([], dtype=object),
-                    "text": pd.Series([], dtype=object),
+                    "pbucket": pa.array([], pa.int64()),
+                    "pair_id": pa.array([], pa.uint64()),
+                    "side": pa.array([], pa.uint8()),
+                    "url": pa.array([], g["url"].type),
+                    "text": pa.array([], g["text"].type),
                 }
             )
-        # left merge: a side with no page text still reaches finalize,
+        # LEFT lookup: a side with no page text still reaches finalize,
         # so the output keeps one row per flagged pair (substring=False
-        # when either text is missing — broadcast-path parity)
-        merged = req[["pair_id", "side", "uh", "url"]].merge(
-            pay[["uh", "text"]], on="uh", how="left"
-        )
-        merged["pbucket"] = (
-            merged["pair_id"].to_numpy().astype(U64) % U64(n_buckets)
-        ).astype(np.int64)
-        return merged[["pbucket", "pair_id", "side", "url", "text"]]
-
-    attached = requests.union(payloads).groupby("cbucket").map_groups(
-        attach, batch_format="pandas"
-    )
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+        # when either text is missing — broadcast-path parity); misses
+        # take a null index -> null text
+        match = np.full(len(req_idx), -1, np.int64)
+        if len(pay_idx):
+            pk = uh[pay_idx]
+            porder = np.argsort(pk, kind="stable")
+            pk_s = pk[porder]
+            rk = uh[req_idx]
+            pos = np.searchsorted(pk_s, rk)
+            posc = np.minimum(pos, len(pk_s) - 1)
+            ok = (pos < len(pk_s)) & (pk_s[posc] == rk)
+            match[ok] = pay_idx[porder[posc[ok]]]
+        pair_id = g["pair_id"].to_numpy(zero_copy_only=False)[req_idx].astype(U64)
+        return pa.table(
             {
-                "url_a": pd.Series([], dtype=object),
-                "url_b": pd.Series([], dtype=object),
-                "substring": pd.Series([], dtype=bool),
+                "pbucket": pa.array((pair_id % U64(n_buckets)).astype(np.int64)),
+                "pair_id": pa.array(pair_id, pa.uint64()),
+                "side": g["side"].combine_chunks().take(pa.array(req_idx)),
+                "url": g["url"].combine_chunks().take(pa.array(req_idx)),
+                "text": g["text"].combine_chunks().take(pa.array(match, mask=match < 0)),
             }
         )
-        if len(df) == 0:
+
+    attached = requests.union(payloads).groupby("cbucket").map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "url_a": pa.array([], pa.string()),
+                "url_b": pa.array([], pa.string()),
+                "substring": pa.array([], pa.bool_()),
+            }
+        )
+        if len(g) == 0:
             return empty
-        df = df.sort_values(["pair_id", "side"], kind="stable")
-        pid = df["pair_id"].to_numpy()
-        new = np.ones(len(df), dtype=bool)
-        new[1:] = pid[1:] != pid[:-1]
+        pid = g["pair_id"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, pid))
+        pid_s, side_s = pid[order], side[order]
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = pid_s[1:] != pid_s[:-1]
         run_id = np.cumsum(new) - 1
         cnt = np.bincount(run_id)
-        df = df[cnt[run_id] == 2]
-        if len(df) == 0:
+        both = cnt[run_id] == 2
+        a_sel = order[both & (side_s == 0)]
+        b_sel = order[both & (side_s == 1)]
+        if len(a_sel) == 0:
             return empty
-        a = df[df["side"].to_numpy() == 0]
-        b = df[df["side"].to_numpy() == 1]
-        ua, ub = a["url"].to_numpy(), b["url"].to_numpy()
-        ta, tb = a["text"].to_numpy(), b["text"].to_numpy()
+        urls = g["url"].to_numpy(zero_copy_only=False)
+        texts = g["text"].to_numpy(zero_copy_only=False)
+        ua, ub = urls[a_sel], urls[b_sel]
+        ta, tb = texts[a_sel], texts[b_sel]
         out = np.zeros(len(ua), dtype=bool)
         idx, probes, wrappers = [], [], []
         for i in range(len(ua)):
-            # a missing side surfaces as None or NaN depending on the
-            # block format — either way the pair stays substring=False
+            # a missing side surfaces as None — the pair stays
+            # substring=False
             if not isinstance(ta[i], str) or not isinstance(tb[i], str):
                 continue
             if len(ta[i]) <= len(tb[i]):
@@ -1077,9 +1146,15 @@ def _confirm_substrings_cogroup(sp, pages, n_buckets: int = 32):
             else:
                 idx.append(i), probes.append(tb[i]), wrappers.append(ta[i])
         _probe_by_wrapper(idx, probes, wrappers, out)
-        return pd.DataFrame({"url_a": ua, "url_b": ub, "substring": out})
+        return pa.table(
+            {
+                "url_a": pa.array(ua, pa.string()),
+                "url_b": pa.array(ub, pa.string()),
+                "substring": pa.array(out),
+            }
+        )
 
-    return attached.groupby("pbucket").map_groups(finalize, batch_format="pandas")
+    return attached.groupby("pbucket").map_groups(finalize, batch_format="pyarrow")
 
 
 def confirm_substrings(

@@ -73,6 +73,22 @@ class BloomFilter:
         hit = (word >> (idx & U64(63))) & U64(1)
         return hit.all(axis=0)
 
+    def contains_and_insert(self, tokens: np.ndarray) -> np.ndarray:
+        """Single-pass probe-and-set (``bloom/sketch.rs:120-123``
+        ``query_and_update`` analog, batch form): membership of every
+        token vs the PRE-CALL state, then all tokens inserted — the
+        double-hash bit positions are computed once instead of twice.
+        Batch semantics match the streaming probe-then-commit contract:
+        within-call duplicates all report their pre-call membership
+        (the reference's sequential per-item form would report later
+        copies as present)."""
+        idx = self._bit_indices(tokens)
+        w = (idx >> U64(6)).astype(np.int64)
+        b = U64(1) << (idx & U64(63))
+        hit = ((self.bits[w] & b) != 0).all(axis=0)
+        np.bitwise_or.at(self.bits, w.reshape(-1), b.reshape(-1))
+        return hit
+
     def insert_strings(self, column, hash_seed: int = DEFAULT_SEED) -> "BloomFilter":
         h1, _ = hash_strings(column, seed=hash_seed)
         return self.insert(h1)

@@ -198,7 +198,10 @@ class StreamingDedupIndex:
         min_agree: float = 0.8,
         max_key_group: int = 64,
         max_age: int | None = None,
+        bloom_expected_keys: int = 1 << 22,
     ):
+        from raydedup.sketches.bloom import BloomFilter
+
         self.n_shards = n_shards
         self.min_agree = min_agree
         self.max_key_group = max_key_group
@@ -207,6 +210,18 @@ class StreamingDedupIndex:
         self.max_age = max_age
         self.batch_no = 0
         self.shards = [LshIndexShard.remote(max_key_group) for _ in range(n_shards)]
+        # driver-side Bloom over every committed band key: a probe for
+        # a key the filter has never seen cannot match history, so its
+        # rows never ship to a shard. contains_and_insert probes and
+        # commits in ONE pass over the double-hash positions (verdict
+        # item 7). No false negatives over inserted keys => results
+        # identical with the filter on or off; TTL eviction leaves
+        # stale positives, which only cost an empty probe. Geometry
+        # sized for ``bloom_expected_keys`` (~1% fpp, a few MB); past
+        # that the fpp degrades gracefully toward filter-off behavior.
+        self._seen = BloomFilter.with_accuracy(max(bloom_expected_keys, 1024), 0.01)
+        self.n_keys_total = 0
+        self.n_keys_probed = 0
 
     def _route(self, band_keys: np.ndarray, doc_ix: np.ndarray):
         band_keys = _canon_keys(band_keys)
@@ -228,11 +243,18 @@ class StreamingDedupIndex:
                     for s in self.shards
                 ]
             )
+        band_keys = _canon_keys(band_keys)
+        # Bloom pre-filter: probe only keys the committed history MAY
+        # contain; the same single pass commits this batch's keys
+        maybe = self._seen.contains_and_insert(band_keys.view(U64))
+        self.n_keys_total += len(band_keys)
+        self.n_keys_probed += int(maybe.sum())
+        probe_routed = self._route(band_keys[maybe], doc_of_key[maybe])
         routed = self._route(band_keys, doc_of_key)
         parts = ray.get(
             [
                 self.shards[s].probe.remote(k, d, sigs.shape[1])
-                for s, (k, d) in enumerate(routed)
+                for s, (k, d) in enumerate(probe_routed)
             ]
         )
         cand_idx = np.concatenate([p[0] for p in parts])
@@ -337,6 +359,10 @@ class StreamingDedupIndex:
             else:
                 sigs = np.empty((0, 0), np.uint32)
             stamps = tbl["stamp"].to_numpy(zero_copy_only=False)
+            # re-commit restored keys to the probe pre-filter (the
+            # Bloom is derived state: rebuilt, never checkpointed)
+            if len(keys):
+                idx._seen.insert(_canon_keys(keys).view(U64))
             loads.append(
                 idx.shards[row["shard"]].load.remote(keys, urls, sigs, stamps)
             )

@@ -243,3 +243,42 @@ def test_uint64_band_keys_checkpoint_and_match(tmp_path):
         ["b"], hi_keys.view(np.int64), dok, sigs[1:]
     )
     assert is_dup2[0] and match2[0] == "a"
+
+
+def test_bloom_contains_and_insert_equivalence():
+    """Single-pass probe-and-set == contains() then insert() from the
+    same state (bloom/sketch.rs:120-123 analog), bit-for-bit."""
+    from raydedup.sketches.bloom import BloomFilter
+
+    rng = np.random.default_rng(3)
+    a = BloomFilter.with_accuracy(10_000, 0.01)
+    b = BloomFilter.with_accuracy(10_000, 0.01)
+    for _ in range(5):
+        toks = rng.integers(0, 5_000, 400, dtype=np.uint64)
+        want = b.contains(toks)
+        b.insert(toks)
+        got = a.contains_and_insert(toks)
+        assert (got == want).all()
+        assert (a.bits == b.bits).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prefilter_skips_fresh_keys_and_preserves_results():
+    """The streaming index's Bloom pre-filter must (a) leave the
+    dup/match outputs identical to the sequential twin and (b) ship
+    strictly fewer probe keys than the unfiltered service — batch 0 is
+    all-fresh, so it probes ~0 keys."""
+    cfg = DedupConfig()
+    urls, texts = _corpus(n=120, seed=5)
+    batches = _batches(urls, texts, cfg, batch_size=30)
+    exp_dup, exp_match = streaming_dedup_local(batches, min_agree=0.8)
+
+    idx = StreamingDedupIndex(n_shards=3, min_agree=0.8)
+    got = [idx.process_batch(*b) for b in batches]
+    gd = np.concatenate([g[0] for g in got])
+    gm = np.concatenate([g[1] for g in got])
+    assert (gd == exp_dup).all()
+    assert (gm == exp_match).all()
+    # measured saving: fewer probe keys shipped than total keys
+    assert idx.n_keys_total == sum(len(b[1]) for b in batches)
+    assert idx.n_keys_probed < idx.n_keys_total
