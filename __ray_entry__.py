@@ -1462,6 +1462,47 @@ def _q_video_frames(sf_dir: str):
     )
 
 
+def _q_y4m_frames(sf_dir: str):
+    """Real-pixel video decode with ZERO optional deps (round-4 verdict
+    item 5): planted uncompressed YUV4MPEG2 corpus whose per-frame
+    planes are constants in closed form over (video_id, frame_idx) →
+    actor-pool frame sampling in mode='real' (stdlib ``decode_y4m``:
+    header parse, raw planar read, BT.601 full-range YUV→RGB with
+    floor(x+0.5) rounding) → per-frame mean channel values. Every
+    sampled frame decodes to one closed-form RGB value, so the DuckDB
+    oracle recomputes the identical double expressions over
+    ``generate_series`` — a value-exact gate on real pixel decoding,
+    no pyav/PIL anywhere."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import sample_frames, synth_y4m_table
+
+    W, H = 32, 24
+    ds = rd.from_arrow(synth_y4m_table(48, width=W, height=H))
+    frames = sample_frames(ds, k=16, mode="real", batch_size=8)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        pays = batch["frame_payload"].to_numpy(zero_copy_only=False)
+        if len(pays):
+            m = np.stack([np.frombuffer(x, np.uint8).reshape(H * W, 3) for x in pays])
+            means = m.mean(axis=1)  # constant planes -> exact integers
+        else:
+            means = np.empty((0, 3))
+        return pa.table(
+            {
+                "video_id": batch["video_id"],
+                "frame_idx": pc.cast(batch["frame_idx"], pa.int64()),
+                "r": pa.array(means[:, 0].astype(np.int64)),
+                "g": pa.array(means[:, 1].astype(np.int64)),
+                "b": pa.array(means[:, 2].astype(np.int64)),
+            }
+        )
+
+    return frames.map_batches(stats, batch_format="pyarrow").sort(
+        ["video_id", "frame_idx"]
+    )
+
+
 def _q_audio_features(sf_dir: str):
     """Multimodal audio plumbing demo: deterministic fake PCM corpus +
     framed RMS/zero-crossing features (sidecar oracle: a single-process
@@ -3607,6 +3648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_partitioned_topk": _q_ivf_partitioned_topk,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "y4m_frames": _q_y4m_frames,
         "sig_distance_quantiles": _q_sig_distance_quantiles,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dedup": _q_substring_dedup,
@@ -4701,6 +4743,27 @@ def oracle_sql() -> dict[str, str]:
                    'oph' AS sig_mode
             FROM fp JOIN fn USING (threshold, bands, rows_pb)
             ORDER BY threshold, rows_pb
+        """,
+        "y4m_frames": r"""
+            WITH vids AS (
+              SELECT i AS video_id, 8 + i % 5 AS f
+              FROM generate_series(0, 47) AS t(i)
+            ), fr AS (
+              SELECT v.video_id, g.j AS frame_idx,
+                     CAST((3 * v.video_id + 5 * g.j) % 256 AS DOUBLE) AS y,
+                     CAST((7 * v.video_id + g.j) % 256 AS DOUBLE) AS u,
+                     CAST((11 * v.video_id + 2 * g.j) % 256 AS DOUBLE) AS w
+              FROM vids v JOIN generate_series(0, 11) AS g(j) ON g.j < v.f
+            )
+            SELECT video_id, frame_idx,
+                   CAST(LEAST(255, GREATEST(0,
+                     FLOOR(y + 1.402 * (w - 128) + 0.5))) AS BIGINT) AS r,
+                   CAST(LEAST(255, GREATEST(0,
+                     FLOOR(y - 0.344136 * (u - 128) - 0.714136 * (w - 128) + 0.5))) AS BIGINT) AS g,
+                   CAST(LEAST(255, GREATEST(0,
+                     FLOOR(y + 1.772 * (u - 128) + 0.5))) AS BIGINT) AS b
+            FROM fr
+            ORDER BY video_id, frame_idx
         """,
         "mirror_hosts": r"""
             WITH corpus AS (

@@ -14,9 +14,11 @@ Decode modes:
   ``__init__``: images prefer PIL and fall back to a built-in minimal
   PNG decoder (stdlib zlib + numpy unfiltering — real pixels, this
   container included); audio prefers soundfile and falls back to
-  stdlib ``wave`` for RIFF/WAV PCM16; video frame demux needs ``av``
-  and raises ``NotImplementedError`` when it is absent (no stdlib
-  fallback exists for container formats).
+  stdlib ``wave`` for RIFF/WAV PCM16; video frame demux prefers
+  ``av`` and includes a built-in decoder for uncompressed YUV4MPEG2
+  (y4m: a text header + raw planar frames — real pixels with zero
+  optional deps, mirroring the PNG/WAV design); compressed containers
+  without ``av`` raise ``NotImplementedError``.
 """
 
 from __future__ import annotations
@@ -326,16 +328,138 @@ def synth_video_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def decode_y4m(data: bytes):
+    """Stdlib decoder for uncompressed YUV4MPEG2 streams.
+
+    y4m is the trivial video container: one ASCII header line
+    (``YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<cs>``) then per frame a
+    ``FRAME...\n`` marker followed by raw planar YCbCr bytes. Supports
+    C420*, C422, C444 and Cmono. Returns ``(frames, meta)``: frames is
+    a list of (h, w, 3) uint8 RGB arrays (BT.601 full-range,
+    ``floor(x + 0.5)`` rounding — deterministic and reproducible in
+    plain SQL for the oracle twin), meta carries width/height/fps/
+    colorspace."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    cs = "420"
+    for tok in data[len(_Y4M_MAGIC) : nl].decode("ascii").split(" "):
+        if not tok:
+            continue
+        key, val = tok[0], tok[1:]
+        if key == "W":
+            w = int(val)
+        elif key == "H":
+            h = int(val)
+        elif key == "F":
+            a, b = val.split(":")
+            fps = (int(a), int(b))
+        elif key == "C":
+            cs = val
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("mono"):
+        cw, ch = 0, 0
+    elif cs.startswith("420"):
+        cw, ch = w // 2, h // 2
+    elif cs.startswith("422"):
+        cw, ch = w // 2, h
+    elif cs.startswith("444"):
+        cw, ch = w, h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    usz = cw * ch
+    fsz = w * h + 2 * usz
+    pos = nl + 1
+    frames = []
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("y4m frame marker missing")
+        pos = fnl + 1
+        if pos + fsz > len(data):
+            raise ValueError("y4m truncated frame")
+        raw = np.frombuffer(data, np.uint8, count=fsz, offset=pos)
+        pos += fsz
+        yp = raw[: w * h].reshape(h, w).astype(np.float64)
+        if usz:
+            up = raw[w * h : w * h + usz].reshape(ch, cw)
+            vp = raw[w * h + usz :].reshape(ch, cw)
+            u = np.repeat(np.repeat(up, h // ch, 0), w // cw, 1).astype(np.float64)
+            v = np.repeat(np.repeat(vp, h // ch, 0), w // cw, 1).astype(np.float64)
+        else:
+            u = np.full((h, w), 128.0)
+            v = np.full((h, w), 128.0)
+        r = yp + 1.402 * (v - 128.0)
+        g = yp - 0.344136 * (u - 128.0) - 0.714136 * (v - 128.0)
+        b = yp + 1.772 * (u - 128.0)
+        rgb = np.stack([r, g, b], axis=-1)
+        frames.append(np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8))
+    return frames, {"width": w, "height": h, "fps": fps, "colorspace": cs}
+
+
+def encode_y4m(planes, width: int, height: int, fps=(24, 1), colorspace: str = "420") -> bytes:
+    """Assemble a YUV4MPEG2 stream from per-frame (y, u, v) plane
+    arrays (u/v omitted for mono) — the synth/test-planting twin of
+    ``decode_y4m``."""
+    out = [
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n".encode()
+    ]
+    for fr in planes:
+        out.append(b"FRAME\n")
+        for plane in fr:
+            out.append(np.ascontiguousarray(plane, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def synth_y4m_table(n: int, width: int = 32, height: int = 24) -> pa.Table:
+    """Deterministic planted y4m corpus: (video_id, payload, mime,
+    n_frames, fps, n_bytes). Every frame has CONSTANT planes —
+    ``y = (3*vid + 5*idx) % 256``, ``u = (7*vid + idx) % 256``,
+    ``v = (11*vid + 2*idx) % 256`` — so the decoded RGB of each frame
+    is a single closed-form value per channel that a SQL oracle can
+    recompute exactly (same double expressions, same floor(x+0.5)
+    rounding)."""
+    payloads, nframes = [], []
+    for vid in range(n):
+        f = 8 + vid % 5
+        frames = []
+        for idx in range(f):
+            y = np.full((height, width), (3 * vid + 5 * idx) % 256, np.uint8)
+            u = np.full((height // 2, width // 2), (7 * vid + idx) % 256, np.uint8)
+            v = np.full((height // 2, width // 2), (11 * vid + 2 * idx) % 256, np.uint8)
+            frames.append((y, u, v))
+        payloads.append(encode_y4m(frames, width, height))
+        nframes.append(f)
+    return pa.table(
+        {
+            "video_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "n_frames": pa.array(np.array(nframes, np.int32)),
+            "fps": pa.array(np.full(n, 24, np.int32)),
+            "n_bytes": pa.array(np.array([len(p) for p in payloads], np.int64)),
+        }
+    )
+
+
 class SampleFramesStage:
     """Actor-pool stage: video payload → ``k`` evenly-spaced frame
     payloads, one output row per sampled frame (flat_map shape).
 
-    ``mode='real'`` demuxes with pyav (attempted once per actor;
-    raises ``NotImplementedError`` when absent — no stdlib fallback
-    exists for video containers). ``mode='fake'`` treats the payload
-    as fixed 256-byte frames and slices deterministically, so the
-    fan-out schema (video_id, frame_idx, frame_payload) and batch
-    sizing are fully exercisable.
+    ``mode='real'`` decodes uncompressed YUV4MPEG2 payloads with the
+    built-in stdlib ``decode_y4m`` (real pixels, zero optional deps)
+    and demuxes every other container with pyav (attempted once per
+    actor; compressed formats raise ``NotImplementedError`` when it is
+    absent). ``mode='fake'`` treats the payload as fixed 256-byte
+    frames and slices deterministically, so the fan-out schema
+    (video_id, frame_idx, frame_payload) and batch sizing are fully
+    exercisable.
     """
 
     FRAME_BYTES = 256
@@ -356,12 +480,6 @@ class SampleFramesStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            if self._av is None:
-                raise NotImplementedError(
-                    "real frame sampling needs pyav (pip install av): demux "
-                    "batch['payload'], seek to evenly spaced PTS, emit frames — "
-                    "no stdlib fallback exists for video containers"
-                )
             vids, idxs, frames = [], [], []
             import io
 
@@ -369,6 +487,24 @@ class SampleFramesStage:
                 batch["video_id"].to_numpy(zero_copy_only=False),
                 batch["payload"].to_numpy(zero_copy_only=False),
             ):
+                if pay.startswith(_Y4M_MAGIC):
+                    decoded, _ = decode_y4m(pay)
+                    total = len(decoded)
+                    take = np.unique(
+                        np.linspace(0, max(total - 1, 0), num=min(self.k, total), dtype=np.int64)
+                    )
+                    for i in take:
+                        vids.append(int(vid))
+                        idxs.append(int(i))
+                        frames.append(decoded[int(i)].tobytes())
+                    continue
+                if self._av is None:
+                    raise NotImplementedError(
+                        "real frame sampling for compressed containers needs "
+                        "pyav (pip install av): demux batch['payload'], seek "
+                        "to evenly spaced PTS, emit frames — the built-in "
+                        "stdlib path covers uncompressed YUV4MPEG2 only"
+                    )
                 with self._av.open(io.BytesIO(pay)) as container:
                     stream = container.streams.video[0]
                     total = stream.frames or 0

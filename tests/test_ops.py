@@ -1651,3 +1651,56 @@ def test_ivf_partitioned_probe_prunes_directories(ray_session, tmp_path):
     ref = idx.search(assigned, q, k=5, nprobe=3).to_pandas()
     for qi in range(2):
         assert set(got[got.query_id == qi].vec_id) == set(ref[ref.query_id == qi].vec_id)
+
+
+def test_y4m_roundtrip_and_conversion():
+    """Stdlib y4m codec: encode → decode roundtrip recovers frame
+    count/geometry, and the BT.601 full-range conversion matches the
+    closed form (floor(x+0.5), clip 0..255) for C420, C444 and mono."""
+    from raydedup.ops.multimodal import decode_y4m, encode_y4m, synth_y4m_table
+
+    t = synth_y4m_table(5)
+    for vid in range(5):
+        frames, meta = decode_y4m(t["payload"][vid].as_py())
+        assert (meta["width"], meta["height"]) == (32, 24)
+        assert len(frames) == int(t["n_frames"][vid].as_py())
+        for idx, fr in enumerate(frames):
+            y = (3 * vid + 5 * idx) % 256
+            u = (7 * vid + idx) % 256
+            v = (11 * vid + 2 * idx) % 256
+            exp = [
+                y + 1.402 * (v - 128),
+                y - 0.344136 * (u - 128) - 0.714136 * (v - 128),
+                y + 1.772 * (u - 128),
+            ]
+            exp = [int(min(255, max(0, np.floor(e + 0.5)))) for e in exp]
+            assert fr.shape == (24, 32, 3)
+            assert (fr.reshape(-1, 3) == np.array(exp, np.uint8)).all()
+    # mono and 444 layouts
+    mono = encode_y4m([(np.full((4, 6), 77, np.uint8),)], 6, 4, colorspace="mono")
+    fm, meta = decode_y4m(mono)
+    assert meta["colorspace"] == "mono" and (fm[0][..., 0] == 77).all()
+    f444 = encode_y4m(
+        [(np.full((4, 4), 10, np.uint8), np.full((4, 4), 200, np.uint8), np.full((4, 4), 60, np.uint8))],
+        4, 4, colorspace="444",
+    )
+    f4, _ = decode_y4m(f444)
+    assert (f4[0][0, 0] == [0, 34, 138]).all()
+
+
+def test_y4m_real_mode_stage_no_optional_deps(ray_session):
+    """mode='real' over a y4m corpus decodes real pixels through the
+    actor pool with NO optional dependencies — one row per frame
+    (k >= max frames), frame bytes = w*h*3."""
+    import ray.data as rd
+
+    from raydedup.ops.multimodal import sample_frames, synth_y4m_table
+
+    tbl = synth_y4m_table(6)
+    out = (
+        sample_frames(rd.from_arrow(tbl), k=16, mode="real", batch_size=4)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+    )
+    assert len(out) == sum(8 + v % 5 for v in range(6))
+    assert all(len(p) == 32 * 24 * 3 for p in out["frame_payload"])
