@@ -255,6 +255,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "sig_mode": cfg.sig_mode,
+        # what DedupConfig.plan would run at this threshold (round-5:
+        # the planner now picks sig_mode=oph alongside (bands, rows))
+        "planner_config": _planner_config(cfg.threshold),
         "docs_per_sec": round(n_docs / headline, 1),
         # host-throttle probe (see _canary): ~0.1-0.2 s on a clean
         # window, 1.5-9 s inside this VM's whole-box throttle windows —
@@ -262,6 +265,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "canary_sec": _canary(),
         **gate,
     }
+
+
+def _planner_config(threshold: float) -> dict:
+    from raydedup.config import DedupConfig
+
+    p = DedupConfig.plan(threshold=threshold)
+    return {"sig_mode": p.sig_mode, "bands": p.bands, "rows": p.rows}
 
 
 def _await_clean_window(limit_s: float = 240.0, thresh: float = 1.2) -> dict:
