@@ -426,3 +426,72 @@ def test_debounce_events_matches_lag_semantics():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, expect)
+
+
+def test_asof_join_randomized_vs_merge_asof(ray_session):
+    """Randomized twin: the Arrow segmented-forward-fill as-of kernel
+    must match pd.merge_asof (backward, exact matches allowed) on
+    random keyed series — including keys with no right rows, right
+    rows after every left ts, and duplicate right timestamps (where
+    both sides agree on SOME row at the winning timestamp; the value
+    column is made a function of (key, ts) so the tie is value-stable)."""
+    import numpy as np
+    import pandas as pd
+
+    from raydedup.ops.asof import asof_join
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        nl, nr = 400, 250
+        lk = rng.integers(0, 12, nl)
+        rk = rng.integers(0, 15, nr)  # some keys absent on each side
+        lt = rng.integers(0, 1_000, nl) * 1_000_000
+        rt = rng.integers(0, 1_000, nr) * 1_000_000
+        left = pd.DataFrame(
+            {
+                "k": lk,
+                "lts": pd.to_datetime(lt, unit="us"),
+                "lid": np.arange(nl, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rk,
+                "rts": pd.to_datetime(rt, unit="us"),
+                # value is a pure function of (k, ts): equal-ts dup right
+                # rows carry equal values, so tie-break order is moot
+                "val": (rk.astype(np.int64) * 7919 + rt // 1_000_000).astype(np.int64),
+            }
+        )
+        got = (
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                key="k",
+                left_ts="lts",
+                right_ts="rts",
+                right_values=["rts", "val"],
+                n_buckets=5,
+            )
+            .to_pandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("lts", kind="stable"),
+            right.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("lid").reset_index(drop=True)
+        assert len(got) == nl
+        assert (got["lid"].to_numpy() == exp["lid"].to_numpy()).all()
+        assert (
+            got["val"].fillna(-1).to_numpy() == exp["val"].fillna(-1).to_numpy()
+        ).all()
+        assert (
+            got["rts"].fillna(pd.Timestamp(0)).to_numpy()
+            == exp["rts"].fillna(pd.Timestamp(0)).to_numpy()
+        ).all()
