@@ -205,3 +205,43 @@ def test_funnel_stages_property(ray_session, events, n_blocks):
     # no relevant events at all -> legitimately empty (schema-less) output
     got = dict(zip(out["u"], out["stage"])) if "u" in out.columns else {}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30), st.integers(0, 5)),
+        min_size=0,
+        max_size=120,
+    ),
+    n_buckets=st.sampled_from([1, 3, 16]),
+)
+def test_dedup_pairs_property(ray_session, pairs, n_buckets):
+    """dedup_pairs (Arrow first-occurrence kernel, engine-hashed
+    bucket key): output = exactly the distinct (id_a, id_b) set, one
+    row each, extra columns riding along from SOME occurrence of the
+    pair — invariant to the bucket count."""
+    from raydedup.ops.pairs import dedup_pairs
+
+    tbl = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+            "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+            "meta": pa.array([p[2] for p in pairs], pa.int64()),
+        }
+    )
+    out = dedup_pairs(rd.from_arrow(tbl), n_buckets=n_buckets).to_pandas()
+    want = {(a, b) for a, b, _ in pairs}
+    if len(out) == 0:
+        # an empty input can yield a schemaless empty frame
+        assert not want
+        return
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == want
+    assert len(out) == len(want)  # each pair exactly once
+    # the rider column comes from a real occurrence of that pair
+    by_pair = {}
+    for a, b, m in pairs:
+        by_pair.setdefault((a, b), set()).add(m)
+    for a, b, m in zip(out["id_a"], out["id_b"], out["meta"]):
+        assert m in by_pair[(a, b)]
